@@ -1,0 +1,66 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-format write (full execution of every
+column, nothing collected to the driver) after a warm-up of the
+session JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from music_streaming_etl_spark.plans.testdata_queries import REGISTRY
+from music_streaming_etl_spark.session import get_spark
+
+HEADLINE = [
+    "genre_kpis",
+    "hourly_kpis",
+    "agg_topk_by_freq",
+    "left_join_equi",
+    "tpch_q1_pricing",
+    "top_revenue_customers",
+    "scan_csv_multi",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark("bench")
+
+    # JVM/codegen warm-up on a trivial plan (not timed)
+    force(spark.read.parquet(f"{sf_dir}/region.parquet"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
