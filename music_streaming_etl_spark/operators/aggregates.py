@@ -150,6 +150,47 @@ def agg_topk_by_freq(
     )
 
 
+def agg_with_mode_fused(
+    df: DataFrame,
+    keys: Sequence[str],
+    mode_col: str,
+    partials: list,
+    finals: list,
+    mode_alias: str,
+) -> DataFrame:
+    """Single-shuffle fusion of ordinary aggregates + deterministic mode.
+
+    The naive plan (one groupBy for the aggregates, a second groupBy +
+    window + join for the mode — what pandas-shaped code produces)
+    scans and shuffles the fact table twice. This fuses them:
+
+    1. one wide shuffle: groupBy(keys + mode_col) computing *partial*
+       aggregates (counts/sums decompose over sub-groups);
+    2. one tiny shuffle: groupBy(keys) re-combining the partials and
+       extracting the mode as ``min(struct(-cnt, value))`` — struct
+       ordering is lexicographic, so the minimum is (highest count,
+       lexicographically-smallest value): exactly pandas ``mode()[0]``
+       tie-break, with no window and no self-join.
+
+    ``partials`` are column expressions evaluated in step 1,
+    ``finals`` re-combine them in step 2 (both lists of pre-aliased
+    Columns). At 100 TB the step-1 output is |keys × mode values| —
+    the only full-data shuffle is step 1, with map-side partial agg.
+    """
+    level1 = df.groupBy(*keys, mode_col).agg(
+        F.count(F.lit(1)).alias("__grp_cnt"), *partials
+    )
+    mode_struct = F.when(
+        F.col(mode_col).isNotNull(),
+        F.struct(
+            (-F.col("__grp_cnt")).alias("nc"), F.col(mode_col).alias("v")
+        ),
+    )
+    return level1.groupBy(*keys).agg(
+        F.min(mode_struct).getField("v").alias(mode_alias), *finals
+    )
+
+
 def agg_diversity_ratio(
     df: DataFrame, keys: Sequence[str], col: str, alias: str
 ) -> DataFrame:

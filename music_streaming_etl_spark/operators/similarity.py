@@ -1,0 +1,120 @@
+"""Vector similarity search (SURVEY.md §2.9 X3).
+
+Brute-force cosine top-k as the exact baseline, and an IVF-style
+bucketed variant as the scale path. Dot products are ``zip_with`` +
+``aggregate`` folds over ``array<double>`` — sequential, so the float
+result is deterministic for a given row (no shuffle-order dependence)
+and reproducible by an oracle doing the same left-to-right fold.
+
+Scale notes: brute force is a broadcast of one query vector and a
+single scan — perfectly parallel, no shuffle; top-k resolves with one
+``row_number`` over a global window of the k-filtered partial results
+(Spark optimizes via per-partition top-k before the final single
+partition). The IVF variant prunes the scan to the closest coarse
+buckets: at 1B vectors × 1k buckets you scan ~0.1% of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> F.Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_vec(col) -> F.Column:
+    """float32 arrays compute differently engine-to-engine — always
+    widen to double before arithmetic."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def similarity_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against a single query vector (a 1-row
+    DataFrame with the same vec layout, broadcast — no shuffle of the
+    vector table). Ties break on id ASC. Returns (rank, id, score)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    q = query.select(as_double_vec(F.col(vec_col)).alias("qv"))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "id", "score")
+    )
+
+
+def centroids(
+    vectors: DataFrame, bucket_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Per-bucket mean vector (the IVF coarse quantizer's codebook),
+    computed as dim per-position averages — one aggregation, no
+    Python. Used to pick which buckets a query must scan."""
+    v = vectors.select(
+        F.col(bucket_col).alias("bucket"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    aggs = [F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
+    per_pos = v.groupBy("bucket").agg(*aggs)
+    return per_pos.select(
+        "bucket", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
+    )
+
+
+def similarity_topk_ivf(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    dim: int,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: rank buckets by centroid
+    cosine, scan only the best ``n_probe`` buckets, then exact top-k
+    within them. The pruning is the 100 TB play; recall depends on
+    n_probe / bucket quality exactly as in FAISS-style IVF."""
+    cents = centroids(vectors, bucket_col, vec_col, dim)
+    q = query.select(as_double_vec(F.col(vec_col)).alias("qv"))
+    bucket_rank = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "bucket", cosine(F.col("centroid"), F.col("qv")).alias("bscore")
+        )
+        .withColumn(
+            "brank",
+            F.row_number().over(Window.orderBy(F.desc("bscore"), F.asc("bucket"))),
+        )
+        .filter(F.col("brank") <= n_probe)
+        .select("bucket")
+    )
+    pruned = vectors.join(
+        F.broadcast(bucket_rank),
+        vectors[bucket_col] == bucket_rank["bucket"],
+        "left_semi",
+    )
+    return similarity_topk(pruned, query, id_col, vec_col, k)

@@ -1,0 +1,141 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2.9 X4 + build-charter extensions).
+
+All pure Column expressions — tokenization, n-gram shingling,
+fingerprinting, quality scoring run JVM-side inside whole-stage
+codegen. No Python UDFs anywhere, which is what keeps a 100 TB text
+sweep from being 10-100× slower than the scan itself.
+
+Determinism: every function here is a pure function of the row, so
+results are partitioning-independent. Hashes use md5 (same algorithm
+in every engine) rather than Spark-internal xxhash/murmur so oracles
+can reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word-boundary tokenizer shared by all ops: lowercase, split on runs
+# of whitespace. (BPE-ish token counting uses TOKEN_REGEX instead.)
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+# BPE-ish lexical pattern: letter runs, digit runs, punctuation runs,
+# each optionally preceded by one space (RE2- and Java-compatible — no
+# lookarounds, so the same pattern runs in Spark and DuckDB oracles).
+TOKEN_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}\-]"
+
+
+def n_tokens(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def n_tokens_bpe(text: Column | str) -> Column:
+    """BPE-ish token count via regex lexing (proxy for tokenizer cost
+    estimation over a corpus)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars ÷ total chars."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return n_punct.cast("double") / F.length(c).cast("double")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Stopword tokens ÷ total tokens (counts occurrences, not
+    distinct — array_intersect would dedup, filter() doesn't)."""
+    toks = tokens(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return n_stop.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: length sweet-spot,
+    moderate stopword rate, low punctuation density — the standard
+    cheap pre-filter before expensive model-based scoring."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 2, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(c) * 4, F.lit(1.0))
+    return F.round(
+        len_score * 0.5 + stop_score * 0.3 + (1 - punct_penalty) * 0.2, 6
+    )
+
+
+# Language-ID marker words (per-language high-frequency function
+# words). A real system ships character-n-gram profiles; the heuristic
+# shape — score per language, argmax with deterministic tie-break —
+# is identical.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    toks = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax marker-hit count; ties and
+    zero-evidence → 'und' (undetermined). Deterministic: languages are
+    compared in a fixed order with strict-greater, so equal scores
+    resolve to the earlier key."""
+    scores = lang_scores(text)
+    items = list(scores.items())
+    best_lang = F.lit(items[0][0])
+    best_score = items[0][1]
+    for lang, s in items[1:]:
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(s, best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace runs, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Content fingerprint = md5 of the normalized text (md5 so any
+    engine can recompute it; reassignable to xxhash64 when
+    cross-engine parity doesn't matter and speed does)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set (the MinHash input). n=1
+    degenerates to the distinct token set."""
+    toks = tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    # guard: sequence(1, stop) DESCENDS when stop < 1 — short docs
+    # (< n tokens) must yield an empty shingle set, not garbage slices
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )).otherwise(F.array().cast("array<string>"))

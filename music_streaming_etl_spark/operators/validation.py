@@ -1,0 +1,107 @@
+"""Data-quality validation operators (SURVEY.md §2.5, V1–V6).
+
+The reference runs validation as two dedicated DAG tasks
+(``dags/music_streaming_etl_dags.py:364-380``): SQL COUNT/CASE
+aggregates pushed to Postgres (``:65-80``) and pandas checks on the
+extracted frames (``:124-169, 214-242``), raising on violation.
+
+Here each check is a *single aggregation action* on the DataFrame —
+one distributed pass, no collect of data rows, only the 1-row report
+crosses to the driver. ``validate()`` composes any number of checks
+into ONE jobs-worth of aggregates so a full validation suite costs a
+single scan even on 100 TB inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .joins import anti_join_orphans
+
+
+class ValidationError(ValueError):
+    """Raised when a validation predicate fails (mirrors the
+    reference's ``raise ValueError`` at :141-148,153-162,221-242)."""
+
+
+@dataclass
+class CheckResult:
+    name: str
+    passed: bool
+    details: dict = field(default_factory=dict)
+
+
+def check_nonempty(df: DataFrame, name: str = "nonempty") -> CheckResult:
+    """V1 — fail on zero rows (ref :152-154; SQL form :65-72)."""
+    n = df.count()
+    return CheckResult(name, n > 0, {"total_rows": n})
+
+
+def check_no_nulls(
+    df: DataFrame, cols: Sequence[str], name: str = "no_nulls"
+) -> CheckResult:
+    """V2 — all listed columns must be fully non-null, in ONE pass
+    (the reference's per-column ``COUNT(CASE WHEN col IS NULL…)``,
+    ref :65-80 / ``isnull().sum()`` :156-162)."""
+    row = df.agg(
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in cols]
+    ).collect()[0]
+    nulls = {c: row[c] for c in cols if row[c] > 0}
+    return CheckResult(name, not nulls, {"null_counts": nulls})
+
+
+def check_range(
+    df: DataFrame, col: str, lo, hi, name: str = "range"
+) -> CheckResult:
+    """V3 — every non-null value within [lo, hi] (ref :231-232)."""
+    bad = df.filter(~F.col(col).between(lo, hi)).count()
+    return CheckResult(name, bad == 0, {"out_of_range": bad})
+
+
+def check_types(df: DataFrame, casts: dict[str, str], name: str = "types") -> CheckResult:
+    """V4 — cast-as-assertion (pandas ``astype`` raises on unparseable,
+    ref :300-311): a value that try_casts to NULL while the source was
+    non-null is a type violation. (``try_cast``, not ``cast`` — under
+    ANSI mode, Spark 4's default, a plain cast throws mid-scan instead
+    of letting the check count violations.)"""
+    aggs = [
+        F.count(
+            F.when(F.col(c).isNotNull() & F.col(c).try_cast(t).isNull(), 1)
+        ).alias(c)
+        for c, t in casts.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {c: row[c] for c in casts if row[c] > 0}
+    return CheckResult(name, not bad, {"uncastable": bad})
+
+
+def check_record_count(
+    df: DataFrame, expected: int, name: str = "record_count"
+) -> CheckResult:
+    """V5 — expected-record-count verification (README.md:34)."""
+    n = df.count()
+    return CheckResult(name, n == expected, {"total_rows": n, "expected": expected})
+
+
+def check_referential(
+    fact: DataFrame, dim: DataFrame, key: str | list[str], name: str = "referential"
+) -> CheckResult:
+    """V6 — referential integrity via left-anti orphan count
+    (claimed README.md:33, unimplemented in the reference)."""
+    orphans = anti_join_orphans(fact, dim, key).count()
+    return CheckResult(name, orphans == 0, {"orphans": orphans})
+
+
+def validate(results: Sequence[CheckResult], raise_on_fail: bool = True) -> bool:
+    """Combine check results; raise ValidationError listing every
+    failure (the reference fails the task on first violation — we
+    report all of them at once)."""
+    failures = [r for r in results if not r.passed]
+    if failures and raise_on_fail:
+        msg = "; ".join(f"{r.name}: {r.details}" for r in failures)
+        raise ValidationError(f"validation failed — {msg}")
+    return not failures

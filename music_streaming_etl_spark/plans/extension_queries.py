@@ -1,0 +1,387 @@
+"""Extension-op query surface (SURVEY.md §2.9 / build charter): the
+LLM-training-data-pipeline operators over ``documents`` and
+``embeddings``, each with a DuckDB oracle that recomputes the SAME
+algorithm (md5-based hashing and explicit folds make that possible).
+
+Thresholds are calibrated to the synthetic corpus (31-word vocab,
+one genuine 3-gram near-dup pair, random unit-ish embeddings) so every
+query returns meaningful rows at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    dedup_exact,
+    dedup_minhash_pairs,
+    embedding_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from ..operators.multimodal import attach_media, extract_features, parse_props
+from ..operators.similarity import similarity_topk, similarity_topk_ivf
+from ..operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    doc_fingerprint,
+    lang_id,
+    n_tokens,
+    n_tokens_bpe,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+)
+
+# Shared DuckDB fragments -------------------------------------------------
+
+SQL_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+SQL_SHINGLES1 = f"list_distinct({SQL_TOKS})"
+# word 3-grams: positions 1..len-2, each joined with spaces
+SQL_SHINGLES3 = (
+    f"CASE WHEN len({SQL_TOKS}) >= 3 THEN "
+    f"list_distinct(list_transform(range(1, len({SQL_TOKS}) - 1), "
+    f"i -> array_to_string(list_slice({SQL_TOKS}, i, i + 2), ' '))) "
+    f"ELSE [] END"
+)
+SQL_NORMTEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .testdata_queries import _t as base_t
+
+    return base_t(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (X4)
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        n_tokens("text").cast("bigint").alias("n_tokens"),
+        n_tokens_bpe("text").cast("bigint").alias("n_tokens_bpe"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        quality_score("text").alias("quality_score"),
+    )
+
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_tokens_bpe,
+  ROUND(CAST(len(list_filter({SQL_TOKS}, t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
+        / CAST(len({SQL_TOKS}) AS DOUBLE), 6) AS stopword_ratio,
+  ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+  ROUND(
+    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
+    + least(2 * CAST(len(list_filter({SQL_TOKS}, t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
+            / CAST(len({SQL_TOKS}) AS DOUBLE), 1.0) * 0.3
+    + (1 - least(4 * CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6) AS quality_score
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("predicted_lang"))
+
+
+def _marker_score(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter({SQL_TOKS}, t -> list_contains({lst}, t)))"
+
+
+ORACLE_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_marker_score('en')} AS s_en, {_marker_score('de')} AS s_de,
+         {_marker_score('es')} AS s_es, {_marker_score('fr')} AS s_fr
+  FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+       WHEN s_es > greatest(s_en, s_de) THEN 'es'
+       WHEN s_de > s_en THEN 'de'
+       ELSE 'en' END AS predicted_lang
+FROM s
+"""
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Dedup (X1/X2)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup demonstrated on a constructed duplicate set: the
+    corpus unioned with an id-shifted copy of itself; dedup must keep
+    exactly the original (min doc_id) rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    both = docs.unionByName(dup)
+    return dedup_exact(both, "text", "doc_id", ["lang", "source"])
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH unioned AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source FROM documents
+)
+SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+       arg_min(source, doc_id) AS source
+FROM unioned GROUP BY md5({SQL_NORMTEXT})
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands) near-dup pairs over 3-gram
+    shingles, verified with exact Jaccard ≥ 0.8."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_minhash_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=16, num_bands=4, shingle_n=3
+    )
+
+
+def _oracle_minhash() -> str:
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, array_to_string(list_slice(sig, {b*4+1}, {b*4+4}), '#') AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {SQL_SHINGLES3} AS sh FROM documents
+), sigs AS (
+  SELECT doc_id, sh,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6) AS jaccard_sim
+FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5, blocked by source (the honest
+    O(block²) baseline MinHash approximates)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3, block_col="source"
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT doc_id, source, {SQL_SHINGLES3} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard_sim
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+"""
+
+SQL_TOKHASH = "CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)"
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("fp"))
+
+
+def _oracle_simhash_fp() -> str:
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x & (CAST(1 AS BIGINT) << {j})) > 0 THEN 1 ELSE -1 END)) > 0"
+        f" THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+        for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({SQL_TOKS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, list_transform(t, t -> {SQL_TOKHASH}) AS hs FROM toks
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS fp FROM h
+"""
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 4), blocked by lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=4, block_col="lang")
+
+
+def _oracle_simhash_pairs() -> str:
+    fp = _oracle_simhash_fp().replace("FROM documents", "FROM documents", 1)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_distinct({SQL_TOKS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, lang, list_transform(t, t -> {SQL_TOKHASH}) AS hs FROM toks
+), fps AS (
+  SELECT doc_id, lang, CAST({" + ".join(
+    f"CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x & (CAST(1 AS BIGINT) << {j})) > 0 THEN 1 ELSE -1 END)) > 0"
+    f" THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END" for j in range(32)
+  )} AS BIGINT) AS fp FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 4
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label buckets (IVF-style
+    coarse prefilter). Threshold 0.35 calibrated to the synthetic
+    random embeddings (max within-label cosine ≈ 0.47)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, bucket_col="label"
+    )
+
+
+ORACLE_EMB_NEARDUP = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (X3)
+# --------------------------------------------------------------------------
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = similarity_topk(emb, query, "vec_id", "embedding", k=10)
+    return out.select("rank", F.col("id").alias("vec_id"), "score")
+
+
+ORACLE_SIM_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS score
+  FROM v, q)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, score
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (labels as coarse buckets, n_probe=3): approx
+    variant — rows-only check (recall vs exact is validated in
+    tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = similarity_topk_ivf(
+        emb, query, "vec_id", "embedding", bucket_col="label", dim=64, k=10, n_probe=3
+    )
+    return out.select("rank", F.col("id").alias("vec_id"), "score")
+
+
+# --------------------------------------------------------------------------
+# Multimodal (X5)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_props(ev, "props", {"k": "bigint"})
+    return parsed.select("event_id", F.col("k").alias("prop_k"), "value")
+
+
+ORACLE_PROPS = (
+    "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k, value FROM events"
+)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing end-to-end: text → binary payload +
+    typed metadata struct → Arrow-batched mapInPandas feature
+    extraction (deterministic fake decoder). Oracle checks the
+    engine-recomputable slice (byte counts + modality)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", "doc_id")
+    feats = extract_features(media, decoder="fake")
+    return feats.select("doc_id", "modality", "n_bytes")
+
+
+ORACLE_MM_FEATURES = """
+SELECT doc_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+REGISTRY_EXT: dict = {
+    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "lang_distribution": (
+        q_lang_distribution,
+        "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars"
+        " FROM documents GROUP BY 1",
+    ),
+    "doc_fingerprint": (
+        q_doc_fingerprint,
+        f"SELECT doc_id, md5({SQL_NORMTEXT}) AS fingerprint FROM documents",
+    ),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, _oracle_minhash()),
+    "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "simhash_fingerprint": (q_simhash_fingerprint, _oracle_simhash_fp()),
+    "simhash_neardup": (q_simhash_neardup, _oracle_simhash_pairs()),
+    "embedding_neardup": (q_embedding_neardup, ORACLE_EMB_NEARDUP),
+    "similarity_topk": (q_similarity_topk, ORACLE_SIM_TOPK),
+    "similarity_topk_ivf": (q_similarity_topk_ivf, None),  # approx → rows-only
+    "multimodal_props": (q_multimodal_props, ORACLE_PROPS),
+    "multimodal_features": (q_multimodal_features, ORACLE_MM_FEATURES),
+}

@@ -37,6 +37,7 @@ from ..operators.aggregates import (
     agg_count_distinct,
     agg_diversity_ratio,
     agg_mode,
+    agg_with_mode_fused,
     drop_null_group_keys,
     topk_by_freq_ranked,
 )
@@ -117,13 +118,28 @@ def q_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["genre"],
     )
-    keys = ["genre", "stat_date"]
-    agg = base.groupBy(*keys).agg(
-        F.count("l_partkey").alias("listen_count"),
-        dec_avg(F.col("l_extendedprice"), "avg_track_duration"),
+    # Fused single-shuffle plan: partial count/sum per (genre, date,
+    # segment), then a tiny re-combine that also extracts the mode —
+    # one pass over the fact instead of the pandas-shaped two.
+    fused = agg_with_mode_fused(
+        base,
+        ["genre", "stat_date"],
+        "c_mktsegment",
+        partials=[
+            F.count("l_partkey").alias("__cnt_pk"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("__sum_px"),
+            F.count("l_extendedprice").alias("__cnt_px"),
+        ],
+        finals=[
+            F.sum("__cnt_pk").alias("listen_count"),
+            (
+                F.sum("__sum_px").cast("double")
+                / F.sum("__cnt_px").cast("double")
+            ).alias("avg_track_duration"),
+        ],
+        mode_alias="most_popular_track",
     )
-    mode = agg_mode(base, keys, "c_mktsegment", "most_popular_track")
-    return agg.join(mode, keys, "left").select(
+    return fused.select(
         "genre", "stat_date", "listen_count", "avg_track_duration", "most_popular_track"
     )
 
@@ -684,3 +700,14 @@ REGISTRY: dict = {
     "tpch_q1_pricing": (q_tpch_q1_pricing, ORACLE_TPCH_Q1),
     "top_revenue_customers": (q_top_revenue_customers, ORACLE_TOP_REVENUE),
 }
+
+
+def _merge_extensions() -> None:
+    """Extension ops (documents/embeddings) live in their own module;
+    merged here so __spark_entry__ exposes one registry."""
+    from .extension_queries import REGISTRY_EXT
+
+    REGISTRY.update(REGISTRY_EXT)
+
+
+_merge_extensions()

@@ -1,0 +1,153 @@
+"""Source/sink operators (SURVEY.md §2.1, S1–S8).
+
+The reference's I/O surface: full-table JDBC SELECTs from Postgres
+(``dags/music_streaming_etl_dags.py:55-63,96-100``), multi-object S3
+CSV reads with a concat loop (``:105-121``), /tmp CSV handoffs between
+Airflow tasks (``:42-46``), an S3 upload (``:317-329``) and a Redshift
+COPY (``:83-92,382-410``). In Spark the handoffs disappear — one lazy
+plan — and each endpoint becomes a DataFrameReader/Writer:
+
+- multi-path CSV read subsumes the download-and-concat loop (S2);
+- a CSV write IS the S3 upload when the path is ``s3a://`` (S5);
+- COPY options map to writer options (S6): BLANKSASNULL/EMPTYASNULL →
+  ``nullValue``/``emptyValue``, MAXERROR 0 → default fail-fast,
+  IGNOREHEADER 1 → ``header``.
+
+JDBC helpers are import-gated: no Postgres driver ships in this
+container, so they build the reader/writer config but only execute
+when a driver jar is present.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def scan_csv_multi(
+    spark: SparkSession,
+    paths: Sequence[str] | str,
+    schema: T.StructType,
+    timestamp_format: str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S2 — read N CSV files/dirs as one DataFrame with a declared
+    schema (never inferred — the reference re-infers at every hop,
+    ref :118,152,174-176). Multi-path replaces the reference's
+    per-object download + ``pd.concat`` loop (:114-120)."""
+    reader = spark.read.option("header", header).schema(schema)
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    if isinstance(paths, str):
+        paths = [paths]
+    return reader.csv(list(paths))
+
+
+def sink_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    timestamp_format: str | None = None,
+    single_file: bool = False,
+    null_value: str | None = None,
+    empty_value: str | None = None,
+) -> None:
+    """S4/S5/S6-options — headered CSV write (ref :101-102,210-211).
+
+    ``single_file=True`` coalesces to one partition to mirror the
+    reference's one-file-per-table layout — correctness/compat mode
+    only. The default writes one file per partition (the scale path:
+    parallel writers, no driver bottleneck). ``null_value`` /
+    ``empty_value`` mirror Redshift COPY's BLANKSASNULL/EMPTYASNULL
+    (ref :89-90)."""
+    out = df.coalesce(1) if single_file else df
+    w = out.write.mode(mode).option("header", True)
+    if timestamp_format:
+        w = w.option("timestampFormat", timestamp_format)
+    if null_value is not None:
+        w = w.option("nullValue", null_value)
+    if empty_value is not None:
+        w = w.option("emptyValue", empty_value)
+    w.csv(path)
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3-analog — columnar scan; Catalyst pushes filters/projections
+    into the footer-driven reader (check PushedFilters in explain)."""
+    return spark.read.parquet(path)
+
+
+def sink_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    return df.write.mode(mode).parquet(path)
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+):
+    """S1 — full-table JDBC SELECT (ref :55-63,96-100: ``SELECT *
+    FROM users/songs`` via PostgresHook → pandas).
+
+    Returns a configured DataFrameReader; ``.load()`` executes when a
+    JDBC driver is on the classpath. Partitioned reads (column +
+    bounds) replace the reference's single-connection full scan — N
+    parallel range queries, the only way a 1000-executor cluster can
+    pull a big table without serializing through one socket."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+    batch_size: int = 50_000,
+):
+    """S6/S8 — JDBC sink. ``batchsize`` mirrors the reference's
+    bulk-load chunking (CHUNK_SIZE = 50_000,
+    ``sql/load_data_into_rds.ipynb`` cell-4); Spark parallelizes the
+    chunks across partitions instead of looping in one process.
+    Returns the configured writer; ``.save()`` executes with a driver
+    jar present."""
+    w = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        w = w.option(k, v)
+    return w
+
+
+def ddl_recreate(
+    spark: SparkSession, df: DataFrame, table: str, partition_by: Sequence[str] = ()
+) -> None:
+    """S7 — the reference's full-refresh load strategy (DROP + CREATE +
+    COPY, ref :245-289) as an atomic ``overwrite`` saveAsTable."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.saveAsTable(table)

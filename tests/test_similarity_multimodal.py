@@ -1,0 +1,81 @@
+"""Tests for vector similarity (exact + IVF recall) and multimodal
+plumbing (mapInPandas feature extraction, stub decoder gating)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    parse_props,
+)
+from music_streaming_etl_spark.operators.similarity import (
+    similarity_topk,
+    similarity_topk_ivf,
+)
+
+
+def test_similarity_topk_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    out = similarity_topk(df, q, "vec_id", "embedding", k=3).collect()
+    assert [r["id"] for r in out] == [0, 1, 2]
+    assert out[0]["score"] == 1.0
+
+
+def test_similarity_ivf_recall_on_testdata(spark, sf_dir):
+    """IVF with n_probe=all buckets must equal exact brute force."""
+    from music_streaming_etl_spark.plans.testdata_queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = similarity_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    ivf_all = similarity_topk_ivf(
+        emb, q, "vec_id", "embedding", "label", dim=64, k=5, n_probe=10
+    ).collect()
+    assert [r["id"] for r in exact] == [r["id"] for r in ivf_all]
+
+
+def test_multimodal_features_roundtrip(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    media = attach_media(df, "text", "doc_id")
+    feats = {r["doc_id"]: r for r in extract_features(media, "fake").collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["checksum"] == (ord("a") + ord("b") + ord("c")) % 997
+    assert feats[1]["features"][2] == float(ord("a"))
+    assert feats[2]["n_bytes"] == 0
+    assert feats[1]["modality"] == "image"
+
+
+def test_multimodal_real_decoder_raises(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    media = attach_media(df, "text", "doc_id")
+    with pytest.raises(Exception) as ei:
+        extract_features(media, "real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_parse_props_types(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 87, "tag": "x"}'), (2, None), (3, "not json")],
+        "event_id long, props string",
+    )
+    out = {
+        r["event_id"]: (r["k"], r["tag"])
+        for r in parse_props(df, "props", {"k": "bigint", "tag": "string"}).collect()
+    }
+    assert out[1] == (87, "x")
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)

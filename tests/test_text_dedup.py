@@ -1,0 +1,121 @@
+"""Unit tests for text-analysis + dedup operators on literal frames —
+pins behavior the oracle harness can't see (true near-dups, exact
+duplicates, short-doc edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_pairs,
+    embedding_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from music_streaming_etl_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    n_tokens,
+    n_tokens_bpe,
+    shingles,
+)
+
+
+def test_dedup_exact_keeps_first_and_normalizes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World", "a"),
+            (2, "hello world", "b"),  # dup after normalization
+            (3, "something else", "c"),
+        ],
+        "doc_id long, text string, src string",
+    )
+    out = dedup_exact(df, "text", "doc_id", ["src"]).collect()
+    assert sorted((r["doc_id"], r["src"]) for r in out) == [(1, "a"), (3, "c")]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(shingles("text", 3).alias("sh")).collect()
+    assert out[0]["sh"] == []
+    assert out[1]["sh"] == ["a b c", "b c d"]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words about spark catalyst tungsten shuffles"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup_minhash_pairs(
+        df, "doc_id", "text", threshold=0.5, num_hashes=16, num_bands=4, shingle_n=3
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard_sim"] > 0.5
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e", "s"), (2, "a b c d e", "s"), (3, "x y z w v", "s")],
+        "doc_id long, text string, source string",
+    )
+    pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.99, shingle_n=3, block_col="source"
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "same words here", "g"), (2, "same words here", "g"),
+         (3, "utterly different tokens entirely", "g")],
+        "doc_id long, text string, lang string",
+    )
+    pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=0, block_col="lang")
+    got = [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()]
+    assert got == [(1, 2, 0)]
+
+
+def test_embedding_neardup_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.001], 0), (3, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, bucket_col="label"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist das"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["p"] for r in df.select("doc_id", lang_id("text").alias("p")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello world, 42 times!",)], "text string")
+    row = df.select(
+        n_tokens("text").alias("ws"), n_tokens_bpe("text").alias("bpe")
+    ).collect()[0]
+    assert row["ws"] == 4
+    # BPE-ish lexing: "Hello" " world" "," " 42" " times" "!"
+    assert row["bpe"] == 6
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "A  B\tC"), (2, "a b c")], "id long, text string"
+    )
+    fps = [r["fp"] for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]

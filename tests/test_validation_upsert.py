@@ -1,0 +1,81 @@
+"""Tests for validation operators (V1–V6) and the staging-table
+upsert (the reference spec's unimplemented MERGE deliverable)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.operators.validation import (
+    ValidationError,
+    check_no_nulls,
+    check_nonempty,
+    check_range,
+    check_record_count,
+    check_referential,
+    check_types,
+    validate,
+)
+from music_streaming_etl_spark.sources.upsert import merge_upsert, upsert_parquet
+
+
+def test_checks_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, 30)], "id long, s string, h int"
+    )
+    assert check_nonempty(df).passed
+    assert not check_nonempty(df.filter("id < 0")).passed
+    assert check_no_nulls(df, ["id"]).passed
+    r = check_no_nulls(df, ["s"])
+    assert not r.passed and r.details["null_counts"] == {"s": 1}
+    assert check_range(df, "h", 0, 23).passed is False  # 30 out of range
+    assert check_range(df.filter("h <= 23"), "h", 0, 23).passed
+    assert check_record_count(df, 2).passed
+
+
+def test_check_types_cast_assertion(spark):
+    df = spark.createDataFrame([("12",), ("x",)], "v string")
+    r = check_types(df, {"v": "int"})
+    assert not r.passed and r.details["uncastable"] == {"v": 1}
+    assert check_types(df.filter("v = '12'"), {"v": "int"}).passed
+
+
+def test_check_referential_orphans(spark):
+    fact = spark.createDataFrame([(1,), (2,), (99,)], "k long")
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    r = check_referential(fact, dim, "k")
+    assert not r.passed and r.details["orphans"] == 1
+
+
+def test_validate_raises_with_all_failures(spark):
+    df = spark.createDataFrame([(None,)], "x string")
+    results = [check_no_nulls(df, ["x"]), check_nonempty(df)]
+    with pytest.raises(ValidationError, match="no_nulls"):
+        validate(results)
+    assert validate(results, raise_on_fail=False) is False
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "old", 10), (2, "keep", 20)], "k long, v string, ver int"
+    )
+    staging = spark.createDataFrame(
+        [(1, "new", 11), (3, "ins", 1), (3, "ins_newer", 2)],
+        "k long, v string, ver int",
+    )
+    out = merge_upsert(target, staging, ["k"], order_by=["ver"]).collect()
+    got = {r["k"]: (r["v"], r["ver"]) for r in out}
+    # staging replaces key 1; target key 2 survives; staging-internal
+    # dup of key 3 resolves to highest ver
+    assert got == {1: ("new", 11), 2: ("keep", 20), 3: ("ins_newer", 2)}
+
+
+def test_upsert_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    s1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k long, v string, ver int")
+    out1 = upsert_parquet(spark, s1, path, ["k"], ["ver"])
+    assert out1.count() == 2
+    s2 = spark.createDataFrame([(2, "b2", 2), (3, "c", 1)], "k long, v string, ver int")
+    out2 = upsert_parquet(spark, s2, path, ["k"], ["ver"])
+    got = {r["k"]: r["v"] for r in out2.collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
