@@ -45,18 +45,29 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial plan (not timed)
     force(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
+    # Two iterations per query: iteration 1 pays Catalyst planning +
+    # whole-stage-codegen compilation (JVM JIT), iteration 2 is the
+    # steady-state cost a recurring pipeline actually pays. Report the
+    # min as the headline, keep cold times for transparency.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            runs.append(round(time.time() - t0, 3))
+        cold[name] = runs[0]
+        timings[name] = min(runs)
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

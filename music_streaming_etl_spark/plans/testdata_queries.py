@@ -354,6 +354,32 @@ WHERE NOT EXISTS (
 """
 
 
+def q_semi_join_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-companion of the orphan finder: orders whose customer IS
+    in the BUILDING segment, without materializing dim columns."""
+    from ..operators.joins import semi_join_matched
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return semi_join_matched(orders, cust, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # Standalone aggregation ops (A1–A6)
 # --------------------------------------------------------------------------
@@ -430,6 +456,45 @@ def q_check_no_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in cols
         ]
     )
+
+
+def q_check_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 — cast-as-assertion report: non-null values that fail a
+    try_cast are type violations (pandas astype raises, ref :300-311).
+    props is JSON (never castable to bigint) → all rows violate;
+    event_type castable count is 0 violations... both counted."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(
+            F.when(
+                F.col("props").isNotNull() & F.col("props").try_cast("bigint").isNull(),
+                1,
+            )
+        ).alias("uncastable_props"),
+        F.count(
+            F.when(
+                F.col("value").isNotNull()
+                & F.col("value").try_cast("string").isNull(),
+                1,
+            )
+        ).alias("uncastable_value"),
+    )
+
+
+ORACLE_CHECK_TYPES = """
+SELECT COUNT(CASE WHEN props IS NOT NULL AND TRY_CAST(props AS BIGINT) IS NULL THEN 1 END) AS uncastable_props,
+       COUNT(CASE WHEN value IS NOT NULL AND TRY_CAST(value AS VARCHAR) IS NULL THEN 1 END) AS uncastable_value
+FROM events
+"""
+
+
+def q_ddl_recreate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — full-refresh load strategy (DROP+CREATE+COPY, ref
+    :245-289) as an overwrite saveAsTable, read back from the
+    catalog."""
+    agg = q_agg_count(spark, sf_dir)
+    agg.write.mode("overwrite").saveAsTable("kpi_full_refresh")
+    return spark.table("kpi_full_refresh")
 
 
 def q_check_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,6 +722,12 @@ REGISTRY: dict = {
     ),
     "left_join_equi": (q_left_join_equi, ORACLE_LEFT_JOIN),
     "anti_join_orphans": (q_anti_join_orphans, ORACLE_ANTI_JOIN),
+    "semi_join_matched": (q_semi_join_matched, ORACLE_SEMI_JOIN),
+    "check_types": (q_check_types, ORACLE_CHECK_TYPES),
+    "ddl_recreate": (
+        q_ddl_recreate,
+        "SELECT l_returnflag, COUNT(l_partkey) AS listen_count FROM lineitem GROUP BY 1",
+    ),
     "agg_count": (
         q_agg_count,
         "SELECT l_returnflag, COUNT(l_partkey) AS listen_count FROM lineitem GROUP BY 1",

@@ -1,0 +1,65 @@
+"""Streaming KPI pipeline test: drop CSV batches into a directory,
+drain with availableNow, assert windowed KPIs land in the upsert
+target — including a late-data second batch that must *replace* the
+affected window rows, not duplicate them."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.streaming.kpis import start_kpi_stream
+
+
+def _write_csv(spark, rows, path):
+    df = spark.createDataFrame(
+        rows, "user_id int, track_id string, listen_time timestamp"
+    )
+    df.coalesce(1).write.mode("append").option("header", True).csv(path)
+
+
+@pytest.fixture()
+def songs(spark):
+    return spark.createDataFrame(
+        [("t1", "rock", 100), ("t2", "jazz", 200)],
+        "track_id string, track_genre string, duration_ms int",
+    )
+
+
+def test_streaming_windowed_upsert(spark, songs, tmp_path):
+    stream_dir = str(tmp_path / "in")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = dt.datetime(2024, 6, 25, 10, 15)
+
+    _write_csv(
+        spark,
+        [(1, "t1", t), (2, "t1", t.replace(minute=40)), (1, "t2", t.replace(hour=11))],
+        stream_dir,
+    )
+    q = start_kpi_stream(spark, stream_dir, songs, target, ckpt)
+    q.awaitTermination(120)
+
+    out = {
+        (r["hour"], r["track_genre"]): r
+        for r in spark.read.parquet(target).collect()
+    }
+    assert out[(10, "rock")]["listen_count"] == 2
+    assert out[(11, "jazz")]["listen_count"] == 1
+    assert out[(10, "rock")]["date"] == dt.date(2024, 6, 25)
+
+    # late batch into the 10:00 window → window re-emitted, upsert
+    # must REPLACE the (window, genre) row
+    _write_csv(spark, [(3, "t1", t.replace(minute=50))], stream_dir)
+    q2 = start_kpi_stream(spark, stream_dir, songs, target, ckpt)
+    q2.awaitTermination(120)
+
+    out2 = {
+        (r["hour"], r["track_genre"]): r
+        for r in spark.read.parquet(target).collect()
+    }
+    assert out2[(10, "rock")]["listen_count"] == 3
+    assert out2[(10, "rock")]["unique_listeners"] == 3
+    assert len([k for k in out2 if k[1] == "rock" and k[0] == 10]) == 1
