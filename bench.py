@@ -30,6 +30,11 @@ HEADLINE = [
     "tpch_q1_pricing",
     "top_revenue_customers",
     "scan_csv_multi",
+    "tpch_q3_shipping",
+    "revenue_by_region",
+    "sessionize_events",
+    "dedup_exact",
+    "similarity_topk",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Deeper analytic query surface: multi-hop star joins, window
+functions, rollup/pivot, sessionization. These go beyond the
+reference's two-join/two-agg core to prove the engine handles the
+query shapes a production deployment of it would grow into — each
+still DuckDB-oracle-checked with the same determinism rules
+(decimal-exact sums, total-order windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .testdata_queries import _t, dec_sum
+
+
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 unshipped orders by revenue for one
+    segment — selective dim filter driving a fact join, then a
+    bounded top-k with a total order."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1995-03-15")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+    )
+    agg = joined.groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date")).agg(
+        dec_sum(rev, "revenue", scale=4)
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "o_orderkey", "order_date", "revenue")
+    )
+
+
+ORACLE_Q3 = """
+WITH agg AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+    AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    AND EXISTS (SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+  GROUP BY 1, 2
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS BIGINT) AS rank,
+       o_orderkey, order_date, revenue
+FROM agg QUALIFY rank <= 10
+"""
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join lineitem→orders→customer→nation→region —
+    the deepest join chain in the suite; every dim broadcasts, the
+    fact never shuffles until the final 5-group aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy(F.col("r_name").alias("region")).agg(
+        dec_sum(rev, "revenue", scale=4),
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+ORACLE_REVENUE_REGION = """
+SELECT r.r_name AS region,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over their order history — frame
+    ordered by (date, orderkey) so running values are a total order
+    (date ties alone would be nondeterministic)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+FROM orders
+"""
+
+
+def q_rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, status): per-combination, per-priority
+    subtotal, and grand-total rows in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority (fixed value list
+    — required for a deterministic schema, and the only sane form at
+    scale: an unbounded pivot is a schema explosion)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       COALESCE(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_open,
+       COALESCE(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_filled,
+       COALESCE(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_pending
+FROM orders GROUP BY 1
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity boundary) via
+    lag + cumulative sum — the batch twin of a streaming session
+    window. Total order inside each user: (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long"), 1).over(w)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    sessions = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )
+    return sessions.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                   - lag(epoch(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM s GROUP BY 1
+"""
+
+
+REGISTRY_ANALYTICS: dict = {
+    "tpch_q3_shipping": (q_tpch_q3_shipping, ORACLE_Q3),
+    "revenue_by_region": (q_revenue_by_region, ORACLE_REVENUE_REGION),
+    "window_running_total": (q_window_running_total, ORACLE_RUNNING_TOTAL),
+    "rollup_priority_status": (q_rollup_priority_status, ORACLE_ROLLUP),
+    "pivot_status_by_priority": (q_pivot_status_by_priority, ORACLE_PIVOT),
+    "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
+}

@@ -491,7 +491,16 @@ FROM events
 def q_ddl_recreate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 — full-refresh load strategy (DROP+CREATE+COPY, ref
     :245-289) as an overwrite saveAsTable, read back from the
-    catalog."""
+    catalog. The explicit DROP + leftover-location cleanup mirrors the
+    reference's ``DROP TABLE IF EXISTS`` and survives a fresh session
+    whose in-memory catalog forgot the table but whose warehouse dir
+    still holds the files."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS kpi_full_refresh")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), "kpi_full_refresh")
+    shutil.rmtree(loc, ignore_errors=True)
     agg = q_agg_count(spark, sf_dir)
     agg.write.mode("overwrite").saveAsTable("kpi_full_refresh")
     return spark.table("kpi_full_refresh")
@@ -774,11 +783,13 @@ REGISTRY: dict = {
 
 
 def _merge_extensions() -> None:
-    """Extension ops (documents/embeddings) live in their own module;
+    """Extension + deeper-analytics ops live in their own modules;
     merged here so __spark_entry__ exposes one registry."""
+    from .analytics_queries import REGISTRY_ANALYTICS
     from .extension_queries import REGISTRY_EXT
 
     REGISTRY.update(REGISTRY_EXT)
+    REGISTRY.update(REGISTRY_ANALYTICS)
 
 
 _merge_extensions()
