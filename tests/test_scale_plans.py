@@ -1,0 +1,102 @@
+"""Plan-shape tests: assert the *physical plan* properties the 100 TB
+design depends on — broadcast joins where dims are small, zero
+exchanges for bucketed joins, partition pruning on partitioned sinks,
+filter/projection pushdown into parquet scans, and salted aggregation
+equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.operators.skew import (
+    bucketed_table,
+    join_bucketed,
+    salted_count,
+)
+from music_streaming_etl_spark.plans.testdata_queries import _t
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    from music_streaming_etl_spark.plans.testdata_queries import q_left_join_equi
+
+    plan = _plan(q_left_join_equi(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_pushdown(spark, sf_dir):
+    from music_streaming_etl_spark.plans.testdata_queries import (
+        q_scan_parquet_pushdown,
+    )
+
+    df = q_scan_parquet_pushdown(spark, sf_dir)
+    plan = _optimized(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in plan
+    # projection pruned to exactly the 4 selected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double,l_discount:double>" in plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    bl = bucketed_table(spark, li, "t_li_bucketed", "l_orderkey")
+    bo = bucketed_table(spark, orders, "t_ord_bucketed", "l_orderkey")
+    # disable broadcast so the join must pick sort-merge on bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = join_bucketed(bl, bo, "l_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "part_orders")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "prio", F.col("o_orderpriority")
+    )
+    orders.write.mode("overwrite").partitionBy("prio").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("prio") == "1-URGENT")
+    plan = _optimized(back)
+    assert "PartitionFilters: [isnotnull(prio" in plan
+    n_urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == n_urgent
+
+
+def test_salted_count_equivalence(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count("l_partkey").alias("n")).collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["n"]
+        for r in salted_count(li, ["l_returnflag"], "l_partkey", "n").collect()
+    }
+    assert plain == salted
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    from music_streaming_etl_spark.plans.testdata_queries import q_tpch_q1_pricing
+
+    df = q_tpch_q1_pricing(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(df)
+    # '*(N)' prefixes mark whole-stage-codegen'd operators; both agg
+    # phases must be inside codegen stages
+    assert "*(1) HashAggregate" in plan
+    assert "*(2) HashAggregate" in plan
+    assert "isFinalPlan=true" in plan
