@@ -50,20 +50,34 @@ def dedup_exact(
     )
 
 
-def minhash_signature(text_col, num_hashes: int = 16, shingle_n: int = 1) -> F.Column:
-    """MinHash signature as ``array<string>``: element *i* is
-    ``min(md5(i || '|' || shingle))`` over the doc's shingle set.
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
 
-    String-min over md5 hex is a valid uniform min-hash (md5 is
-    uniform on hex strings) and — unlike Spark's xxhash64 — any
-    engine can recompute it for verification.
-    """
-    sh = shingles(text_col, shingle_n)
+
+def shingle_hashes(sh_col) -> F.Column:
+    """One 60-bit md5-derived hash per shingle, reduced mod P. md5
+    (not xxhash64/murmur) so any engine reproduces it; computed ONCE
+    per shingle — the per-permutation values below are cheap linear
+    maps of this array."""
+    return F.transform(
+        sh_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+
+
+def minhash_signature_from_hashes(hash_col, num_hashes: int = 16) -> F.Column:
+    """MinHash signature as ``array<long>``: element *i* is
+    ``min((aᵢ·h + bᵢ) mod P)`` over the shingle hashes — the classic
+    universal-hash permutation family with fixed odd multipliers, so
+    one md5 per shingle serves all permutations (16× fewer digest
+    calls than hashing per-permutation)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(
-                sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+                hash_col,
+                lambda h: ((2 * i + 1) * h + (1_000_003 * i + 12_345))
+                % F.lit(MINHASH_P),
             )
         ),
     )
@@ -110,10 +124,19 @@ def dedup_minhash_pairs(
     Returns (id_a, id_b, jaccard_sim), id_a < id_b.
     """
     rows_per_band = num_hashes // num_bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, shingle_n).alias("sh"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+    # staged withColumns so each array is materialized once per row —
+    # inlining them would re-run the md5s per downstream reference
+    # cache(): this frame feeds four consumers (both sides of the
+    # band self-join and both sides of the verify join) — without it
+    # the shingle+digest computation runs 4×. Materializing signatures
+    # is also the production pattern at scale (they're reused across
+    # incremental dedup runs).
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+        .withColumn("__hs", shingle_hashes(F.col("sh")))
+        .withColumn("sig", minhash_signature_from_hashes(F.col("__hs"), num_hashes))
+        .select("id", "sh", "sig")
+        .cache()
     )
     bands = sh.select(
         "id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("bk")

@@ -179,11 +179,15 @@ def _oracle_minhash() -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id, {SQL_SHINGLES3} AS sh FROM documents
+), hs AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h
+  FROM sh
 ), sigs AS (
   SELECT doc_id, sh,
          list_transform(range(0, 16),
-           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
-  FROM sh
+           i -> list_min(list_transform(h, x -> ((2*i + 1) * x + (1000003*i + 12345)) % 2147483647))) AS sig
+  FROM hs
 ), bands AS (
 {band_selects}
 ), cand AS (
