@@ -226,7 +226,76 @@ FROM s GROUP BY 1
 """
 
 
+def q_genre_kpis_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship genre_kpis expressed through the SQL API instead
+    of the DataFrame API — Catalyst plans both identically; this entry
+    proves the SQL surface end-to-end (temp views + spark.sql)."""
+    for name in ("lineitem", "orders", "customer"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        """
+        WITH merged AS (
+          SELECT o.o_orderpriority AS genre,
+                 to_date(l.l_shipdate) AS stat_date,
+                 l.l_partkey, l.l_extendedprice, c.c_mktsegment
+          FROM v_lineitem l
+          LEFT JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+          LEFT JOIN v_customer c ON o.o_custkey = c.c_custkey
+        ), base AS (
+          SELECT * FROM merged WHERE genre IS NOT NULL
+        ), lvl1 AS (
+          SELECT genre, stat_date, c_mktsegment,
+                 COUNT(1) AS grp_cnt,
+                 COUNT(l_partkey) AS cnt_pk,
+                 SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS sum_px,
+                 COUNT(l_extendedprice) AS cnt_px
+          FROM base GROUP BY genre, stat_date, c_mktsegment
+        )
+        SELECT genre, stat_date,
+               SUM(cnt_pk) AS listen_count,
+               CAST(SUM(sum_px) AS DOUBLE) / CAST(SUM(cnt_px) AS DOUBLE)
+                 AS avg_track_duration,
+               MIN(CASE WHEN c_mktsegment IS NOT NULL
+                        THEN struct(-grp_cnt, c_mktsegment) END).c_mktsegment
+                 AS most_popular_track
+        FROM lvl1 GROUP BY genre, stat_date
+        """
+    )
+
+
+def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (superset of the reference's flat group-bys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(F.col("l_quantity"), "total_qty"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 scale-path variant: HyperLogLog++ distinct counts (rows-only
+    check — HLL estimates differ engine to engine by construction;
+    tests/test_aggregates.py bounds the error vs exact)."""
+    from ..operators.aggregates import agg_count_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return agg_count_distinct(
+        ev, ["event_type"], "user_id", "approx_unique_users", approximate=True
+    )
+
+
 REGISTRY_ANALYTICS: dict = {
+    "genre_kpis_sql": (q_genre_kpis_sql, None),  # oracle set below
+    "cube_returnflag_status": (q_cube_returnflag_status, ORACLE_CUBE),
+    "agg_count_distinct_approx": (q_agg_count_distinct_approx, None),
     "tpch_q3_shipping": (q_tpch_q3_shipping, ORACLE_Q3),
     "revenue_by_region": (q_revenue_by_region, ORACLE_REVENUE_REGION),
     "window_running_total": (q_window_running_total, ORACLE_RUNNING_TOTAL),
@@ -234,3 +303,13 @@ REGISTRY_ANALYTICS: dict = {
     "pivot_status_by_priority": (q_pivot_status_by_priority, ORACLE_PIVOT),
     "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
 }
+
+
+def _late_bind_oracles() -> None:
+    # genre_kpis_sql shares the flagship's oracle (identical result)
+    from .testdata_queries import ORACLE_GENRE_KPIS
+
+    REGISTRY_ANALYTICS["genre_kpis_sql"] = (q_genre_kpis_sql, ORACLE_GENRE_KPIS)
+
+
+_late_bind_oracles()

@@ -1,0 +1,127 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (the escape hatch for operators Structured
+Streaming's built-in windows can't express — SURVEY.md §2.7 / build
+charter "custom stateful operators").
+
+Per user, events within ``gap_seconds`` of each other belong to one
+session; a longer silence closes the session and starts the next. The
+batch twin (identical semantics on bounded data) is
+``plans/analytics_queries.py::q_sessionize_events`` — lag + cumulative
+sum — which is what the oracle checks; this streaming form maintains
+(last_ts, session_id, session_event_count) as typed GroupState across
+micro-batches, so sessions stitch correctly across batch boundaries.
+
+Scale: state is O(active users), partitioned by the grouping key;
+Spark shuffles each micro-batch by user_id and pins state to
+partitions. The state payload is 3 scalars — no per-event growth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("last_ts", T.TimestampType(), True),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_epoch", T.DoubleType(), True),
+        T.StructField("session_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+    ]
+)
+
+
+def make_sessionizer(gap_seconds: int = 1800):
+    """Returns the per-group state function. Events inside each
+    micro-batch are sorted by (ts, event_id) before stitching — state
+    transitions are deterministic for a given batch decomposition."""
+
+    def sessionize(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_epoch, session_id, n_events = state.get
+        else:
+            last_epoch, session_id, n_events = None, 0, 0
+
+        last_ts = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                epoch = ts.timestamp()
+                if last_epoch is not None and epoch - last_epoch > gap_seconds:
+                    session_id += 1
+                    n_events = 0
+                n_events += 1
+                last_epoch = epoch
+                last_ts = ts
+        state.update((last_epoch, session_id, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_id": [session_id],
+                "n_events": [n_events],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return sessionize
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Wire the stateful operator: shuffle by user, maintain session
+    state, emit the current session row per user per batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_seconds),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_session_stream(
+    spark,
+    stream_dir: str,
+    schema: T.StructType,
+    target_path: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+):
+    """File-source → stateful sessionize → upsert sink (latest session
+    row per user)."""
+    from ..sources.upsert import upsert_parquet
+
+    events = (
+        spark.readStream.schema(schema).option("header", True).csv(stream_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(
+            batch_df.sparkSession, batch_df, target_path, keys=["user_id"]
+        )
+
+    sessions = sessionize_stream(events, gap_seconds)
+    return (
+        sessions.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
