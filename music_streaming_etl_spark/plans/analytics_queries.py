@@ -8,6 +8,8 @@ still DuckDB-oracle-checked with the same determinism rules
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -292,7 +294,157 @@ def q_agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event enriched with the user's most
+    recent signup event at-or-before it (union+window composition —
+    see operators/asof.py; DuckDB verifies with a native ASOF JOIN)."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["ts", "event_id"],
+        suffix="_signup",
+    )
+
+
+ORACLE_ASOF = """
+WITH a AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     b AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'signup')
+SELECT a.event_id, a.user_id, a.ts,
+       b.ts AS ts_signup, b.event_id AS event_id_signup
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND b.ts <= a.ts
+"""
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table via explode — the unnest/flatten
+    op (top-50 with a total order)."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    agg = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "token", "n")
+    )
+
+
+ORACLE_TOKEN_FREQ = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), agg AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank,
+       token, n
+FROM agg QUALIFY rank <= 50
+"""
+
+
+def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median price per returnflag via windowed rank —
+    deterministic in any engine, unlike interpolated medians and
+    approx percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("cnt"),
+    )
+    # floor division on BOTH sides: DuckDB's int "/" yields DOUBLE and
+    # CAST rounds half-to-even, Spark's cast truncates — floor is the
+    # one semantics every engine agrees on
+    return ranked.filter(
+        F.col("rn") == F.floor((F.col("cnt") + 1) / 2).cast("int")
+    ).select("l_returnflag", F.col("l_extendedprice").alias("median_price"))
+
+
+ORACLE_MEDIAN = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+)
+SELECT l_returnflag, l_extendedprice AS median_price
+FROM ranked WHERE rn = (cnt + 1) // 2
+"""
+
+
+def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup (date_trunc) — the natural partition
+    grain for a 100 TB date-partitioned lake."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+ORACLE_MONTHLY = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1
+"""
+
+
+def q_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned re-read: writes
+    orders partitioned by priority, reads back ONE partition (the
+    plan shows PartitionFilters, not a full scan)."""
+    from .testdata_queries import SCRATCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(SCRATCH, f"orders_part_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return back.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+ORACLE_PART_PRUNE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "asof_join_signup": (q_asof_join_signup, ORACLE_ASOF),
+    "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQ),
+    "median_by_group": (q_median_by_group, ORACLE_MEDIAN),
+    "monthly_rollup": (q_monthly_rollup, ORACLE_MONTHLY),
+    "partitioned_sink_prune": (q_partitioned_sink_prune, ORACLE_PART_PRUNE),
     "genre_kpis_sql": (q_genre_kpis_sql, None),  # oracle set below
     "cube_returnflag_status": (q_cube_returnflag_status, ORACLE_CUBE),
     "agg_count_distinct_approx": (q_agg_count_distinct_approx, None),

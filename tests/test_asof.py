@@ -1,0 +1,44 @@
+"""As-of join unit tests: at-or-before semantics, no-predecessor
+NULLs, equal-timestamp inclusion, key isolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from music_streaming_etl_spark.operators.asof import asof_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 6, 25, h, m)
+
+
+def test_asof_basic_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts(10)),   # after right@9 → match 9
+            (2, 1, _ts(8)),    # before any right → NULL
+            (3, 1, _ts(12)),   # after right@9 and right@11 → match 11
+            (4, 2, _ts(10)),   # other key: right@10 exactly → match (<=)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 1, _ts(9)),
+            (102, 1, _ts(11)),
+            (103, 2, _ts(10)),
+            (104, 3, _ts(1)),  # unrelated key never leaks
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: (r["event_id_r"], r["ts_r"])
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["event_id", "ts"], suffix="_r"
+        ).collect()
+    }
+    assert out[1] == (101, _ts(9))
+    assert out[2] == (None, None)
+    assert out[3] == (102, _ts(11))
+    assert out[4] == (103, _ts(10))
+    assert len(out) == 4
