@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from music_streaming_etl_spark.plans.testdata_queries import REGISTRY  # noqa: E402
+from music_streaming_etl_spark.plans.registry import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

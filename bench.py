@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from music_streaming_etl_spark.plans.testdata_queries import REGISTRY
+from music_streaming_etl_spark.plans.registry import REGISTRY
 from music_streaming_etl_spark.session import get_spark
 
 HEADLINE = [

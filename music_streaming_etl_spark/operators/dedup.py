@@ -104,6 +104,38 @@ def jaccard(a, b) -> F.Column:
     ).cast("double")
 
 
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1
+) -> DataFrame:
+    """Exploded distinct shingle rows (id, sh) — the codegen-friendly
+    dual of the array-valued ``shingles()`` column. posexplode +
+    lead() windows build n-grams entirely JVM-side; interpreted
+    higher-order lambdas never touch the hot path."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    if shingle_n == 1:
+        sh = toks.select("id", F.col("tok").alias("sh"))
+    else:
+        w = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("tok")] + [
+            F.lead("tok", i).over(w) for i in range(1, shingle_n)
+        ]
+        sh = (
+            toks.select(
+                "id",
+                F.concat_ws(" ", *parts).alias("sh"),
+                parts[-1].alias("__last"),
+            )
+            .filter(F.col("__last").isNotNull())
+            .drop("__last")
+        )
+    return sh.distinct()
+
+
 def dedup_minhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -114,33 +146,51 @@ def dedup_minhash_pairs(
     shingle_n: int = 1,
 ) -> DataFrame:
     """X2 — MinHash + LSH near-duplicate pairs with exact-Jaccard
-    verification.
+    verification, in fully-codegen'd exploded form:
 
-    Pipeline: per-doc signature (map-side) → explode band keys →
-    self-join on (band, key) with id< id (shuffle meets only colliding
-    docs) → distinct candidate pairs → verify exact Jaccard on the
-    shingle sets → filter ≥ threshold.
+    1. distinct (id, shingle) rows -> one md5-derived hash per row;
+    2. groupBy(id) with ``num_hashes`` min-aggregates (the linear
+       permutations) -> signature columns: a single hash aggregation;
+    3. explode band keys -> self-join on (band, key), id < id ->
+       distinct candidates (only colliding docs ever meet);
+    4. exact Jaccard from a shingle equi-join: inter = matching-row
+       count, union = |A|+|B|-inter — set arithmetic as joins, no
+       per-element array lambdas.
 
-    Returns (id_a, id_b, jaccard_sim), id_a < id_b.
+    Returns (id_a, id_b, jaccard_sim), id_a < id_b. Every stage is a
+    plain shuffle/join Catalyst plans and AQE rebalances at any
+    corpus size; the shingle frame is cached because the band and
+    verify stages both consume it.
     """
     rows_per_band = num_hashes // num_bands
-    # staged withColumns so each array is materialized once per row —
-    # inlining them would re-run the md5s per downstream reference
-    # cache(): this frame feeds four consumers (both sides of the
-    # band self-join and both sides of the verify join) — without it
-    # the shingle+digest computation runs 4×. Materializing signatures
-    # is also the production pattern at scale (they're reused across
-    # incremental dedup runs).
-    sh = (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
-        .withColumn("__hs", shingle_hashes(F.col("sh")))
-        .withColumn("sig", minhash_signature_from_hashes(F.col("__hs"), num_hashes))
-        .select("id", "sh", "sig")
-        .cache()
+    sh = shingle_frame(df, id_col, text_col, shingle_n).cache()
+    hs = sh.withColumn(
+        "h",
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
     )
-    bands = sh.select(
-        "id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    mins = hs.groupBy("id").agg(
+        *[
+            F.min(
+                ((2 * i + 1) * F.col("h") + (1_000_003 * i + 12_345))
+                % F.lit(MINHASH_P)
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "#",
+                *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)],
+            ).alias("key"),
+        )
+        for b in range(num_bands)
+    ]
+    bands = mins.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -152,15 +202,31 @@ def dedup_minhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cnts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     verified = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        inter.join(
+            cnts.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+        )
+        .join(
+            cnts.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b"
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard_sim"),
         )
     )
     return verified.filter(F.col("jaccard_sim") >= threshold)
@@ -240,6 +306,38 @@ def hamming32(a, b) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_frame(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exploded, codegen'd SimHash: distinct (id, token) rows → one
+    md5-derived 32-bit hash per row → groupBy(id) with ``bits`` signed
+    bit-vote sums → fingerprint assembled from the vote signs. One
+    shuffle, all hash-aggregate — the scalable dual of the per-row
+    ``simhash()`` column."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    hs = toks.withColumn("h", _token_hash32(F.col("tok")))
+    votes = hs.groupBy("id", *extra_cols).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select("id", *extra_cols, fp.alias("fp"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -251,11 +349,12 @@ def simhash_near_pairs(
     (optional), hamming ≤ max_hamming. For true 100 TB scale the
     blocking key should be rotations/prefix tables of the fingerprint
     (multi-index); here the optional block_col plays that role."""
-    fp = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        simhash(text_col).alias("fp"),
+    fp = simhash_frame(
+        df, id_col, text_col, extra_cols=[block_col] if block_col else []
     )
+    if block_col:
+        fp = fp.withColumnRenamed(block_col, "blk")
+    fp = fp.cache()  # both sides of the self-join consume it
     a, b = fp.alias("a"), fp.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:

@@ -227,8 +227,12 @@ SQL_TOKHASH = "CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)"
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_frame
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text").alias("fp"))
+    return simhash_frame(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "fp"
+    )
 
 
 def _oracle_simhash_fp() -> str:

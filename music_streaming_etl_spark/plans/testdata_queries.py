@@ -782,14 +782,6 @@ REGISTRY: dict = {
 }
 
 
-def _merge_extensions() -> None:
-    """Extension + deeper-analytics ops live in their own modules;
-    merged here so __spark_entry__ exposes one registry."""
-    from .analytics_queries import REGISTRY_ANALYTICS
-    from .extension_queries import REGISTRY_EXT
-
-    REGISTRY.update(REGISTRY_EXT)
-    REGISTRY.update(REGISTRY_ANALYTICS)
-
-
-_merge_extensions()
+# Extension + deeper-analytics registries merge with this one in
+# plans/registry.py — import THAT for the full surface (keeps the
+# module graph acyclic).
