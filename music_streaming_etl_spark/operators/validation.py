@@ -96,6 +96,19 @@ def check_referential(
     return CheckResult(name, orphans == 0, {"orphans": orphans})
 
 
+def quarantine_split(
+    df: DataFrame, valid_cond: Column
+) -> tuple[DataFrame, DataFrame]:
+    """Production alternative to fail-fast validation: route rows
+    failing ``valid_cond`` to a quarantine frame instead of aborting
+    the batch (the reference's MAXERROR 0 kills the whole COPY on one
+    bad row; at 100 TB you quarantine and keep loading). Null
+    condition results count as invalid. Returns (valid, quarantined).
+    """
+    cond = valid_cond.isNotNull() & valid_cond  # null predicate → invalid
+    return df.filter(cond), df.filter(~cond)
+
+
 def validate(results: Sequence[CheckResult], raise_on_fail: bool = True) -> bool:
     """Combine check results; raise ValidationError listing every
     failure (the reference fails the task on first violation — we

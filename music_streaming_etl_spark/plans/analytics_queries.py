@@ -439,7 +439,39 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine routing report: events with non-positive value or a
+    null user are quarantined, the rest load — per-type counts of
+    both buckets in one pass (sum-of-flags, no double scan)."""
+    from ..operators.validation import quarantine_split
+
+    ev = _t(spark, sf_dir, "events")
+    valid, bad = quarantine_split(
+        ev, (F.col("value") > 0) & F.col("user_id").isNotNull()
+    )
+    v = valid.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_valid"))
+    q = bad.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_quarantined"))
+    return (
+        v.join(q, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
+            F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+        )
+    )
+
+
+ORACLE_QUARANTINE = """
+SELECT event_type,
+       COUNT(CASE WHEN value > 0 AND user_id IS NOT NULL THEN 1 END) AS n_valid,
+       COUNT(CASE WHEN NOT (value > 0 AND user_id IS NOT NULL)
+                       OR (value > 0 AND user_id IS NOT NULL) IS NULL THEN 1 END) AS n_quarantined
+FROM events GROUP BY 1
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "quarantine_split": (q_quarantine_split, ORACLE_QUARANTINE),
     "asof_join_signup": (q_asof_join_signup, ORACLE_ASOF),
     "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQ),
     "median_by_group": (q_median_by_group, ORACLE_MEDIAN),
