@@ -439,6 +439,83 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation from orders where the
+    supplier and customer share the nation — a 6-way join (all four
+    dims + supplier) with a residual non-equi condition, region
+    filter, and date range."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("r_regionkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi")
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        dec_sum(rev, "revenue", scale=4),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q5 = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1994-01-01'
+  AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM region r
+              WHERE r.r_regionkey = n.n_regionkey
+                AND r.r_name IN ('ASIA', 'EUROPE'))
+GROUP BY 1
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (priority), (status), and grand total
+    in one pass (the general form rollup/cube specialize)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(1) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
 def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine routing report: events with non-positive value or a
     null user are quarantined, the rest load — per-type counts of
@@ -470,7 +547,75 @@ FROM events GROUP BY 1
 """
 
 
+def q_popularity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF stretch deliverable on testdata: part ≈ track, order lines
+    ≈ plays, distinct orders ≈ listeners."""
+    from .popularity import popularity_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    return popularity_index(li, "l_partkey", "l_orderkey").withColumnRenamed(
+        "track", "partkey"
+    )
+
+
+ORACLE_POPULARITY = """
+WITH per AS (
+  SELECT l_partkey AS partkey, COUNT(*) AS n_plays,
+         COUNT(DISTINCT l_orderkey) AS n_listeners
+  FROM lineitem GROUP BY 1
+), m AS (SELECT MAX(n_plays) AS mp, MAX(n_listeners) AS ml FROM per)
+SELECT partkey, n_plays, n_listeners,
+       ROUND(CAST(n_plays AS DOUBLE) / CAST(mp AS DOUBLE) * 0.6
+             + CAST(n_listeners AS DOUBLE) / CAST(ml AS DOUBLE) * 0.4, 6)
+         AS popularity_index
+FROM per, m
+"""
+
+
+def q_engagement_top_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-based most popular 'track' (part) per 'genre'
+    (p_type) — the spec's alternative to the frequency mode."""
+    from .popularity import engagement_top_track
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey"
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    plays = li.join(F.broadcast(part), "l_partkey", "left")
+    return engagement_top_track(plays, "p_type", "l_partkey", "l_orderkey")
+
+
+ORACLE_ENGAGEMENT_TOP = """
+WITH per AS (
+  SELECT l_partkey AS track, COUNT(*) AS n_plays,
+         COUNT(DISTINCT l_orderkey) AS n_listeners
+  FROM lineitem GROUP BY 1
+), m AS (SELECT MAX(n_plays) AS mp, MAX(n_listeners) AS ml FROM per),
+idx AS (
+  SELECT track,
+         ROUND(CAST(n_plays AS DOUBLE) / CAST(mp AS DOUBLE) * 0.6
+               + CAST(n_listeners AS DOUBLE) / CAST(ml AS DOUBLE) * 0.4, 6)
+           AS popularity_index
+  FROM per, m
+), genres AS (
+  SELECT DISTINCT p.p_type AS genre, l.l_partkey AS track
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type IS NOT NULL
+)
+SELECT genre, track, popularity_index
+FROM genres g JOIN idx USING (track)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY genre
+                           ORDER BY popularity_index DESC, track ASC) = 1
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "popularity_index": (q_popularity_index, ORACLE_POPULARITY),
+    "engagement_top_track": (q_engagement_top_track, ORACLE_ENGAGEMENT_TOP),
+    "tpch_q5_local_supplier": (q_tpch_q5_local_supplier, ORACLE_Q5),
+    "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
     "quarantine_split": (q_quarantine_split, ORACLE_QUARANTINE),
     "asof_join_signup": (q_asof_join_signup, ORACLE_ASOF),
     "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQ),

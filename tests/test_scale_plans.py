@@ -63,6 +63,28 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_sort_merge_fallback_when_dim_too_big(spark, sf_dir):
+    """When the 'dim' exceeds the broadcast threshold the same join
+    code must degrade to sort-merge, not fail or force a broadcast —
+    the 100 TB fallback path."""
+    from music_streaming_etl_spark.operators.joins import left_join_equi
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = left_join_equi(li, orders, "l_orderkey", broadcast_dim=False)
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path):
     out = str(tmp_path / "part_orders")
     orders = _t(spark, sf_dir, "orders").withColumn(
