@@ -31,9 +31,11 @@ HEADLINE = [
     "top_revenue_customers",
     "scan_csv_multi",
     "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
     "revenue_by_region",
     "sessionize_events",
     "dedup_exact",
+    "dedup_minhash",
     "similarity_topk",
 ]
 
