@@ -67,6 +67,9 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
         cold[name] = runs[0]
         timings[name] = min(runs)
+        # drop caches a query may have materialized so later queries
+        # aren't measured under accumulated memory pressure
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total",
