@@ -122,6 +122,38 @@ FROM s
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of actual vs predicted language — the
+    evaluation companion of lang_id (the synthetic corpus is English
+    word soup, so the matrix exposes exactly how the heuristic
+    degrades on mislabeled text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_LANG_CONFUSION = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {{s_en}} AS s_en, {{s_de}} AS s_de, {{s_es}} AS s_es, {{s_fr}} AS s_fr
+  FROM documents
+), pred AS (
+  SELECT lang,
+    CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+         WHEN s_es > greatest(s_en, s_de) THEN 'es'
+         WHEN s_de > s_en THEN 'de'
+         ELSE 'en' END AS predicted_lang
+  FROM s
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -373,6 +405,15 @@ FROM documents
 REGISTRY_EXT: dict = {
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "lang_confusion": (
+        q_lang_confusion,
+        ORACLE_LANG_CONFUSION.format(
+            s_en=_marker_score("en"),
+            s_de=_marker_score("de"),
+            s_es=_marker_score("es"),
+            s_fr=_marker_score("fr"),
+        ),
+    ),
     "lang_distribution": (
         q_lang_distribution,
         "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars"

@@ -78,6 +78,78 @@ def windowed_kpis(
     )
 
 
+def windowed_artist_counts(
+    streams: DataFrame, songs: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-(window, artist) play counts — the streaming state for
+    top-k. Streaming can't hold an ordered top-k per window in agg
+    state, but it CAN hold the counts; the k-selection happens at read
+    time (``read_top_artists``), which is both deterministic and the
+    standard lambda-free design: state grows with |window × artist|,
+    bounded by the watermark."""
+    songs_needed = songs.select("track_id", "artists")
+    enriched = streams.withWatermark("listen_time", watermark).join(
+        F.broadcast(songs_needed), "track_id", "left"
+    )
+    return (
+        enriched.filter(F.col("artists").isNotNull())
+        .groupBy(F.window("listen_time", "1 hour").alias("win"), "artists")
+        .agg(F.count(F.lit(1)).alias("plays"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "artists",
+            "plays",
+        )
+    )
+
+
+def read_top_artists(spark: SparkSession, counts_path: str, k: int = 5) -> DataFrame:
+    """Deterministic top-k over the streaming counts table:
+    (window_start, rank, artists, plays) with the engine's total order
+    (plays DESC, artists ASC) — same tie-break as the batch A5 op."""
+    from pyspark.sql import Window
+
+    counts = spark.read.parquet(counts_path)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("plays"), F.asc("artists")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "rank", "artists", "plays")
+    )
+
+
+def start_artist_count_stream(
+    spark: SparkSession,
+    stream_dir: str,
+    songs: DataFrame,
+    counts_path: str,
+    checkpoint_dir: str,
+):
+    """Source → (window, artist) counts → upsert sink keyed on
+    (window_start, artists): re-emitted windows replace their rows."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(
+            batch_df.sparkSession,
+            batch_df,
+            counts_path,
+            keys=["window_start", "artists"],
+        )
+
+    counts = windowed_artist_counts(read_stream_csv(spark, stream_dir), songs)
+    return (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_kpi_stream(
     spark: SparkSession,
     stream_dir: str,

@@ -1,0 +1,55 @@
+"""CSV source/sink option semantics (SURVEY §2.1 S4/S6): the
+BLANKSASNULL/EMPTYASNULL → nullValue/emptyValue mapping, declared-
+schema round-trips, and multi-path union."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import types as T
+
+from music_streaming_etl_spark.sources.io import scan_csv_multi, sink_csv
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("val", T.DoubleType(), True),
+    ]
+)
+
+
+def test_null_value_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None, 1.5), (2, "", 2.5), (3, "x", None)], SCHEMA
+    )
+    out = str(tmp_path / "csv_nulls")
+    # Redshift COPY semantics: NULL AS 'NULL' marker, blanks preserved
+    sink_csv(df, out, single_file=True, null_value="NULL", empty_value='""')
+    raw = open(glob.glob(f"{out}/part-*.csv")[0]).read()
+    assert "NULL" in raw  # explicit null marker written
+
+    back = (
+        spark.read.option("header", True)
+        .option("nullValue", "NULL")
+        .schema(SCHEMA)
+        .csv(out)
+    )
+    rows = {r["id"]: (r["name"], r["val"]) for r in back.collect()}
+    assert rows[1] == (None, 1.5)
+    assert rows[2] == ("", 2.5)  # empty string survives (EMPTYASNULL off)
+    assert rows[3] == ("x", None)
+
+
+def test_multi_path_scan_unions(spark, tmp_path):
+    a = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    b = spark.createDataFrame([(2, "b", 2.0)], SCHEMA)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    sink_csv(a, pa)
+    sink_csv(b, pb)
+    both = scan_csv_multi(spark, [pa, pb], SCHEMA)
+    assert sorted(r["id"] for r in both.collect()) == [1, 2]
+    # CSV sources force nullable=True on every field — compare names+types
+    assert [(f.name, f.dataType) for f in both.schema.fields] == [
+        (f.name, f.dataType) for f in SCHEMA.fields
+    ]
