@@ -53,48 +53,7 @@ def dedup_exact(
 MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
 
 
-def shingle_hashes(sh_col) -> F.Column:
-    """One 60-bit md5-derived hash per shingle, reduced mod P. md5
-    (not xxhash64/murmur) so any engine reproduces it; computed ONCE
-    per shingle — the per-permutation values below are cheap linear
-    maps of this array."""
-    return F.transform(
-        sh_col,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        % F.lit(MINHASH_P),
-    )
 
-
-def minhash_signature_from_hashes(hash_col, num_hashes: int = 16) -> F.Column:
-    """MinHash signature as ``array<long>``: element *i* is
-    ``min((aᵢ·h + bᵢ) mod P)`` over the shingle hashes — the classic
-    universal-hash permutation family with fixed odd multipliers, so
-    one md5 per shingle serves all permutations (16× fewer digest
-    calls than hashing per-permutation)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                hash_col,
-                lambda h: ((2 * i + 1) * h + (1_000_003 * i + 12_345))
-                % F.lit(MINHASH_P),
-            )
-        ),
-    )
-
-
-def lsh_bands(sig_col, num_bands: int, rows_per_band: int) -> F.Column:
-    """Fold a signature into band keys: ``array<struct<band,key>>``;
-    docs sharing any (band, key) are candidates."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.concat_ws(
-                "#", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
-            ).alias("key"),
-        ),
-    )
 
 
 def jaccard(a, b) -> F.Column:
@@ -277,27 +236,6 @@ def _token_hash32(tok) -> F.Column:
     md5 (engine-portable, unlike xxhash64/murmur)."""
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
-
-def simhash(text_col, bits: int = SIMHASH_BITS) -> F.Column:
-    """X2b — SimHash fingerprint: for each bit j, sum ±1 over the
-    doc's distinct tokens according to bit j of the token hash; bit j
-    of the fingerprint = sign. Pure array expressions — per-row folds,
-    no explode/shuffle. Bit positions unroll as a Python loop (masks
-    are literals — Spark's shiftleft only shifts by a literal)."""
-    toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, _token_hash32)
-    def vote_fn(mask: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) > 0, 1
-        ).otherwise(-1)
-
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), vote_fn(1 << j))
-        fp = fp + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return fp
 
 
 def hamming32(a, b) -> F.Column:

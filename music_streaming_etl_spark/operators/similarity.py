@@ -73,11 +73,22 @@ def centroids(
 ) -> DataFrame:
     """Per-bucket mean vector (the IVF coarse quantizer's codebook),
     computed as dim per-position averages — one aggregation, no
-    Python. Used to pick which buckets a query must scan."""
+    Python. Used to pick which buckets a query must scan.
+
+    Each element is decimal-accumulated (exact, order-free) then
+    divided by the count as doubles — so the codebook is bit-identical
+    under any partitioning and reproducible by an external oracle
+    (same rule as every float aggregate in this engine)."""
     v = vectors.select(
         F.col(bucket_col).alias("bucket"), as_double_vec(F.col(vec_col)).alias("v")
     )
-    aggs = [F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
+    aggs = [
+        (
+            F.sum(F.element_at("v", i + 1).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias(f"c{i}")
+        for i in range(dim)
+    ]
     per_pos = v.groupBy("bucket").agg(*aggs)
     return per_pos.select(
         "bucket", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
@@ -103,7 +114,10 @@ def similarity_topk_ivf(
     bucket_rank = (
         cents.crossJoin(F.broadcast(q))
         .select(
-            "bucket", cosine(F.col("centroid"), F.col("qv")).alias("bscore")
+            "bucket",
+            # rounded before ranking: near-tie bucket scores then
+            # resolve on the bucket id, deterministically in any engine
+            F.round(cosine(F.col("centroid"), F.col("qv")), 6).alias("bscore"),
         )
         .withColumn(
             "brank",

@@ -18,7 +18,6 @@ from ..operators.dedup import (
     dedup_minhash_pairs,
     embedding_neardup_pairs,
     ngram_jaccard_pairs,
-    simhash,
     simhash_near_pairs,
 )
 from ..operators.multimodal import attach_media, extract_features, parse_props
@@ -357,15 +356,49 @@ FROM scored QUALIFY rank <= 10
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (labels as coarse buckets, n_probe=3): approx
-    variant — rows-only check (recall vs exact is validated in
-    tests/test_similarity.py)."""
+    """IVF-bucketed ANN (labels as coarse buckets, n_probe=3). Fully
+    oracle-checked: the codebook is decimal-deterministic and bucket
+    ranking rounds before tie-breaking, so the DuckDB twin reproduces
+    the same probe set and the same approximate result."""
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     out = similarity_topk_ivf(
         emb, query, "vec_id", "embedding", bucket_col="label", dim=64, k=10, n_probe=3
     )
     return out.select("rank", F.col("id").alias("vec_id"), "score")
+
+
+ORACLE_SIM_TOPK_IVF = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+pos AS (
+  SELECT label, t.pos AS pos,
+         CAST(SUM(CAST(e[t.pos] AS DECIMAL(28,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS cd
+  FROM v, UNNEST(range(1, 65)) AS t(pos)
+  GROUP BY label, t.pos
+), cents AS (
+  SELECT label, list(cd ORDER BY pos) AS centroid FROM pos GROUP BY label
+), branks AS (
+  SELECT label,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_dot_product(centroid, qe)
+                    / (sqrt(list_dot_product(centroid, centroid))
+                       * sqrt(list_dot_product(qe, qe))), 6) DESC,
+                    label ASC) AS brank
+  FROM cents, q
+), probe AS (SELECT label FROM branks WHERE brank <= 3),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS score
+  FROM v, q WHERE v.label IN (SELECT label FROM probe)
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, score
+FROM scored QUALIFY rank <= 10
+"""
 
 
 # --------------------------------------------------------------------------
@@ -430,7 +463,7 @@ REGISTRY_EXT: dict = {
     "simhash_neardup": (q_simhash_neardup, _oracle_simhash_pairs()),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "similarity_topk": (q_similarity_topk, ORACLE_SIM_TOPK),
-    "similarity_topk_ivf": (q_similarity_topk_ivf, None),  # approx → rows-only
+    "similarity_topk_ivf": (q_similarity_topk_ivf, ORACLE_SIM_TOPK_IVF),
     "multimodal_props": (q_multimodal_props, ORACLE_PROPS),
     "multimodal_features": (q_multimodal_features, ORACLE_MM_FEATURES),
 }

@@ -142,6 +142,36 @@ def jdbc_writer(
     return w
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the table-maintenance op every
+    long-running ingest needs at scale (each streaming micro-batch /
+    upsert leaves files; thousands of small files destroy scan
+    planning and open-file throughput). Rewrites the parquet dir into
+    ⌈total_bytes / target⌉ files and returns the new file count.
+    Atomic-enough swap via a sibling temp dir, like the upsert writer.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_swap"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
 def ddl_recreate(
     spark: SparkSession, df: DataFrame, table: str, partition_by: Sequence[str] = ()
 ) -> None:
