@@ -49,8 +49,13 @@ def main() -> None:
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark("bench")
 
-    # JVM/codegen warm-up on a trivial plan (not timed)
+    # JVM/codegen warm-up (not timed): a trivial scan plus one
+    # representative join+agg plan at the smallest sf, so the first
+    # timed query doesn't absorb the JIT cost of the common operators
     force(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    warm_fn, _ = REGISTRY["genre_kpis"]
+    force(warm_fn(spark, "/root/testdata/sf0.001"))
+    spark.catalog.clearCache()
 
     # Two iterations per query: iteration 1 pays Catalyst planning +
     # whole-stage-codegen compilation (JVM JIT), iteration 2 is the

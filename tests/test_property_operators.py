@@ -1,0 +1,100 @@
+"""Property-based tests for the composed operators: as-of join vs a
+naive quadratic reference, and MinHash soundness (every returned pair
+really meets the Jaccard threshold, computed independently)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from music_streaming_etl_spark.operators.asof import asof_join
+from music_streaming_etl_spark.operators.dedup import dedup_minhash_pairs
+
+BASE = dt.datetime(2024, 6, 25)
+
+left_rows = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 50)),  # (key, minute)
+    min_size=1,
+    max_size=15,
+)
+right_rows = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 50)),
+    min_size=0,
+    max_size=15,
+    unique=True,  # unique (key, ts) — the documented determinism precondition
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_matches_naive_reference(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(lrows)],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, k, BASE + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(rrows)],
+        "event_id long, k long, ts timestamp",
+    ) if rrows else spark.createDataFrame([], "event_id long, k long, ts timestamp")
+
+    got = {
+        r["event_id"]: r["event_id_r"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["event_id"], suffix="_r"
+        ).collect()
+    }
+
+    # naive reference: scan all right rows per left row
+    rlist = [(100 + i, k, BASE + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(rrows)]
+    for i, (k, m) in enumerate(lrows):
+        lts = BASE + dt.timedelta(minutes=m)
+        cands = [(rid, rts) for rid, rk, rts in rlist if rk == k and rts <= lts]
+        expected = max(cands, key=lambda c: (c[1], c[0]))[0] if cands else None
+        assert got[i] == expected, (i, k, m)
+
+
+doc_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["spark", "join", "scan", "merge", "sort", "hash", "agg"]),
+        min_size=3,
+        max_size=12,
+    ).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_strategy)
+def test_minhash_pairs_are_sound(spark, texts):
+    """Soundness: every emitted pair's Jaccard (recomputed in Python
+    on 3-gram shingle sets) is ≥ threshold and ids are ordered.
+    (Recall is probabilistic by construction — not asserted.)"""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pairs = dedup_minhash_pairs(
+        df, "doc_id", "text", threshold=0.5, num_hashes=16, num_bands=4, shingle_n=3
+    ).collect()
+
+    def sh(t: str) -> set:
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        a, b = sh(texts[r["id_a"]]), sh(texts[r["id_b"]])
+        j = len(a & b) / len(a | b)
+        assert j >= 0.5
+        assert abs(j - r["jaccard_sim"]) < 1e-6
