@@ -1,0 +1,49 @@
+"""Parity tests: the Pandas-UDF escape hatches must agree with the
+native implementations (so the two paths can't drift), plus the
+grouped-map z-score example."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.operators.aggregates import agg_mode
+from music_streaming_etl_spark.operators.pandas_udfs import (
+    agg_mode_pandas,
+    zscore_per_group,
+)
+
+
+def test_pandas_mode_matches_native(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    native = {
+        r["o_orderstatus"]: r["m"]
+        for r in agg_mode(orders, ["o_orderstatus"], "o_orderpriority", "m").collect()
+    }
+    via_pandas = {
+        r["o_orderstatus"]: r["m"]
+        for r in agg_mode_pandas(
+            orders, ["o_orderstatus"], "o_orderpriority", "m"
+        ).collect()
+    }
+    assert native == via_pandas
+
+
+def test_pandas_mode_tie_break(spark):
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a")], "g string, v string"
+    )
+    assert agg_mode_pandas(df, ["g"], "v", "m").collect()[0]["m"] == "a"
+
+
+def test_zscore_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "g string, v double"
+    )
+    rows = zscore_per_group(df, ["g"], "v", "z").collect()
+    za = sorted(r["z"] for r in rows if r["g"] == "a")
+    assert za == [pytest.approx(-1.0), pytest.approx(1.0)]
+    zb = [r["z"] for r in rows if r["g"] == "b"]
+    assert zb == [0.0]  # single-row group → 0, not NaN
