@@ -123,13 +123,18 @@ def jdbc_writer(
     mode: str = "overwrite",
     properties: dict[str, str] | None = None,
     batch_size: int = 50_000,
+    column_types: str | None = None,
 ):
     """S6/S8 — JDBC sink. ``batchsize`` mirrors the reference's
     bulk-load chunking (CHUNK_SIZE = 50_000,
     ``sql/load_data_into_rds.ipynb`` cell-4); Spark parallelizes the
     chunks across partitions instead of looping in one process.
-    Returns the configured writer; ``.save()`` executes with a driver
-    jar present."""
+    ``column_types`` is the DDL override (``createTableColumnTypes``,
+    e.g. ``"name VARCHAR(255)"``) — the reference pins VARCHAR widths
+    in its Redshift DDL the same way, and some dialects (Derby) need
+    it because their default string mapping (CLOB) can't be compared
+    or indexed. Executed round-trip against embedded Derby in
+    tests/test_jdbc.py; swap url+driver for Postgres/Redshift."""
     w = (
         df.write.format("jdbc")
         .option("url", url)
@@ -137,6 +142,8 @@ def jdbc_writer(
         .option("batchsize", str(batch_size))
         .mode(mode)
     )
+    if column_types:
+        w = w.option("createTableColumnTypes", column_types)
     for k, v in (properties or {}).items():
         w = w.option(k, v)
     return w
