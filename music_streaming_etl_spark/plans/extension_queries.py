@@ -25,12 +25,10 @@ from ..operators.similarity import similarity_topk, similarity_topk_ivf
 from ..operators.text import (
     LANG_MARKERS,
     STOPWORDS,
-    TOKEN_REGEX,
     doc_fingerprint,
     lang_id,
     n_tokens,
     n_tokens_bpe,
-    normalize_text,
     punct_ratio,
     quality_score,
     stopword_ratio,

@@ -157,6 +157,7 @@ def start_kpi_stream(
     target_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    watermark: str = "1 hour",
 ):
     """Wire source → windowed agg → foreachBatch upsert sink.
 
@@ -179,7 +180,7 @@ def start_kpi_stream(
             keys=["window_start", "track_genre"],
         )
 
-    kpis = windowed_kpis(read_stream_csv(spark, stream_dir), songs)
+    kpis = windowed_kpis(read_stream_csv(spark, stream_dir), songs, watermark)
     writer = (
         kpis.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)

@@ -4,7 +4,6 @@ grouped-map z-score example."""
 
 from __future__ import annotations
 
-import math
 
 import pytest
 from pyspark.sql import functions as F

@@ -6,7 +6,6 @@ equivalence."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from music_streaming_etl_spark.operators.skew import (

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pytest
 from pyspark.sql import types as T
 
 from music_streaming_etl_spark.streaming.sessions import start_session_stream

@@ -4,7 +4,6 @@ duplicates, short-doc edge cases)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from music_streaming_etl_spark.operators.dedup import (
