@@ -191,6 +191,117 @@ def dedup_minhash_pairs(
     return verified.filter(F.col("jaccard_sim") >= threshold)
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable MinHash index for INCREMENTAL dedup: returns
+    (shingles, signature-mins) frames for a corpus. Write both to
+    parquet once; each new ingest batch dedups against them without
+    touching the corpus text again — the pattern that makes
+    continuous 100 TB ingestion O(batch), not O(corpus)."""
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    hs = sh.withColumn(
+        "h",
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+    mins = hs.groupBy("id").agg(
+        *[
+            F.min(
+                ((2 * i + 1) * F.col("h") + (1_000_003 * i + 12_345))
+                % F.lit(MINHASH_P)
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sh, mins
+
+
+def _band_frame(mins: DataFrame, num_hashes: int, num_bands: int) -> DataFrame:
+    rows_per_band = num_hashes // num_bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "#",
+                *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)],
+            ).alias("key"),
+        )
+        for b in range(num_bands)
+    ]
+    return mins.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_shingles: DataFrame,
+    corpus_mins: DataFrame,
+    threshold: float = 0.85,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash dedup of a new ingest batch against a
+    pre-built corpus index (from ``minhash_index``): band-join the
+    BATCH signatures (small, broadcastable) against the CORPUS bands,
+    verify exact Jaccard for collisions only, and split the batch into
+    (kept, rejected-with-match). The corpus is never re-shingled —
+    per-batch cost is O(|batch| + collisions).
+    """
+    new_sh, new_mins = minhash_index(new_docs, id_col, text_col, num_hashes, shingle_n)
+    new_sh = new_sh.cache()
+    corpus_bands = _band_frame(corpus_mins, num_hashes, num_bands)
+    new_bands = _band_frame(new_mins, num_hashes, num_bands)
+    cand = (
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.key") == F.col("c.key")),
+        )
+        .select(F.col("n.id").alias("id_new"), F.col("c.id").alias("id_corpus"))
+        .distinct()
+    )
+    n_cnt = new_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_new"))
+    c_cnt = corpus_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_corp"))
+    inter = (
+        cand.join(new_sh.select(F.col("id").alias("id_new"), "sh"), "id_new")
+        .join(
+            corpus_shingles.select(
+                F.col("id").alias("id_corpus"), F.col("sh").alias("sh_c")
+            ),
+            "id_corpus",
+        )
+        .filter(F.col("sh") == F.col("sh_c"))
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    matches = (
+        inter.join(n_cnt.select(F.col("id").alias("id_new"), "n_new"), "id_new")
+        .join(c_cnt.select(F.col("id").alias("id_corpus"), "n_corp"), "id_corpus")
+        .select(
+            "id_new",
+            "id_corpus",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_new") + F.col("n_corp") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    dup_ids = matches.select(F.col("id_new").alias(id_col)).distinct()
+    kept = new_docs.join(dup_ids, id_col, "left_anti")
+    return kept, matches
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
