@@ -121,35 +121,9 @@ def dedup_minhash_pairs(
     corpus size; the shingle frame is cached because the band and
     verify stages both consume it.
     """
-    rows_per_band = num_hashes // num_bands
-    sh = shingle_frame(df, id_col, text_col, shingle_n).cache()
-    hs = sh.withColumn(
-        "h",
-        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-        % F.lit(MINHASH_P),
-    )
-    mins = hs.groupBy("id").agg(
-        *[
-            F.min(
-                ((2 * i + 1) * F.col("h") + (1_000_003 * i + 12_345))
-                % F.lit(MINHASH_P)
-            ).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "#",
-                *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)],
-            ).alias("key"),
-        )
-        for b in range(num_bands)
-    ]
-    bands = mins.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    sh, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
+    sh = sh.cache()
+    bands = _band_frame(mins, num_hashes, num_bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
