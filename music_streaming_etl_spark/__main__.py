@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import types as T
@@ -58,14 +59,45 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="HLL unique-listeners (the 100 TB path) instead of exact",
     )
+    ap.add_argument(
+        "--streaming",
+        metavar="CHECKPOINT_DIR",
+        help="run the hourly surface as a Structured Streaming drain of"
+        " the streams directory (windowed KPIs upserted to --hourly-out"
+        " as parquet); pass the checkpoint location",
+    )
+    ap.add_argument(
+        "--watermark",
+        default="1 hour",
+        help="allowed event lateness in streaming mode (default: 1 hour)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("kpi-pipeline-cli")
-    streams = extract_streams(spark, args.streams)
     users = scan_csv_multi(spark, args.users, USERS)
     songs = scan_csv_multi(
         spark, args.songs, SONGS if args.songs_full_schema else SONGS_MIN
     )
+
+    if args.streaming:
+        from .streaming.kpis import start_kpi_stream
+
+        if len(args.streams) != 1 or not os.path.isdir(args.streams[0]):
+            ap.error("--streaming requires --streams to be ONE directory")
+        q = start_kpi_stream(
+            spark,
+            args.streams[0],
+            songs,
+            args.hourly_out,
+            args.streaming,
+            watermark=args.watermark,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.hourly_out).count()
+        print(json.dumps({"mode": "streaming", "hourly_rows": n}))
+        return 0
+
+    streams = extract_streams(spark, args.streams)
     report = run_pipeline(
         spark,
         streams,

@@ -126,3 +126,15 @@ def parse_props(
             F.get_json_object(F.col(props_col), f"$.{name}").cast(typ).alias(name)
         )
     return df.select(*cols)
+
+
+def parse_props_typed(
+    df: DataFrame, props_col: str, schema: T.StructType
+) -> DataFrame:
+    """X5 — ``from_json`` with a declared StructType: the schema-first
+    form (one parse per row into a typed struct; preferable to N
+    path extractions when many fields are consumed). Malformed JSON →
+    NULL struct, per Spark's PERMISSIVE default."""
+    return df.withColumn("__props", F.from_json(F.col(props_col), schema)).select(
+        "*", F.col("__props.*")
+    ).drop("__props")

@@ -415,6 +415,24 @@ ORACLE_PROPS = (
 )
 
 
+def q_multimodal_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — the from_json schema-first variant of props parsing."""
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import parse_props_typed
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    return parse_props_typed(ev, "props", schema).select(
+        "event_id", F.col("k").alias("prop_k")
+    )
+
+
+ORACLE_PROPS_TYPED = (
+    "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k FROM events"
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing end-to-end: text → binary payload +
     typed metadata struct → Arrow-batched mapInPandas feature
@@ -463,5 +481,6 @@ REGISTRY_EXT: dict = {
     "similarity_topk": (q_similarity_topk, ORACLE_SIM_TOPK),
     "similarity_topk_ivf": (q_similarity_topk_ivf, ORACLE_SIM_TOPK_IVF),
     "multimodal_props": (q_multimodal_props, ORACLE_PROPS),
+    "multimodal_props_typed": (q_multimodal_props_typed, ORACLE_PROPS_TYPED),
     "multimodal_features": (q_multimodal_features, ORACLE_MM_FEATURES),
 }

@@ -1,0 +1,67 @@
+"""Invariant checks on real testdata outputs (SURVEY §5's
+property-style bounds: the facts that must hold regardless of data):
+ratios in (0,1], hours in [0,23], top-k lengths ≤ k, quality scores in
+[0,1], popularity index in (0,1], fingerprints well-formed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.plans.registry import REGISTRY
+
+
+def _run(name, spark, sf_dir):
+    fn, _ = REGISTRY[name]
+    return fn(spark, sf_dir)
+
+
+def test_diversity_and_hours_bounds(spark, sf_dir):
+    rows = _run("hourly_kpis", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hour"] <= 23
+        assert 0.0 < r["track_diversity_index"] <= 1.0
+        assert r["unique_listeners"] >= 1
+
+
+def test_topk_bounds(spark, sf_dir):
+    rows = _run("agg_topk_by_freq", spark, sf_dir).collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["hour"], []).append(r["rank"])
+    for ranks in per_group.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_quality_scores_bounded(spark, sf_dir):
+    rows = _run("text_stats", spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert r["n_tokens"] >= 1
+
+
+def test_popularity_index_bounded(spark, sf_dir):
+    rows = _run("popularity_index", spark, sf_dir).collect()
+    assert any(r["popularity_index"] == 1.0 for r in rows) or all(
+        r["popularity_index"] < 1.0 for r in rows
+    )
+    for r in rows:
+        assert 0.0 < r["popularity_index"] <= 1.0
+
+
+def test_fingerprints_wellformed(spark, sf_dir):
+    rows = _run("doc_fingerprint", spark, sf_dir).collect()
+    assert len({r["fingerprint"] for r in rows}) == len(rows)  # no dups in corpus
+    for r in rows[:20]:
+        assert len(r["fingerprint"]) == 32
+        int(r["fingerprint"], 16)  # valid hex
+
+
+def test_jaccard_pairs_bounded(spark, sf_dir):
+    rows = _run("dedup_minhash", spark, sf_dir).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 < r["jaccard_sim"] <= 1.0
