@@ -451,7 +451,78 @@ FROM documents
 """
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerun-stable ~20% corpus sample keyed on doc_id (same rows in
+    any engine, any partitioning)."""
+    from ..operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.2).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+ORACLE_DET_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+      < 2000
+"""
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val tagging (10% val) + per-split counts by
+    language — the split that never flips as the corpus grows."""
+    from ..operators.sampling import train_val_split
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = train_val_split(docs, "doc_id", val_fraction=0.1)
+    return tagged.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_TRAIN_VAL = """
+WITH tagged AS (
+  SELECT lang, n_chars,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 1000
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM tagged GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-balanced downsampling: keep 50% of 'en' docs, 100% of the
+    rest (the rebalancing move for an English-heavy corpus)."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return stratified_sample(docs, "doc_id", "lang", fractions).groupBy(
+        "lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_STRATIFIED = """
+WITH b AS (
+  SELECT lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bkt
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs FROM b
+WHERE (lang = 'en' AND bkt < 5000)
+   OR (lang IN ('de', 'es', 'fr', 'zh') AND bkt < 10000)
+GROUP BY 1
+"""
+
+
 REGISTRY_EXT: dict = {
+    "deterministic_sample": (q_deterministic_sample, ORACLE_DET_SAMPLE),
+    "train_val_split": (q_train_val_split, ORACLE_TRAIN_VAL),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "lang_confusion": (
