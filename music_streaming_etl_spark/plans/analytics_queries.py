@@ -611,7 +611,40 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY genre
 """
 
 
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile segmentation of customers by revenue — the
+    marketing-style windowed bucketing (deterministic: total order on
+    (revenue DESC, custkey))."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        dec_sum(F.col("o_totalprice"), "revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    tiled = rev.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dec_sum(F.col("revenue"), "decile_revenue"),
+    )
+
+
+ORACLE_DECILES = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+), tiled AS (
+  SELECT revenue,
+         CAST(NTILE(10) OVER (ORDER BY revenue DESC, o_custkey ASC) AS BIGINT) AS decile
+  FROM rev
+)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(revenue AS DECIMAL(28,2))) AS DOUBLE) AS decile_revenue
+FROM tiled GROUP BY 1
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "revenue_deciles": (q_revenue_deciles, ORACLE_DECILES),
     "popularity_index": (q_popularity_index, ORACLE_POPULARITY),
     "engagement_top_track": (q_engagement_top_track, ORACLE_ENGAGEMENT_TOP),
     "tpch_q5_local_supplier": (q_tpch_q5_local_supplier, ORACLE_Q5),
