@@ -60,6 +60,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — per-doc lexical statistics: char/token/BPE-ish counts,
+    stopword + punctuation ratios, composite quality score (the cheap
+    pre-filter pass of a training-data pipeline)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -94,6 +97,8 @@ FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — marker-word language ID with deterministic argmax
+    (strict-greater in fixed language order; zero evidence → und)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", lang_id("text").alias("predicted_lang"))
 
@@ -152,6 +157,8 @@ FROM pred GROUP BY 1, 2
 
 
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — corpus language distribution (doc counts + char volume
+    per declared lang)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -160,6 +167,8 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — md5 content fingerprint of normalized text (the dedup
+    key; whitespace/case-invariant)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
@@ -256,6 +265,8 @@ SQL_TOKHASH = "CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)"
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b — 32-bit SimHash fingerprints (portable md5-derived token
+    hashes; exploded codegen form), oracle-recomputed bit-for-bit."""
     from ..operators.dedup import simhash_frame
 
     docs = _t(spark, sf_dir, "documents")
@@ -333,6 +344,8 @@ WHERE ROUND(list_dot_product(a.e, b.e)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — exact brute-force cosine top-10 against the vec_id=0 query
+    vector; rounded scores with vec_id tie-break for a total order."""
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     out = similarity_topk(emb, query, "vec_id", "embedding", k=10)
@@ -405,6 +418,8 @@ FROM scored QUALIFY rank <= 10
 
 
 def q_multimodal_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — JSON props extraction via get_json_object path queries
+    (JVM-side, no Python)."""
     ev = _t(spark, sf_dir, "events")
     parsed = parse_props(ev, "props", {"k": "bigint"})
     return parsed.select("event_id", F.col("k").alias("prop_k"), "value")

