@@ -110,6 +110,22 @@ def test_salted_count_equivalence(spark, sf_dir):
     assert plain == salted
 
 
+def test_flagship_shuffle_budget(spark, sf_dir):
+    """Regression guard on the fused genre_kpis plan: exactly two
+    Exchanges (the wide level-1 agg + the tiny re-combine) and no
+    SortMergeJoin — reintroducing the pandas-shaped two-pass plan
+    (extra scan + window + join) would blow this budget."""
+    from music_streaming_etl_spark.plans.testdata_queries import q_genre_kpis
+
+    df = q_genre_kpis(spark, sf_dir)
+    df.collect()
+    # AQE's toString appends the pre-execution "Initial Plan" — count
+    # only the final plan section
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     from music_streaming_etl_spark.plans.testdata_queries import q_tpch_q1_pricing
 
