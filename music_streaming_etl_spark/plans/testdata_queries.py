@@ -576,6 +576,38 @@ ORACLE_EVENTS_ALL = (
 )
 
 
+def q_scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-analog for JSON-lines sources: events written as NDJSON
+    (the other ubiquitous drop-zone format) and re-read with a
+    declared schema — no inference, same contract as the CSV scan."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(SCRATCH, f"events_json_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "ts", F.date_format("ts", CSV_TS_FMT)
+        )
+        ev.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.StringType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.select(
+        "event_id",
+        F.to_timestamp("ts", CSV_TS_FMT).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 — headered CSV sink (ref :101-102,210-211) then re-scan
     (S3-op, ref :152): the round-tripped aggregate must equal the
@@ -771,6 +803,7 @@ REGISTRY: dict = {
         " COUNT(CASE WHEN hour(ts) BETWEEN 0 AND 23 THEN 1 END) AS in_range FROM events",
     ),
     "scan_csv_multi": (q_scan_csv_multi, ORACLE_EVENTS_ALL),
+    "scan_json_lines": (q_scan_json_lines, ORACLE_EVENTS_ALL),
     "sink_csv": (q_sink_csv_roundtrip, ORACLE_AGG_AVG),
     "scan_parquet_pushdown": (
         q_scan_parquet_pushdown,
