@@ -127,6 +127,52 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
+def winnow_fingerprints(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+):
+    """Rolling-hash document fingerprinting (winnowing): hash every
+    character k-gram of the normalized text, slide a window of ``w``
+    consecutive positions, keep each window's minimum hash — the
+    classic MOSS-style selection guaranteeing any shared substring of
+    length ≥ k+w−1 contributes a shared fingerprint, at ~1/w storage.
+
+    Returns exploded (id, fp) distinct rows — joinable for overlap
+    detection exactly like shingle sets, but position-robust. Exploded
+    codegen form: posexplode positions → native md5 per gram → window
+    min → distinct. Docs shorter than k yield no fingerprints.
+    """
+    from pyspark.sql import Window as W
+
+    norm = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm")
+    ).filter(F.length("__norm") >= k)
+    grams = norm.select(
+        "id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(__norm) - {k - 1}), i -> substring(__norm, i, {k}))")
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    w = (
+        W.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingle set (the MinHash input). n=1
     degenerates to the distinct token set."""

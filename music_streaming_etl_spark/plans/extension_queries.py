@@ -178,6 +178,35 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — rolling-hash (winnowing) fingerprints: min-hash of char
+    5-gram rolling hashes per 4-position window; any shared substring
+    of length ≥ 8 chars yields a shared fingerprint."""
+    from ..operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    return out.select(F.col("id").alias("doc_id"), "fp")
+
+
+ORACLE_WINNOW = f"""
+WITH norm AS (
+  SELECT doc_id, {SQL_NORMTEXT} AS n FROM documents
+  WHERE length({SQL_NORMTEXT}) >= 5
+), g AS (
+  SELECT doc_id, t.i AS pos,
+         CAST('0x' || substr(md5(substr(n, t.i, 5)), 1, 8) AS BIGINT) AS h
+  FROM norm, UNNEST(range(1, length(n) - 3)) AS t(i)
+), win AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM win
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup demonstrated on a constructed duplicate set: the
     corpus unioned with an id-shifted copy of itself; dedup must keep
@@ -558,6 +587,7 @@ REGISTRY_EXT: dict = {
         q_doc_fingerprint,
         f"SELECT doc_id, md5({SQL_NORMTEXT}) AS fingerprint FROM documents",
     ),
+    "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, _oracle_minhash()),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
