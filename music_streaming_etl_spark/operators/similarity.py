@@ -7,17 +7,19 @@ result is deterministic for a given row (no shuffle-order dependence)
 and reproducible by an oracle doing the same left-to-right fold.
 
 Scale notes: brute force is a broadcast of one query vector and a
-single scan — perfectly parallel, no shuffle; top-k resolves with one
-``row_number`` over a global window of the k-filtered partial results
-(Spark optimizes via per-partition top-k before the final single
-partition). The IVF variant prunes the scan to the closest coarse
-buckets: at 1B vectors × 1k buckets you scan ~0.1% of rows.
+single scan — perfectly parallel, no shuffle; top-k resolves via
+``global_topk`` (TakeOrderedAndProject: per-partition heaps merged
+once, never a single-partition window). The IVF variant prunes the
+scan to the closest coarse buckets: at 1B vectors × 1k buckets you
+scan ~0.1% of rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .ranking import global_topk
 
 
 def dot(a, b) -> F.Column:
@@ -60,11 +62,8 @@ def similarity_topk(
     scored = v.crossJoin(F.broadcast(q)).select(
         "id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "id", "score")
+    return global_topk(scored, [F.desc("score"), F.asc("id")], k).select(
+        "rank", "id", "score"
     )
 
 
@@ -111,21 +110,15 @@ def similarity_topk_ivf(
     n_probe / bucket quality exactly as in FAISS-style IVF."""
     cents = centroids(vectors, bucket_col, vec_col, dim)
     q = query.select(as_double_vec(F.col(vec_col)).alias("qv"))
-    bucket_rank = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
-            "bucket",
-            # rounded before ranking: near-tie bucket scores then
-            # resolve on the bucket id, deterministically in any engine
-            F.round(cosine(F.col("centroid"), F.col("qv")), 6).alias("bscore"),
-        )
-        .withColumn(
-            "brank",
-            F.row_number().over(Window.orderBy(F.desc("bscore"), F.asc("bucket"))),
-        )
-        .filter(F.col("brank") <= n_probe)
-        .select("bucket")
+    bucket_scores = cents.crossJoin(F.broadcast(q)).select(
+        "bucket",
+        # rounded before ranking: near-tie bucket scores then
+        # resolve on the bucket id, deterministically in any engine
+        F.round(cosine(F.col("centroid"), F.col("qv")), 6).alias("bscore"),
     )
+    bucket_rank = global_topk(
+        bucket_scores, [F.desc("bscore"), F.asc("bucket")], n_probe
+    ).select("bucket")
     pruned = vectors.join(
         F.broadcast(bucket_rank),
         vectors[bucket_col] == bucket_rank["bucket"],

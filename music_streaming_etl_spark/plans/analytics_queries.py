@@ -13,6 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranking import global_ntile, global_topk
 from .testdata_queries import _t, dec_sum
 
 
@@ -39,11 +40,8 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date")).agg(
         dec_sum(rev, "revenue", scale=4)
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "o_orderkey", "order_date", "revenue")
+    return global_topk(agg, [F.desc("revenue"), F.asc("o_orderkey")], 10).select(
+        "rank", "o_orderkey", "order_date", "revenue"
     )
 
 
@@ -337,11 +335,8 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     agg = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 50)
-        .select("rank", "token", "n")
+    return global_topk(agg, [F.desc("n"), F.asc("token")], 50).select(
+        "rank", "token", "n"
     )
 
 
@@ -614,13 +609,19 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY genre
 def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile segmentation of customers by revenue — the
     marketing-style windowed bucketing (deterministic: total order on
-    (revenue DESC, custkey))."""
+    (revenue DESC, custkey)).
+
+    Uses ``global_ntile`` — range-repartition + partition-offset ranks
+    — instead of ``ntile().over(Window.orderBy(...))``, which would
+    funnel every customer through one partition. Bucket sizing matches
+    SQL NTILE exactly, so the DuckDB oracle still hash-matches."""
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         dec_sum(F.col("o_totalprice"), "revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    tiled = rev.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    tiled = global_ntile(
+        rev, [F.desc("revenue"), F.asc("o_custkey")], 10
+    ).withColumnRenamed("tile", "decile")
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         dec_sum(F.col("revenue"), "decile_revenue"),

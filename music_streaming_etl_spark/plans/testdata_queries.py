@@ -42,6 +42,7 @@ from ..operators.aggregates import (
     topk_by_freq_ranked,
 )
 from ..operators.joins import anti_join_orphans, left_join_equi
+from ..operators.ranking import global_topk
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
@@ -701,11 +702,8 @@ def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner"
     ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
     agg = joined.groupBy("c_custkey", "c_name").agg(dec_sum(rev, "revenue", scale=4))
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "c_custkey", "c_name", "revenue")
+    return global_topk(agg, [F.desc("revenue"), F.asc("c_custkey")], 10).select(
+        "rank", "c_custkey", "c_name", "revenue"
     )
 
 
