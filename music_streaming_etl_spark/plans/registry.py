@@ -11,8 +11,10 @@ from __future__ import annotations
 from .analytics_queries import REGISTRY_ANALYTICS
 from .extension_queries import REGISTRY_EXT
 from .testdata_queries import REGISTRY as REGISTRY_CORE
+from .tpch_queries import REGISTRY_TPCH
 
 REGISTRY: dict = {}
 REGISTRY.update(REGISTRY_CORE)
 REGISTRY.update(REGISTRY_EXT)
 REGISTRY.update(REGISTRY_ANALYTICS)
+REGISTRY.update(REGISTRY_TPCH)

@@ -1,0 +1,250 @@
+"""TPC-H-pattern analytic queries beyond Q1/Q3/Q5 — the decision-
+support shapes a warehouse user runs daily, adapted to the driver's
+testdata columns (no l_commitdate / l_shipmode, so Q4's and Q12's
+predicates are re-expressed on the columns that exist; the *plan
+shapes* — EXISTS semi-join, conditional aggregation, join-filter-agg,
+HAVING subquery — are the point).
+
+Every query follows the engine's determinism playbook: decimal-exact
+money sums (``dec_sum``), total-order top-k via ``global_topk``
+(TakeOrderedAndProject, never a single-partition window), BIGINT
+counts on both engines.
+
+Scale notes (100 TB): every join here either broadcasts a dim
+(customer/part at testdata scale) or shuffles on the join key with
+partial aggregation below it; filters sit directly on the scan so
+parquet row-group pruning and AQE see them. Q18's HAVING subquery
+aggregates lineitem *before* joining — the classic shuffle-shrink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ranking import global_topk
+from .testdata_queries import _t, dec_sum
+
+
+def q_tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order-priority census of orders with at least one
+    "late" line (EXISTS → left-semi join). The reference predicate
+    (commitdate < receiptdate) is re-expressed as "a line shipped more
+    than 30 days after the order date" on the available columns."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.to_date(li.l_shipdate) > F.date_add(F.to_date(orders.o_orderdate), 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
+  )
+GROUP BY 1
+"""
+
+
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: pure filter→agg revenue forecast — the predicate-pushdown
+    showcase (all three filters reach the parquet scan; no shuffle at
+    all beyond the final single-row combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(dec_sum(rev, "revenue", scale=4))
+
+
+ORACLE_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top-20 customers by revenue lost to returns in a quarter —
+    fact→fact join shuffled on orderkey, customer dim broadcast, then
+    a bounded global top-k."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "inner"
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment").agg(
+        dec_sum(rev, "revenue", scale=4)
+    )
+    return global_topk(agg, [F.desc("revenue"), F.asc("c_custkey")], 20).select(
+        "rank", "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "revenue"
+    )
+
+
+ORACLE_Q10 = """
+WITH agg AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_returnflag = 'R'
+    AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) AS BIGINT) AS rank,
+       c_custkey, c_name, c_acctbal, c_mktsegment, revenue
+FROM agg
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional two-way counts per group (CASE-WHEN
+    aggregation). Re-expressed on the available columns: per
+    return-flag, how many 1996-shipped lines belong to urgent/high- vs
+    lower-priority orders."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+    )
+
+
+ORACLE_Q12 = """
+SELECT l.l_returnflag,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share for one month — lineitem⨝part with the
+    part dim broadcast, conditional decimal sums, one-row ratio.
+    Both sums stay decimal-exact until the final double division, so
+    the percentage is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    promo = F.col("p_type").startswith("PROMO")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(28,4)"))).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+ORACLE_Q14 = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))
+             ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+     / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1996-10-01'
+"""
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: customers with very large orders — aggregate lineitem to
+    order grain FIRST (HAVING sum(qty) > 200), then join the shrunken
+    key set back to orders/customer. The pre-join aggregation is the
+    shuffle-shrink that makes this viable at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = big.join(
+        orders, big.l_orderkey == orders.o_orderkey, "inner"
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    picked = joined.select(
+        "c_custkey", "c_name", "o_orderkey", "order_date", "o_totalprice", "total_qty"
+    )
+    return global_topk(
+        picked, [F.desc("o_totalprice"), F.asc("o_orderkey")], 100
+    ).select(
+        "rank", "c_custkey", "c_name", "o_orderkey", "order_date",
+        "o_totalprice", "total_qty",
+    )
+
+
+ORACLE_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) > 200
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS BIGINT) AS rank,
+       c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+REGISTRY_TPCH: dict = {
+    "tpch_q4_late_orders": (q_tpch_q4_late_orders, ORACLE_Q4),
+    "tpch_q6_forecast": (q_tpch_q6_forecast, ORACLE_Q6),
+    "tpch_q10_returns": (q_tpch_q10_returns, ORACLE_Q10),
+    "tpch_q12_priority_mix": (q_tpch_q12_priority_mix, ORACLE_Q12),
+    "tpch_q14_promo_effect": (q_tpch_q14_promo_effect, ORACLE_Q14),
+    "tpch_q18_large_orders": (q_tpch_q18_large_orders, ORACLE_Q18),
+}
