@@ -115,6 +115,98 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """Resize stage: payload in → payload out, metadata rewritten to
+    the new dimensions. The fake codec crops to ``width*height`` bytes
+    (deterministic, oracle-recomputable); a real build calls
+    PIL.Image.resize inside the same batch loop. Row-preserving (1:1),
+    so it composes with ``extract_features`` in one pipeline."""
+    if decoder == "real":
+        _unavailable_decode(b"")
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda p: bytes(p)[:target] if p is not None else None
+            )
+            meta = pdf["meta"].map(
+                lambda m: {
+                    "modality": m["modality"] if m is not None else None,
+                    "mime": m["mime"] if m is not None else None,
+                    "width": width,
+                    "height": height,
+                    "duration_ms": m["duration_ms"] if m is not None else None,
+                }
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": resized, "meta": meta}
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 32,
+    stride: int = 2,
+    max_frames: int = 5,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Frame-sampling stage: one media row → N frame rows (the batch
+    shape changes inside ``mapInPandas``, which a column-wise UDF
+    can't do). The fake codec treats the payload as fixed-size frames
+    of ``frame_bytes`` and keeps every ``stride``-th one up to
+    ``max_frames``; a real build seeks an ffmpeg demuxer the same way.
+    Empty payloads yield zero rows — exactly like a 0-frame video."""
+    if decoder == "real":
+        _unavailable_decode(b"")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "offset": [], "n_bytes": [], "frame": [],
+            }
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                total = (len(b) + frame_bytes - 1) // frame_bytes
+                for j, idx in enumerate(range(0, total, stride)):
+                    if j >= max_frames:
+                        break
+                    off = idx * frame_bytes
+                    chunk = b[off : off + frame_bytes]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["n_bytes"].append(len(chunk))
+                    out["frame"].append(chunk)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def parse_props(
     df: DataFrame, props_col: str, fields: dict[str, str]
 ) -> DataFrame:

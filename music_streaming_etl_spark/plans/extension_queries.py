@@ -495,6 +495,57 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end: payload → mapInPandas crop-resize →
+    rewritten metadata struct. Oracle recomputes the crop arithmetic
+    (1:1 row mapping, new dims, cropped byte count)."""
+    from ..operators.multimodal import resize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", "doc_id")
+    resized = resize_media(media, width=48, height=1)
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+
+
+ORACLE_MM_RESIZE = """
+SELECT doc_id, CAST(48 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+       CAST(LEAST(octet_length(encode(text)), 48) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one media row explodes into ≤5 frame
+    rows (every 2nd 32-byte frame) inside mapInPandas — the 1→N batch
+    reshape a real video sampler needs. Oracle regenerates the frame
+    index arithmetic with a lateral range()."""
+    from ..operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", "doc_id")
+    frames = sample_frames(media, frame_bytes=32, stride=2, max_frames=5)
+    return frames.select("doc_id", "frame_idx", "offset", "n_bytes")
+
+
+ORACLE_MM_FRAMES = """
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CAST(CEIL(octet_length(encode(text)) / 32.0) AS BIGINT) AS total
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 32 AS BIGINT) AS "offset",
+       CAST(LEAST(32, n - i * 32) AS BIGINT) AS n_bytes
+FROM f, UNNEST(range(0, LEAST(total, 10), 2)) AS t(i)
+"""
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rerun-stable ~20% corpus sample keyed on doc_id (same rows in
     any engine, any partitioning)."""
@@ -599,4 +650,6 @@ REGISTRY_EXT: dict = {
     "multimodal_props": (q_multimodal_props, ORACLE_PROPS),
     "multimodal_props_typed": (q_multimodal_props_typed, ORACLE_PROPS_TYPED),
     "multimodal_features": (q_multimodal_features, ORACLE_MM_FEATURES),
+    "multimodal_resize": (q_multimodal_resize, ORACLE_MM_RESIZE),
+    "multimodal_frames": (q_multimodal_frames, ORACLE_MM_FRAMES),
 }

@@ -79,3 +79,44 @@ def test_parse_props_types(spark):
     assert out[1] == (87, "x")
     assert out[2] == (None, None)
     assert out[3] == (None, None)
+
+
+def test_resize_media_crops_and_rewrites_meta(spark):
+    from music_streaming_etl_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    media = attach_media(df, "text", "doc_id")
+    out = {r["doc_id"]: r for r in resize_media(media, 8, 2).collect()}
+    assert len(out[1]["payload"]) == 16  # cropped to 8*2 bytes
+    assert len(out[2]["payload"]) == 5  # shorter than target: untouched
+    assert len(out[3]["payload"]) == 0
+    assert out[1]["meta"]["width"] == 8 and out[1]["meta"]["height"] == 2
+    assert out[1]["meta"]["modality"] == "image"  # rest of meta preserved
+
+
+def test_sample_frames_expansion(spark):
+    from music_streaming_etl_spark.operators.multimodal import sample_frames
+
+    # 100 bytes / frame_bytes=16 → 7 frames (last is 4 bytes);
+    # stride 2 keeps idx 0,2,4,6; max_frames=3 truncates to 0,2,4
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, "")], "doc_id long, text string"
+    )
+    media = attach_media(df, "text", "doc_id")
+    rows = sample_frames(media, frame_bytes=16, stride=2, max_frames=3).collect()
+    got = [(r["doc_id"], r["frame_idx"], r["offset"], r["n_bytes"]) for r in rows]
+    assert sorted(got) == [(1, 0, 0, 16), (1, 2, 32, 16), (1, 4, 64, 16)]
+    # doc 2 (empty payload) contributes zero rows — a 0-frame video
+
+
+def test_sample_frames_tail_frame(spark):
+    from music_streaming_etl_spark.operators.multimodal import sample_frames
+
+    # 20 bytes / 16 → frames at 0 (16B) and 1 (4B); stride 1 keeps both
+    df = spark.createDataFrame([(1, "b" * 20)], "doc_id long, text string")
+    media = attach_media(df, "text", "doc_id")
+    rows = sample_frames(media, frame_bytes=16, stride=1, max_frames=5).collect()
+    got = sorted((r["frame_idx"], r["n_bytes"], bytes(r["frame"])) for r in rows)
+    assert got == [(0, 16, b"b" * 16), (1, 4, b"b" * 4)]
