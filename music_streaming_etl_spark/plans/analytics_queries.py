@@ -644,7 +644,71 @@ FROM tiled GROUP BY 1
 """
 
 
+def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics via lag() — the lead/lag
+    window shape. Gaps are computed in integer MICROSECONDS
+    (``unix_micros`` ↔ DuckDB ``epoch_us``) so both engines subtract
+    the same exact integers; the mean divides two exact integers as
+    doubles. Window is partitioned by user — no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.withColumn("gap_us", us - F.lag(us, 1).over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_gap_us"
+        ),
+    )
+
+
+ORACLE_INTERARRIVAL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+"""
+
+
+def q_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer retention via set operators — INTERSECT
+    (retained), EXCEPT (churned / new). Each input is a pre-distincted
+    single-column key set, so the set ops shuffle only distinct keys
+    (the 100 TB-safe shape: dedup before the set op, not after)."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year(F.to_date("o_orderdate"))
+    a95 = orders.filter(yr == 1995).select("o_custkey").distinct()
+    a96 = orders.filter(yr == 1996).select("o_custkey").distinct()
+    one = F.count(F.lit(1)).cast("bigint")
+    retained = a95.intersect(a96).agg(one.alias("retained"))
+    churned = a95.exceptAll(a96).agg(one.alias("churned"))
+    new = a96.exceptAll(a95).agg(one.alias("new_customers"))
+    # three single-row aggregates; the cross joins are 1×1×1
+    return retained.crossJoin(churned).crossJoin(new)
+
+
+ORACLE_RETENTION = """
+WITH a95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+     a96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+SELECT (SELECT COUNT(*) FROM (SELECT * FROM a95 INTERSECT SELECT * FROM a96)) AS retained,
+       (SELECT COUNT(*) FROM (SELECT * FROM a95 EXCEPT SELECT * FROM a96)) AS churned,
+       (SELECT COUNT(*) FROM (SELECT * FROM a96 EXCEPT SELECT * FROM a95)) AS new_customers
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "event_interarrival": (q_event_interarrival, ORACLE_INTERARRIVAL),
+    "customer_retention": (q_customer_retention, ORACLE_RETENTION),
     "revenue_deciles": (q_revenue_deciles, ORACLE_DECILES),
     "popularity_index": (q_popularity_index, ORACLE_POPULARITY),
     "engagement_top_track": (q_engagement_top_track, ORACLE_ENGAGEMENT_TOP),
