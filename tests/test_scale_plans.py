@@ -137,3 +137,52 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     assert "*(1) HashAggregate" in plan
     assert "*(2) HashAggregate" in plan
     assert "isFinalPlan=true" in plan
+
+
+def test_q6_date_cast_filter_reaches_scan(spark, sf_dir):
+    """to_date(ts) >= date-literal must be unwrapped by Catalyst into a
+    pushable timestamp range — if this regresses, Q6 scans the whole
+    fact at 100 TB instead of pruning row groups."""
+    from music_streaming_etl_spark.plans.tpch_queries import q_tpch_q6_forecast
+
+    # plan toString truncates scan metadata at 100 chars — widen so the
+    # filter list is actually visible to the assertions below
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(q_tpch_q6_forecast(spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    # the timestamp range appears as a direct comparison on l_shipdate
+    # inside the scan's DataFilters (no cast wrapper left)
+    assert "l_shipdate" in scan and ">=" in scan
+    assert "PushedFilters: [IsNotNull" in scan
+    # column pruning: only the 4 needed columns are read
+    assert "l_tax" not in scan and "l_returnflag" not in scan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """Q18's HAVING subquery must aggregate lineitem to order grain
+    BEFORE joining orders/customer (shuffle-shrink), not after."""
+    from music_streaming_etl_spark.plans.tpch_queries import (
+        q_tpch_q18_large_orders,
+    )
+
+    plan = _plan(q_tpch_q18_large_orders(spark, sf_dir))
+    lines = plan.splitlines()
+    first_join = min(
+        i for i, l in enumerate(lines) if "Join" in l and "Exchange" not in l
+    )
+    # a HashAggregate on l_quantity sits BELOW (after, in toString
+    # order) the first join — i.e. the join consumes aggregated rows
+    agg_below = any("HashAggregate" in l for l in lines[first_join:])
+    assert agg_below, plan
+
+
+def test_global_topk_in_query_plans_take_ordered(spark, sf_dir):
+    """The rewritten top-k queries must plan TakeOrderedAndProject —
+    not a single-partition WindowExec over the full input."""
+    from music_streaming_etl_spark.plans.tpch_queries import q_tpch_q10_returns
+
+    plan = _plan(q_tpch_q10_returns(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
