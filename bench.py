@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "similarity_topk",
+    "tpch_q6_forecast",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "event_interarrival",
 ]
 
 
