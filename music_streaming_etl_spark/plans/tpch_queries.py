@@ -240,7 +240,88 @@ LIMIT 100
 """
 
 
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery — revenue from lines whose
+    quantity is under 20% of that part's average quantity. Expressed as
+    per-part aggregate + join-back (what a warehouse planner decorrelates
+    to); the per-part avg is decimal-exact so the 0.2× threshold
+    compares identical doubles in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    joined = li.join(
+        per_part.withColumnRenamed("l_partkey", "p_key"),
+        li.l_partkey == F.col("p_key"),
+        "inner",
+    )
+    return joined.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double")
+            / 7.0
+        ).alias("avg_yearly")
+    )
+
+
+ORACLE_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < 0.2 * p.avg_qty
+"""
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: scalar MAX subquery — the supplier(s) whose quarterly
+    revenue equals the maximum. The max is broadcast back over the
+    per-supplier aggregate; equality compares two doubles produced by
+    the identical decimal-sum expression, so it is exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(dec_sum(rev, "total_revenue", scale=4))
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    top = per_supp.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
+    return top.join(
+        F.broadcast(supp), top.l_suppkey == supp.s_suppkey, "inner"
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+ORACLE_Q15 = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, p.total_revenue
+FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+"""
+
+
 REGISTRY_TPCH: dict = {
+    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, ORACLE_Q15),
+    "tpch_q17_small_quantity": (q_tpch_q17_small_quantity, ORACLE_Q17),
     "tpch_q4_late_orders": (q_tpch_q4_late_orders, ORACLE_Q4),
     "tpch_q6_forecast": (q_tpch_q6_forecast, ORACLE_Q6),
     "tpch_q10_returns": (q_tpch_q10_returns, ORACLE_Q10),
