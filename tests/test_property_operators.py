@@ -97,3 +97,48 @@ def test_minhash_pairs_are_sound(spark, texts):
         j = len(a & b) / len(a | b)
         assert j >= 0.5
         assert abs(j - r["jaccard_sim"]) < 1e-6
+
+
+rank_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 4)),  # (score with ties, salt)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=rank_rows, n=st.integers(1, 7))
+def test_global_rank_and_ntile_match_windows(spark, rows, n):
+    """global_rank/global_ntile must equal row_number()/ntile() over
+    the same total order for ANY data (ties, uneven sizes, n > rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_spark.operators.ranking import (
+        global_ntile,
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(rows)], "id long, score long"
+    ).repartition(3)
+    order = [F.desc("score"), F.asc("id")]  # total order (id unique)
+    w = Window.orderBy(*order)
+
+    got_rank = {r["id"]: r["rank"] for r in global_rank(df, order, 3).collect()}
+    want_rank = {
+        r["id"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got_rank == want_rank
+
+    got_tile = {r["id"]: r["tile"] for r in global_ntile(df, order, n, 3).collect()}
+    want_tile = {
+        r["id"]: r["tile"]
+        for r in df.withColumn("tile", F.ntile(n).over(w).cast("bigint")).collect()
+    }
+    assert got_tile == want_tile
