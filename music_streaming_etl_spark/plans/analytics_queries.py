@@ -644,6 +644,50 @@ FROM tiled GROUP BY 1
 """
 
 
+def q_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 order-price per market segment —
+    one partitioned window pass + conditional aggregation. Nearest-rank
+    (ceil(p·n)) is deterministic in any engine, unlike interpolated
+    PERCENTILE_CONT or sketch-based approx percentiles; at 100 TB the
+    same shape runs on approx_percentile instead (documented trade)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    ranked = seg.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("cnt"),
+    )
+
+    def pick(p: float, alias: str):
+        rank = F.ceil(F.col("cnt") * p).cast("bigint")
+        return F.max(F.when(F.col("rn") == rank, F.col("o_totalprice"))).alias(alias)
+
+    return ranked.groupBy("c_mktsegment").agg(
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99")
+    )
+
+
+ORACLE_PERCENTILES = """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice, o.o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS cnt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       MAX(CASE WHEN rn = CAST(CEIL(cnt * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rn = CAST(CEIL(cnt * 0.9) AS BIGINT) THEN o_totalprice END) AS p90,
+       MAX(CASE WHEN rn = CAST(CEIL(cnt * 0.99) AS BIGINT) THEN o_totalprice END) AS p99
+FROM ranked GROUP BY 1
+"""
+
+
 def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival statistics via lag() — the lead/lag
     window shape. Gaps are computed in integer MICROSECONDS
@@ -709,6 +753,7 @@ SELECT (SELECT COUNT(*) FROM (SELECT * FROM a95 INTERSECT SELECT * FROM a96)) AS
 REGISTRY_ANALYTICS: dict = {
     "event_interarrival": (q_event_interarrival, ORACLE_INTERARRIVAL),
     "customer_retention": (q_customer_retention, ORACLE_RETENTION),
+    "revenue_percentiles": (q_revenue_percentiles, ORACLE_PERCENTILES),
     "revenue_deciles": (q_revenue_deciles, ORACLE_DECILES),
     "popularity_index": (q_popularity_index, ORACLE_POPULARITY),
     "engagement_top_track": (q_engagement_top_track, ORACLE_ENGAGEMENT_TOP),
