@@ -6,7 +6,12 @@ column names, and cell-exact values (after sorting rows by all
 columns). Reports per-query PASS/FAIL with a diff sample, plus float
 max-abs-diff for near-misses.
 
-Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+Usage: python scripts/selfcheck.py [--hostile] [sf_dir] [query ...]
+
+``--hostile`` rebuilds the session the way a driver might: AQE off,
+200 shuffle partitions, non-UTC timezone. Results must STILL
+hash-match the oracle — the determinism playbook (decimal sums, total
+orders, per-query UTC pin in ``_t``) cannot depend on session conf.
 """
 
 from __future__ import annotations
@@ -92,9 +97,23 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("selfcheck")
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    if hostile:
+        args.remove("--hostile")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if hostile:
+        spark = get_spark(
+            "selfcheck-hostile",
+            shuffle_partitions=200,
+            extra_conf={
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.session.timeZone": "America/New_York",
+            },
+        )
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
