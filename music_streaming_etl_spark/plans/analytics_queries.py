@@ -750,7 +750,50 @@ SELECT (SELECT COUNT(*) FROM (SELECT * FROM a95 INTERSECT SELECT * FROM a96)) AS
 """
 
 
+def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue: daily pre-aggregation, then a RANGE-frame
+    window (6 preceding days .. current) over epoch-day integers — the
+    time-based frame shape ROWS frames can't express (gaps in the
+    calendar must widen the lookback, not slide it).
+
+    Scale: the window input is the DAILY rollup — bounded by the
+    calendar (~2.4k rows here, ~37k rows for a century), CONSTANT in
+    fact size, so the unpartitioned window is safe at any data scale.
+    The rolling sum accumulates DECIMAL inside the frame and casts to
+    double only at the end — exact in both engines regardless of
+    frame-evaluation order (segment trees vs sequential)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("day_rev")
+    )
+    epoch_day = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.orderBy(epoch_day.cast("long"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "d",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.sum("day_rev").over(w).cast("double").alias("rolling_7d_revenue"),
+    )
+
+
+ORACLE_ROLLING_7D = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS day_rev
+  FROM orders GROUP BY 1
+)
+SELECT d, CAST(day_rev AS DOUBLE) AS day_revenue,
+       CAST(SUM(day_rev) OVER (ORDER BY date_diff('day', DATE '1970-01-01', d)
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS rolling_7d_revenue
+FROM daily
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "rolling_7day_revenue": (q_rolling_7day_revenue, ORACLE_ROLLING_7D),
     "event_interarrival": (q_event_interarrival, ORACLE_INTERARRIVAL),
     "customer_retention": (q_customer_retention, ORACLE_RETENTION),
     "revenue_percentiles": (q_revenue_percentiles, ORACLE_PERCENTILES),
