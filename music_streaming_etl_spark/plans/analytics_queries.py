@@ -792,8 +792,40 @@ FROM daily
 """
 
 
+def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day conditional distinct counts — the FILTER-clause
+    aggregation shape: overall DAU, purchasers only, error-affected
+    users, plus purchase revenue, in ONE pass (no per-condition
+    re-scan). Each conditional distinct is countDistinct over a
+    CASE-nulled key; decimal-exact revenue."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date("ts").alias("d")
+    is_purchase = F.col("event_type") == "purchase"
+    is_error = F.col("event_type") == "error"
+    return ev.groupBy(d).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.countDistinct(F.when(is_purchase, F.col("user_id"))).alias("purchasers"),
+        F.countDistinct(F.when(is_error, F.col("user_id"))).alias("error_users"),
+        F.sum(
+            F.when(is_purchase, F.col("value").cast("decimal(28,2)"))
+        ).cast("double").alias("purchase_revenue"),
+    )
+
+
+ORACLE_DAU = """
+SELECT CAST(ts AS DATE) AS d,
+       COUNT(DISTINCT user_id) AS dau,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
+       COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS error_users,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS purchase_revenue
+FROM events GROUP BY 1
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "rolling_7day_revenue": (q_rolling_7day_revenue, ORACLE_ROLLING_7D),
+    "daily_active_users": (q_daily_active_users, ORACLE_DAU),
     "event_interarrival": (q_event_interarrival, ORACLE_INTERARRIVAL),
     "customer_retention": (q_customer_retention, ORACLE_RETENTION),
     "revenue_percentiles": (q_revenue_percentiles, ORACLE_PERCENTILES),
