@@ -319,7 +319,50 @@ WHERE p.total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
 """
 
 
+def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar AVG subquery + NOT EXISTS anti-join — wealthy
+    customers (balance above the positive-balance average) who have
+    never ordered, rolled up per nation. The scalar average broadcasts;
+    the anti-join streams orders' key set; decimal-exact balance sums."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    wealthy = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    idle = wealthy.join(
+        orders, wealthy.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dec_sum(F.col("c_acctbal"), "total_balance"),
+    )
+
+
+ORACLE_Q22 = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_balance
+FROM customer c, avg_bal a
+WHERE c.c_acctbal > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
 REGISTRY_TPCH: dict = {
+    "tpch_q22_idle_customers": (q_tpch_q22_idle_customers, ORACLE_Q22),
     "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, ORACLE_Q15),
     "tpch_q17_small_quantity": (q_tpch_q17_small_quantity, ORACLE_Q17),
     "tpch_q4_late_orders": (q_tpch_q4_late_orders, ORACLE_Q4),
