@@ -45,10 +45,35 @@ def cast_double(c: Column | str) -> Column:
 
 def python_list_literal(arr: Column | str) -> Column:
     """Render ``array<string>`` exactly as pandas ``to_csv`` renders a
-    Python list: ``['a', 'b']`` with single quotes and ", " separators
-    (ref :211 — how ``top_artists`` lands in Redshift as TEXT).
+    Python list: ``['a', 'b']`` with ", " separators and Python
+    ``repr`` quote rules per element (ref :211 — how ``top_artists``
+    lands in Redshift as TEXT):
+
+    - contains ``'`` but no ``"`` → double-quoted: ``"Guns N' Roses"``
+    - contains both quotes → single-quoted, ``'`` backslash-escaped
+    - otherwise → single-quoted; backslashes always double
+
+    Parity is exact for printable strings (repr additionally hex-escapes
+    control characters — out of scope for artist names).
     Empty array → ``[]``; null array → null.
     """
     col = F.col(arr) if isinstance(arr, str) else arr
-    quoted = F.transform(col, lambda x: F.concat(F.lit("'"), x, F.lit("'")))
-    return F.concat(F.lit("["), F.concat_ws(", ", quoted), F.lit("]"))
+
+    def render(x: Column) -> Column:
+        esc = F.replace(x, F.lit("\\"), F.lit("\\\\"))
+        has_sq = x.contains("'")
+        has_dq = x.contains('"')
+        return (
+            F.when(has_sq & ~has_dq, F.concat(F.lit('"'), esc, F.lit('"')))
+            .when(
+                has_sq & has_dq,
+                F.concat(
+                    F.lit("'"),
+                    F.replace(esc, F.lit("'"), F.lit("\\'")),
+                    F.lit("'"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("'"), esc, F.lit("'")))
+        )
+
+    return F.concat(F.lit("["), F.concat_ws(", ", F.transform(col, render)), F.lit("]"))

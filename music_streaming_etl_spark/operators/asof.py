@@ -50,6 +50,13 @@ def asof_join(
         l_tagged = l_tagged.withColumn(f"__v_{c}", F.lit(None).cast(right.schema[c].dataType))
 
     r_cols = [F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias(_SIDE)]
+    if seq_col is not None:
+        if seq_col not in right.columns:
+            raise ValueError(
+                f"seq_col {seq_col!r} not in right columns {right.columns}"
+            )
+        # carry seq through the select — it must survive into the union
+        r_cols.append(F.col(seq_col).alias("__seq"))
     r_tagged = right.select(
         *r_cols, *[F.col(c).alias(f"__v_{c}") for c in value_cols]
     )
@@ -57,13 +64,17 @@ def asof_join(
         if c not in (key,):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
+    # order: (ts, side, seq) — side separates left/right FIRST at equal
+    # ts (right side=0 sorts before left, preserving <= at-or-before
+    # semantics), THEN seq breaks ties among equal-ts right rows
+    # (highest seq sorts last → wins last(ignoreNulls)). Left rows'
+    # null seq never matters: side already made them distinct.
     order = [F.col("__ts").asc(), F.col(_SIDE).asc()]
     if seq_col is not None:
-        # right rows carry seq; left rows' null seq sorts first, which
-        # is irrelevant since side already separates them at equal ts
-        r_tagged = r_tagged.withColumn("__seq", F.col(seq_col) if seq_col in right.columns else F.lit(None))
-        l_tagged = l_tagged.withColumn("__seq", F.lit(None).cast("long"))
-        order.insert(1, F.col("__seq").asc_nulls_first())
+        l_tagged = l_tagged.withColumn(
+            "__seq", F.lit(None).cast(right.schema[seq_col].dataType)
+        )
+        order.append(F.col("__seq").asc_nulls_first())
 
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (

@@ -4,9 +4,16 @@ The reference's only joins are two pandas left merges
 (``dags/music_streaming_etl_dags.py:178-179``): streams ⟕ songs on
 ``track_id``, then ⟕ users on ``user_id``. Both dims are
 broadcast-sized (50k users); at 100 TB fact scale the dims still fit
-— users/songs grow with the catalog, not the event stream — so the
-engine broadcasts dims by default and lets Catalyst fall back to
-sort-merge when a dim exceeds ``spark.sql.autoBroadcastJoinThreshold``.
+— users/songs grow with the catalog, not the event stream.
+
+Broadcast policy: an explicit ``F.broadcast()`` hint OVERRIDES
+``spark.sql.autoBroadcastJoinThreshold`` — Catalyst does NOT fall back
+to sort-merge when the hinted side turns out huge; it builds the
+broadcast and fails/OOMs. So these helpers are size-aware by default:
+they hint a broadcast only when Catalyst's own size estimate for the
+dim side is under the session threshold, and otherwise plan a shuffle
+join and let AQE demote it to broadcast at runtime if the *actual*
+size fits (the safe direction).
 """
 
 from __future__ import annotations
@@ -14,39 +21,101 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_DEFAULT_THRESHOLD = 10 * 1024 * 1024  # Spark's autoBroadcastJoinThreshold default
+
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+}
+
+
+def _parse_bytes(conf_value: str) -> int:
+    """Parse a Spark byte-size conf string ("10485760", "10MB", "-1")."""
+    s = conf_value.strip().lower()
+    for suffix in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * _SIZE_SUFFIXES[suffix])
+    return int(float(s))
+
+
+def fits_broadcast(dim: DataFrame, threshold: int | None = None) -> bool:
+    """True when Catalyst's optimized-plan size estimate for ``dim`` is
+    within ``spark.sql.autoBroadcastJoinThreshold`` (or an explicit
+    byte threshold). Conservative: any failure to estimate → False,
+    because a wrongly-forced broadcast OOMs while a wrongly-planned
+    shuffle join merely costs an exchange (and AQE can still demote it
+    to broadcast at runtime)."""
+    try:
+        if threshold is None:
+            conf = dim.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", str(_DEFAULT_THRESHOLD)
+            )
+            threshold = _parse_bytes(conf)
+        if threshold <= 0:  # -1 disables broadcasting
+            return False
+        size = int(
+            dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        return 0 < size <= threshold
+    except Exception:
+        return False
+
+
+def _maybe_broadcast(dim: DataFrame, broadcast_dim: bool | None) -> DataFrame:
+    if broadcast_dim is True:
+        return F.broadcast(dim)
+    if broadcast_dim is None and fits_broadcast(dim):
+        return F.broadcast(dim)
+    return dim
+
 
 def left_join_equi(
     fact: DataFrame,
     dim: DataFrame,
     key: str | list[str],
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
     """J1/J2 — left equi-join fact ⟕ dim; unmatched fact rows keep
     NULL dim columns (pandas ``merge(how="left")`` semantics).
 
-    ``broadcast_dim=True`` hints a broadcast-hash join (no shuffle of
-    the fact side — the scale-critical property). Catalyst ignores the
-    hint when the dim is too large and plans sort-merge instead.
-    """
-    d = F.broadcast(dim) if broadcast_dim else dim
-    return fact.join(d, on=key, how="left")
+    ``broadcast_dim``: ``None`` (default) hints a broadcast only when
+    the dim's estimated size fits the session broadcast threshold —
+    an explicit hint is NOT ignored by Catalyst when the side is huge,
+    so forcing one on an unbounded side is an OOM, not a fallback.
+    ``True`` forces the hint (caller asserts the dim is bounded);
+    ``False`` never hints (AQE may still broadcast at runtime)."""
+    return fact.join(_maybe_broadcast(dim, broadcast_dim), on=key, how="left")
 
 
 def anti_join_orphans(
-    fact: DataFrame, dim: DataFrame, key: str | list[str]
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
     """V6 — referential-integrity orphan finder: fact rows with no
     match in dim (claimed at ``README.md:33`` but never implemented in
     the reference — the NaN-genre rows are silently dropped instead).
-    A left-anti join is the distributed equivalent of
-    ``NOT EXISTS``."""
-    return fact.join(F.broadcast(dim), on=key, how="left_anti")
+    A left-anti join is the distributed equivalent of ``NOT EXISTS``.
+    Size-aware broadcast policy as in :func:`left_join_equi`."""
+    return fact.join(_maybe_broadcast(dim, broadcast_dim), on=key, how="left_anti")
 
 
 def semi_join_matched(
-    fact: DataFrame, dim: DataFrame, key: str | list[str]
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
     """Companion of the orphan finder: fact rows *with* a match
     (``EXISTS``) — used by validation to split good/bad rows in one
-    pass without materializing the dim columns."""
-    return fact.join(F.broadcast(dim), on=key, how="left_semi")
+    pass without materializing the dim columns.
+    Size-aware broadcast policy as in :func:`left_join_equi`."""
+    return fact.join(_maybe_broadcast(dim, broadcast_dim), on=key, how="left_semi")

@@ -35,7 +35,9 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        # customer is fact-scaled even after the segment filter — semi-join
+        # shuffles on custkey; AQE demotes to broadcast when it truly fits.
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
     )
     agg = joined.groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date")).agg(
         dec_sum(rev, "revenue", scale=4)
@@ -65,8 +67,10 @@ FROM agg QUALIFY rank <= 10
 
 def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join lineitem→orders→customer→nation→region —
-    the deepest join chain in the suite; every dim broadcasts, the
-    fact never shuffles until the final 5-group aggregation."""
+    the deepest join chain in the suite. orders and customer grow
+    with the fact (they are NOT dims), so they shuffle-join on their
+    keys — AQE picks the physical strategy; only the true dims
+    nation (25 rows) and region (5 rows) carry broadcast hints."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -76,8 +80,8 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -436,9 +440,10 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 
 def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped: revenue per nation from orders where the
-    supplier and customer share the nation — a 6-way join (all four
-    dims + supplier) with a residual non-equi condition, region
-    filter, and date range."""
+    supplier and customer share the nation — a 6-way join with a
+    residual non-equi condition, region filter, and date range.
+    orders/customer/supplier are fact-scaled (they grow with SF), so
+    they shuffle-join; only nation/region broadcast."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -456,9 +461,9 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi")
@@ -652,9 +657,8 @@ def q_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape runs on approx_percentile instead (documented trade)."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    seg = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
-    )
+    # customer is fact-scaled (grows with SF) — shuffle-join, no hint.
+    seg = orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
     w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
     ranked = seg.select(
         "c_mktsegment",

@@ -584,7 +584,8 @@ WITH tagged AS (
               THEN 'val' ELSE 'train' END AS split
   FROM documents
 )
-SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM tagged GROUP BY 1, 2
 """
 
@@ -631,7 +632,8 @@ REGISTRY_EXT: dict = {
     ),
     "lang_distribution": (
         q_lang_distribution,
-        "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars"
+        "SELECT lang, COUNT(*) AS n_docs,"
+        " CAST(SUM(n_chars) AS BIGINT) AS total_chars"
         " FROM documents GROUP BY 1",
     ),
     "doc_fingerprint": (

@@ -698,9 +698,11 @@ def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # orders/customer are fact-scaled — shuffle-join on the keys and let
+    # AQE pick the strategy; forcing a broadcast here OOMs at 100 TB.
     joined = li.join(
-        F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner"
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        orders, li.l_orderkey == orders.o_orderkey, "inner"
+    ).join(cust, orders.o_custkey == cust.c_custkey, "inner")
     agg = joined.groupBy("c_custkey", "c_name").agg(dec_sum(rev, "revenue", scale=4))
     return global_topk(agg, [F.desc("revenue"), F.asc("c_custkey")], 10).select(
         "rank", "c_custkey", "c_name", "revenue"

@@ -10,11 +10,16 @@ money sums (``dec_sum``), total-order top-k via ``global_topk``
 (TakeOrderedAndProject, never a single-partition window), BIGINT
 counts on both engines.
 
-Scale notes (100 TB): every join here either broadcasts a dim
-(customer/part at testdata scale) or shuffles on the join key with
-partial aggregation below it; filters sit directly on the scan so
-parquet row-group pruning and AQE see them. Q18's HAVING subquery
-aggregates lineitem *before* joining — the classic shuffle-shrink.
+Scale notes (100 TB): fact-scaled tables (orders, customer, supplier
+— they grow with SF) always shuffle-join on their keys with partial
+aggregation below; only true dims (part here, nation/region elsewhere)
+and provably tiny derived sets (a scalar aggregate, the max-revenue
+row set) carry broadcast hints. AQE may still demote a shuffle join to
+broadcast at runtime when a side truly fits — that is the safe
+direction; a forced ``F.broadcast`` on a fact-scaled side is not.
+Filters sit directly on the scan so parquet row-group pruning and AQE
+see them. Q18's HAVING subquery aggregates lineitem *before* joining —
+the classic shuffle-shrink.
 """
 
 from __future__ import annotations
@@ -88,8 +93,9 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
 
 def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10: top-20 customers by revenue lost to returns in a quarter —
-    fact→fact join shuffled on orderkey, customer dim broadcast, then
-    a bounded global top-k."""
+    fact→fact join shuffled on orderkey, customer shuffle-joined on
+    custkey (customer grows with SF — not broadcastable at 100 TB),
+    then a bounded global top-k."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
@@ -99,7 +105,7 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey, "inner"
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    ).join(cust, orders.o_custkey == cust.c_custkey, "inner")
     agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment").agg(
         dec_sum(rev, "revenue", scale=4)
     )
@@ -212,7 +218,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     joined = big.join(
         orders, big.l_orderkey == orders.o_orderkey, "inner"
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    ).join(cust, orders.o_custkey == cust.c_custkey, "inner")
     picked = joined.select(
         "c_custkey", "c_name", "o_orderkey", "order_date", "o_totalprice", "total_qty"
     )
@@ -298,8 +304,10 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = per_supp.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_revenue")
     )
-    return top.join(
-        F.broadcast(supp), top.l_suppkey == supp.s_suppkey, "inner"
+    # `top` is the handful of max-revenue rows — broadcast THAT side;
+    # supplier grows with SF and must never be broadcast.
+    return supp.join(
+        F.broadcast(top), top.l_suppkey == supp.s_suppkey, "inner"
     ).select("s_suppkey", "s_name", "total_revenue")
 
 

@@ -42,7 +42,23 @@ def merge_upsert(
     """Pure MERGE: rows from ``staging`` replace target rows sharing
     the key; unmatched target rows survive; duplicate keys *within*
     staging resolve by ``order_by`` DESC then by source priority.
-    Deterministic for any input partitioning."""
+
+    Determinism contract: staging-vs-target conflicts always resolve
+    deterministically (staging wins via source priority). Duplicate
+    keys *within staging* are deterministic only when ``order_by``
+    totally orders them — with the default ``order_by=()`` they tie on
+    priority alone and ``row_number`` picks an arbitrary survivor that
+    can change between runs/partitionings. Pass a version/timestamp
+    column whenever staging may contain duplicate keys (the same
+    total-order rule the ranking/mode operators enforce)."""
+    if not order_by:
+        import warnings
+
+        warnings.warn(
+            "merge_upsert(order_by=()) is nondeterministic if staging "
+            "contains duplicate keys — pass a version/timestamp column",
+            stacklevel=2,
+        )
     staged = staging.withColumn(_PRIORITY, F.lit(0))
     if target is None:
         unioned = staged

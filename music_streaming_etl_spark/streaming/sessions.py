@@ -59,8 +59,15 @@ def make_sessionizer(gap_seconds: int = 1800):
             last_epoch, session_id, n_events = None, 0, 0
 
         last_ts = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # applyInPandasWithState may deliver one group's batch as
+        # MULTIPLE chunks — concatenate and sort ONCE across the whole
+        # group; per-chunk sorting would stitch events in chunk order,
+        # not global (ts, event_id) order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for ts in pdf["ts"]:
                 epoch = ts.timestamp()
                 if last_epoch is not None and epoch - last_epoch > gap_seconds:

@@ -105,3 +105,20 @@ def test_list_literal_csv_boundary(spark):
     df = spark.createDataFrame([(["a", "b"],), ([],)], "arr array<string>")
     got = [r["s"] for r in df.select(python_list_literal("arr").alias("s")).collect()]
     assert got == ["['a', 'b']", "[]"]
+
+
+def test_list_literal_matches_python_repr_on_quotes(spark):
+    """Element quoting must follow Python repr rules — pandas to_csv
+    writes str(list), so "Guns N' Roses" switches to double quotes."""
+    cases = [
+        ["Guns N' Roses", "AC/DC"],          # single quote → double-quoted
+        ['She said "hi"'],                   # double quote → single-quoted
+        ["""mix 'o' "q" """.strip()],        # both → backslash-escaped '
+        ["back\\slash"],                     # backslash doubles
+        ["plain"],
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "arr array<string>")
+    got = [
+        r["s"] for r in df.select(python_list_literal("arr").alias("s")).collect()
+    ]
+    assert got == [str(c) for c in cases]

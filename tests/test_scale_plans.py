@@ -179,6 +179,78 @@ def test_q18_aggregates_before_join(spark, sf_dir):
     assert agg_below, plan
 
 
+def test_no_forced_broadcast_on_fact_scaled_sides(spark, sf_dir):
+    """orders/customer/supplier grow with scale factor — no query may
+    FORCE them into a broadcast (an explicit hint overrides the size
+    threshold and OOMs at 100 TB; Catalyst does not fall back).
+
+    Detection: with autoBroadcastJoinThreshold=-1 an auto-chosen
+    broadcast disappears but a hinted one persists in the initial plan.
+    So any BroadcastExchange left under -1 is a forced hint — only the
+    true dims (nation/region) and provably tiny derived sets may
+    remain."""
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_revenue_by_region,
+        q_revenue_percentiles,
+        q_tpch_q5_local_supplier,
+    )
+    from music_streaming_etl_spark.plans.testdata_queries import (
+        q_top_revenue_customers,
+    )
+    from music_streaming_etl_spark.plans.tpch_queries import (
+        q_tpch_q10_returns,
+        q_tpch_q18_large_orders,
+    )
+
+    # (query, min shuffle joins, max hinted broadcasts allowed)
+    cases = [
+        (q_revenue_by_region, 2, 2),       # nation + region stay hinted
+        (q_tpch_q5_local_supplier, 3, 2),  # nation + region stay hinted
+        (q_revenue_percentiles, 1, 0),
+        (q_top_revenue_customers, 2, 0),
+        (q_tpch_q10_returns, 2, 0),
+        (q_tpch_q18_large_orders, 2, 0),
+    ]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn, min_smj, max_bcast in cases:
+            plan = _plan(fn(spark, sf_dir)).split("== Initial Plan ==")[0]
+            n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+            assert n_smj >= min_smj, f"{fn.__name__}: {n_smj} shuffle joins\n{plan}"
+            n_bcast = plan.count("BroadcastExchange")
+            assert n_bcast <= max_bcast, (
+                f"{fn.__name__}: {n_bcast} forced broadcasts (max {max_bcast})\n{plan}"
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_left_join_equi_auto_is_size_aware(spark, sf_dir):
+    """Default (auto) mode: small dim → broadcast hint; with
+    broadcasting disabled the same call plans a shuffle join instead
+    of forcing the hint."""
+    from music_streaming_etl_spark.operators.joins import left_join_equi
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plan_auto = _plan(left_join_equi(li, orders, "l_orderkey"))
+    assert "BroadcastHashJoin" in plan_auto  # fits at test scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_off = _plan(left_join_equi(li, orders, "l_orderkey")).split(
+            "== Initial Plan =="
+        )[0]
+        assert "BroadcastExchange" not in plan_off, plan_off
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_global_topk_in_query_plans_take_ordered(spark, sf_dir):
     """The rewritten top-k queries must plan TakeOrderedAndProject —
     not a single-partition WindowExec over the full input."""
