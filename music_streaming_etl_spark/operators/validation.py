@@ -96,6 +96,48 @@ def check_referential(
     return CheckResult(name, orphans == 0, {"orphans": orphans})
 
 
+def check_no_nulls_pushdown(
+    spark,
+    url: str,
+    table: str,
+    cols: Sequence[str],
+    properties: dict[str, str] | None = None,
+    name: str = "no_nulls_pushdown",
+    quote: str = '"',
+) -> CheckResult:
+    """V2, executed SOURCE-SIDE: the aggregate runs inside the source
+    database via the JDBC ``query`` option and only the 1-row report
+    crosses the wire — the Spark twin of the reference's
+    ``USERS_VALIDATION_QUERY`` (``dags/music_streaming_etl_dags.py:
+    65-80``: ``COUNT(CASE WHEN col IS NULL THEN 1 END)`` per column).
+    Same CheckResult contract as :func:`check_no_nulls`, so the two are
+    interchangeable in a ``validate()`` suite; use this one when the
+    data lives in an RDBMS and pulling it across first would dwarf the
+    check itself."""
+    from ..sources.io import jdbc_query_reader
+
+    # quote COLUMN identifiers — Spark's JDBC writer creates columns
+    # quoted (case-preserved), so unquoted names case-fold and fail to
+    # resolve. Table names it passes through unquoted, so ``table`` is
+    # used verbatim (quote it yourself for a case-sensitive name).
+    q = lambda ident: f"{quote}{ident}{quote}"  # noqa: E731
+    null_counts = ", ".join(
+        f"COUNT(CASE WHEN {q(c)} IS NULL THEN 1 END) AS nulls_{i}"
+        for i, c in enumerate(cols)
+    )
+    query = f"SELECT COUNT(*) AS total_rows, {null_counts} FROM {table}"
+    row = jdbc_query_reader(spark, url, query, properties).load().collect()[0]
+    # dialects disagree on identifier casing (Derby uppercases) —
+    # normalize through a lowercased dict
+    fields = {k.lower(): v for k, v in row.asDict().items()}
+    nulls = {
+        c: int(fields[f"nulls_{i}"])
+        for i, c in enumerate(cols)
+        if fields[f"nulls_{i}"] and int(fields[f"nulls_{i}"]) > 0
+    }
+    return CheckResult(name, not nulls, {"null_counts": nulls})
+
+
 def quarantine_split(
     df: DataFrame, valid_cond: Column
 ) -> tuple[DataFrame, DataFrame]:

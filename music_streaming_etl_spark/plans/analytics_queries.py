@@ -653,8 +653,9 @@ def q_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank p50/p90/p99 order-price per market segment —
     one partitioned window pass + conditional aggregation. Nearest-rank
     (ceil(p·n)) is deterministic in any engine, unlike interpolated
-    PERCENTILE_CONT or sketch-based approx percentiles; at 100 TB the
-    same shape runs on approx_percentile instead (documented trade)."""
+    PERCENTILE_CONT or sketch-based approx percentiles; at 100 TB run
+    ``revenue_percentiles_approx`` instead (registered below) — one
+    sketch aggregation, no per-segment window sort."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     # customer is fact-scaled (grows with SF) — shuffle-join, no hint.
@@ -673,6 +674,34 @@ def q_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ranked.groupBy("c_mktsegment").agg(
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99")
+    )
+
+
+def q_revenue_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of ``revenue_percentiles``: GK-sketch
+    ``percentile_approx`` in ONE aggregation pass — no per-segment
+    window sort (the exact variant's parallelism is capped at the
+    number of segments), partial sketches merge map-side, memory is
+    O(accuracy) per group regardless of row count. Rows-only driver
+    check by nature (sketch values are engine-specific); the pytest
+    tolerance test bounds the error against the exact variant."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+    pa = F.percentile_approx(
+        "o_totalprice", [0.5, 0.9, 0.99], 10_000
+    ).alias("pcts")
+    return (
+        seg.groupBy("c_mktsegment")
+        .agg(pa)
+        .select(
+            "c_mktsegment",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
     )
 
 
@@ -833,6 +862,7 @@ REGISTRY_ANALYTICS: dict = {
     "event_interarrival": (q_event_interarrival, ORACLE_INTERARRIVAL),
     "customer_retention": (q_customer_retention, ORACLE_RETENTION),
     "revenue_percentiles": (q_revenue_percentiles, ORACLE_PERCENTILES),
+    "revenue_percentiles_approx": (q_revenue_percentiles_approx, None),
     "revenue_deciles": (q_revenue_deciles, ORACLE_DECILES),
     "popularity_index": (q_popularity_index, ORACLE_POPULARITY),
     "engagement_top_track": (q_engagement_top_track, ORACLE_ENGAGEMENT_TOP),

@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import derive_date, derive_hour
 from ..operators.aggregates import (
-    agg_count_distinct,
     agg_mode,
     agg_topk_by_freq,
     drop_null_group_keys,
@@ -94,19 +93,25 @@ def hourly_kpis(merged: DataFrame, exact_distinct: bool = True) -> DataFrame:
     (HLL ``approx_count_distinct`` instead of exact two-phase
     distinct)."""
     base = merged.withColumn("hour", derive_hour("listen_time"))
-    uniq = agg_count_distinct(
-        base, ["hour"], "user_id", "unique_listeners", approximate=not exact_distinct
-    )
-    diversity = base.groupBy("hour").agg(
-        (
-            F.countDistinct("track_id").cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("track_diversity_index")
+    # unique_listeners and track_diversity_index FUSE into one
+    # aggregation: Catalyst plans the two distinct columns as a single
+    # Expand + two-phase aggregate (2 exchanges over one scan) instead
+    # of two independent shuffle chains joined at the end.
+    if exact_distinct:
+        cd_user = F.countDistinct("user_id")
+        cd_track = F.countDistinct("track_id")
+    else:
+        cd_user = F.approx_count_distinct("user_id")
+        cd_track = F.approx_count_distinct("track_id")
+    stats = base.groupBy("hour").agg(
+        cd_user.alias("unique_listeners"),
+        (cd_track.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "track_diversity_index"
+        ),
     )
     topk = agg_topk_by_freq(base, ["hour"], "artists", 5, "top_artists")
     return (
-        uniq.join(topk, ["hour"], "left")
-        .join(diversity, ["hour"], "left")
+        stats.join(topk, ["hour"], "left")
         .select("hour", "unique_listeners", "top_artists", "track_diversity_index")
     )
 

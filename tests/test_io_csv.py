@@ -69,3 +69,36 @@ def test_multi_path_scan_unions(spark, tmp_path):
     assert [(f.name, f.dataType) for f in both.schema.fields] == [
         (f.name, f.dataType) for f in SCHEMA.fields
     ]
+
+
+def test_s5_overwrite_replaces_object(spark, tmp_path):
+    """S5 object-store semantics (ref dags/music_streaming_etl_dags.py
+    :317-329 uploads with replace=True): a second overwrite write must
+    leave exactly ONE data object containing only the new rows — no
+    stale parts from the first write surviving beside it. The local
+    filesystem stands in for the bucket; the writer code path is
+    identical for s3a:// URIs."""
+    out = str(tmp_path / "bucket" / "streams.csv")
+    first = spark.createDataFrame([(1, "old"), (2, "old")], "id long, v string")
+    second = spark.createDataFrame([(9, "new")], "id long, v string")
+
+    sink_csv(first, out, mode="overwrite", single_file=True)
+    parts_before = glob.glob(out + "/part-*")
+    assert len(parts_before) == 1
+
+    sink_csv(second, out, mode="overwrite", single_file=True)
+    parts = glob.glob(out + "/part-*")
+    assert len(parts) == 1  # single object, old parts gone
+    with open(parts[0]) as fh:
+        content = fh.read().strip().splitlines()
+    assert content == ["id,v", "9,new"]
+
+    # and the re-read sees only the replacement rows
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    back = scan_csv_multi(spark, out, schema)
+    assert [(r["id"], r["v"]) for r in back.collect()] == [(9, "new")]

@@ -62,3 +62,93 @@ def test_jdbc_overwrite_replaces(spark, derby_url):
     jdbc_writer(b, derby_url, "t_ow", mode="overwrite", properties=PROPS).save()
     back = jdbc_reader(spark, derby_url, "t_ow", properties=PROPS).load()
     assert sorted(r["id"] for r in back.collect()) == list(range(100, 105))
+
+
+def test_truncatecolumns_substrings_to_declared_width(spark, derby_url):
+    """COPY TRUNCATECOLUMNS parity: over-width strings load truncated
+    to the declared VARCHAR width instead of erroring."""
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 40)], "id long, name string"
+    )
+    jdbc_writer(
+        df, derby_url, "t_trunc", properties=PROPS,
+        varchar_widths={"name": 10}, truncate_columns=True,
+    ).save()
+    back = {
+        r["id"]: r["name"]
+        for r in jdbc_reader(spark, derby_url, "t_trunc", properties=PROPS)
+        .load().collect()
+    }
+    assert back == {1: "short", 2: "x" * 10}
+
+
+def test_maxerror_zero_fails_fast_on_overwidth(spark, derby_url):
+    """COPY MAXERROR 0 parity: without TRUNCATECOLUMNS an over-width
+    row aborts the whole write (no partial silent load), and
+    max_errors>0 is rejected up front."""
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "y" * 40)], "id long, name string"
+    )
+    with pytest.raises(Exception) as exc:
+        jdbc_writer(
+            df, derby_url, "t_strict", properties=PROPS,
+            varchar_widths={"name": 10},
+        ).save()
+    assert "truncat" in str(exc.value).lower() or "22001" in str(exc.value)
+
+    with pytest.raises(ValueError, match="max_errors"):
+        jdbc_writer(df, derby_url, "t_strict", properties=PROPS, max_errors=5)
+
+
+def test_check_no_nulls_pushdown_runs_source_side(spark, derby_url):
+    """The validation aggregate executes inside the database (JDBC
+    query option) — the scan Spark sees is the 1-row report, not the
+    table."""
+    from music_streaming_etl_spark.operators.validation import (
+        check_no_nulls_pushdown,
+    )
+    from music_streaming_etl_spark.sources.io import jdbc_query_reader
+
+    # nulls ride in numeric columns: Derby's JDBC dialect cannot
+    # setNull() a string into a VARCHAR-overridden column (CLOB
+    # mismatch) — a dialect quirk irrelevant to the pushdown itself
+    df = spark.createDataFrame(
+        [
+            (1, "a", 30.0, 1.0),
+            (2, "b", None, 2.0),
+            (3, "c", 25.0, None),
+            (4, "d", None, 4.0),
+        ],
+        "user_id long, user_name string, age double, score double",
+    )
+    jdbc_writer(
+        df, derby_url, "t_users_val", properties=PROPS,
+        column_types="user_name VARCHAR(64)",
+    ).save()
+
+    res = check_no_nulls_pushdown(
+        spark, derby_url, "t_users_val",
+        ["user_id", "user_name", "age", "score"], properties=PROPS,
+    )
+    assert not res.passed
+    assert res.details["null_counts"] == {"age": 2, "score": 1}
+
+    # plan-level proof of pushdown: the JDBC relation's schema is the
+    # aggregate's 1-row report — the table columns never reach Spark
+    rep = jdbc_query_reader(
+        spark, derby_url,
+        "SELECT COUNT(*) AS total_rows FROM t_users_val", PROPS,
+    ).load()
+    assert [f.name.lower() for f in rep.schema.fields] == ["total_rows"]
+    assert rep.count() == 1
+
+    clean = df.filter("age IS NOT NULL AND score IS NOT NULL")
+    jdbc_writer(
+        clean, derby_url, "t_users_clean", properties=PROPS,
+        column_types="user_name VARCHAR(64)",
+    ).save()
+    ok = check_no_nulls_pushdown(
+        spark, derby_url, "t_users_clean",
+        ["user_id", "user_name", "age", "score"], properties=PROPS,
+    )
+    assert ok.passed

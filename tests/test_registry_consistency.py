@@ -31,6 +31,12 @@ def test_readme_mentions_every_registry_key():
 
 def test_oracle_coverage_ratio():
     total = len(REGISTRY)
-    with_oracle = sum(1 for _, (_, o) in REGISTRY.items() if o is not None)
-    # only inherently-approximate ops may be rows-only
-    assert total - with_oracle <= 1, (total, with_oracle)
+    rows_only = sorted(
+        name for name, (_, o) in REGISTRY.items() if o is None
+    )
+    # only inherently-approximate ops may be rows-only — name them so a
+    # new oracle-less query fails loudly instead of riding the count
+    assert rows_only == [
+        "agg_count_distinct_approx",   # HLL estimate
+        "revenue_percentiles_approx",  # GK sketch
+    ], (total, rows_only)

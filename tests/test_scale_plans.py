@@ -126,6 +126,21 @@ def test_flagship_shuffle_budget(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_hourly_kpis_fused_exchange_budget(spark, sf_dir):
+    """hourly_kpis' two distinct-count KPIs must come from ONE fused
+    aggregation (Expand + two-phase agg = 2 shuffle exchanges over a
+    single scan) — regressing to per-KPI chains joined at the end blows
+    both budgets."""
+    from music_streaming_etl_spark.plans.testdata_queries import q_hourly_kpis
+
+    df = q_hourly_kpis(spark, sf_dir)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2, plan
+    assert plan.count("FileScan") <= 1, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     from music_streaming_etl_spark.plans.testdata_queries import q_tpch_q1_pricing
 
