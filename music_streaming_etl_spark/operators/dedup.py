@@ -50,6 +50,160 @@ def dedup_exact(
     )
 
 
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup PAIRS → (id, cluster_id) —
+    the step every production dedup needs after candidate verification:
+    near-duplication is transitive in effect (A≈B, B≈C ⇒ one cluster),
+    so survivors must be picked per component, not per pair.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round every node takes the min label among itself and
+    its neighbors; fixpoint = every node holds its component's minimum
+    id (which doubles as the deterministic cluster id / canonical
+    survivor — no tie-break needed, ids are unique).
+
+    Scale shape: each round is one shuffle join (edges ⋈ labels) + one
+    min-aggregation — all distributed, only the scalar changed-count
+    crosses to the driver; rounds needed = component diameter, and
+    near-dup components are shallow (dozens of rounds would mean a
+    50-hop duplication chain). ``localCheckpoint`` truncates the
+    iterative lineage so the plan doesn't grow per round. At extreme
+    diameters swap the propagation step for alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce") — same fixpoint, O(log²) rounds.
+
+    Rows in ``ids`` with no pair become singleton clusters
+    (cluster_id = own id)."""
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        prop = edges.join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("label").alias("label")
+            ),
+            "dst",
+        ).select(F.col("src").alias("id"), "label")
+        new_labels = (
+            prop.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select(
+                    F.col("id").alias("id"), F.col("label").alias("old_label")
+                ),
+                "id",
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    keep_cols: Sequence[str],
+) -> DataFrame:
+    """The deduped corpus: one row per cluster — the canonical survivor
+    is the row whose id IS the cluster id (min-label guarantees it
+    exists and is unique), so keeping it is a semi-join, not a window."""
+    canon = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(canon, id_col, "left_semi").select(id_col, *keep_cols)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Blocked edit-distance record linkage: all pairs with
+    ``levenshtein <= max_dist``, WITHOUT the O(n²) cross join.
+
+    Blocking is the pigeonhole slice scheme: each string splits into
+    ``max_dist + 1`` contiguous slices; two equal-length strings within
+    substitution distance ``max_dist`` must agree exactly on at least
+    one slice (there are more slices than edits), so candidates are the
+    union over slices of equi-self-joins on (slice index, length,
+    slice) — shuffle on short keys, never the cross product — then the
+    exact ``levenshtein`` verifies candidates only. Recall is EXACT for
+    substitution edits; insertions/deletions shift slice boundaries and
+    need q-gram blocking instead (out of scope — noted, not silent).
+
+    Output: (id_a, id_b, dist), id_a < id_b, deterministic."""
+    n_slices = max_dist + 1
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(str_col).alias("__s")
+    )
+    length = F.length(F.col("__s"))
+    slices = []
+    for i in range(n_slices):
+        pos = F.floor(length * i / n_slices) + 1
+        ln = F.floor(length * (i + 1) / n_slices) - F.floor(length * i / n_slices)
+        slices.append(
+            base.select(
+                "__id",
+                "__s",
+                F.lit(i).alias("__slice"),
+                length.alias("__len"),
+                F.col("__s").substr(pos.cast("int"), ln.cast("int")).alias("__key"),
+            )
+        )
+    tagged = slices[0]
+    for s in slices[1:]:
+        tagged = tagged.unionByName(s)
+    a = tagged.select(
+        F.col("__slice"), F.col("__len"), F.col("__key"),
+        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
+    )
+    b = tagged.select(
+        F.col("__slice"), F.col("__len"), F.col("__key"),
+        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
+    )
+    cand = (
+        a.join(b, ["__slice", "__len", "__key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("__sa"), F.col("__sb")).cast("bigint")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
 
 

@@ -94,6 +94,88 @@ def centroids(
     )
 
 
+def _nearest_bucket_expr(codebook: list[tuple[int, list[float]]], vec="v") -> F.Column:
+    """argmin over squared-L2 distances to literal centroids —
+    embedded as constant arrays so assignment is pure per-row codegen:
+    no join, no shuffle. Ties break on bucket id ASC via the struct
+    order."""
+    structs = []
+    for cid, c in codebook:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(F.round(d, 9).alias("d"), F.lit(cid).alias("cid"))
+        )
+    return F.array_min(F.array(*structs)).getField("cid")
+
+
+def kmeans_codebook(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int = 8,
+    iterations: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Learned IVF coarse quantizer: a few rounds of Lloyd's k-means
+    expressed as DataFrame ops — the iterative-algorithm escape the
+    build charter allows when one declarative plan can't express it.
+
+    Per round: (1) assignment is a per-row argmin against the k
+    centroids EMBEDDED AS LITERALS (k·dim scalars — the classic Lloyd
+    broadcast step; MLlib ships the same thing), so it's pure codegen
+    with zero shuffle; (2) the update is one decimal-exact per-bucket
+    mean aggregation (`centroids`) — the only shuffle, k·dim scalars
+    back to the driver. Rounds are a fixed count: deterministic
+    everywhere (seeds = the ``n_clusters`` smallest ids, means are
+    order-free decimal sums, argmin ties break on bucket id).
+    Empty clusters keep their previous centroid."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    seeds = v.orderBy("id").limit(n_clusters).collect()
+    book = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    for _ in range(iterations):
+        assigned = v.withColumn("bucket", _nearest_bucket_expr(book))
+        new = centroids(assigned, "bucket", "v", dim).collect()
+        newmap = {r["bucket"]: list(r["centroid"]) for r in new}
+        book = [(cid, newmap.get(cid, c)) for cid, c in book]
+    return book
+
+
+def similarity_topk_ivf_learned(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    iterations: int = 5,
+) -> DataFrame:
+    """IVF with a LEARNED codebook instead of a pre-existing label
+    column: k-means buckets, then the same centroid-rank → n_probe
+    prune → exact top-k flow as ``similarity_topk_ivf``. This is the
+    FAISS IVF shape end-to-end; at 1B vectors you'd train the codebook
+    on a sample and assignment stays the same zero-shuffle argmin."""
+    book = kmeans_codebook(
+        vectors, id_col, vec_col, dim, n_clusters, iterations
+    )
+    tagged = vectors.withColumn(
+        "__v_tmp", as_double_vec(F.col(vec_col))
+    ).withColumn(
+        "__bucket", _nearest_bucket_expr(book, vec="__v_tmp")
+    ).drop("__v_tmp")
+    return similarity_topk_ivf(
+        tagged, query, id_col, vec_col, "__bucket", dim, k=k, n_probe=n_probe
+    )
+
+
 def similarity_topk_ivf(
     vectors: DataFrame,
     query: DataFrame,

@@ -856,7 +856,119 @@ FROM events GROUP BY 1
 """
 
 
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: 1996 shipments counted into overlapping 28-day
+    campaign windows (one per priority per month, starting a week
+    before the month) — point-in-range via the bucketed
+    ``interval_join`` (equi-join on 10-day buckets + residual filter),
+    never a nested-loop theta join."""
+    from ..operators.joins import interval_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01")
+    months = (
+        orders.select(
+            "o_orderpriority",
+            F.trunc(F.to_date("o_orderdate"), "mm").alias("m"),
+        )
+        .filter(F.year("m") == 1996)
+        .distinct()
+    )
+    iv = (
+        months.select(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_sub("m", 7).alias("win_start"),
+            F.date_add("m", 21).alias("win_end"),
+        )
+        .withColumn("s_day", F.datediff("win_start", epoch))
+        .withColumn("e_day", F.datediff("win_end", epoch))
+        .drop("win_end")
+    )
+    pts = li.filter(F.year(F.to_date("l_shipdate")) == 1996).select(
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("d_day")
+    )
+    joined = interval_join(pts, iv, "d_day", "s_day", "e_day", bucket_width=10)
+    return joined.groupBy("prio", "win_start").agg(
+        F.count(F.lit(1)).alias("n_shipments")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH iv AS (
+  SELECT DISTINCT o_orderpriority AS prio,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m
+  FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = 1996
+), iv2 AS (
+  SELECT prio,
+         CAST(m - INTERVAL 7 DAY AS DATE) AS win_start,
+         CAST(m + INTERVAL 21 DAY AS DATE) AS win_end
+  FROM iv
+), pts AS (
+  SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+  WHERE year(CAST(l_shipdate AS DATE)) = 1996
+)
+SELECT prio, win_start, COUNT(*) AS n_shipments
+FROM pts JOIN iv2 ON d >= win_start AND d < win_end
+GROUP BY 1, 2
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt) of the four lineitem measures, then a
+    per-(flag, metric) decimal-exact rollup — the inverse of pivot and
+    the standard reshape before generic per-metric processing. Spark's
+    native ``unpivot`` plans as Expand (one scan, no join/union of N
+    self-reads)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        dec_sum(F.col("value"), "total", scale=2)
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, metric,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+FROM long GROUP BY 1, 2
+"""
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: customer-name pairs within edit distance 1 via
+    pigeonhole slice blocking (equi-join on string halves + exact
+    levenshtein on candidates only) — never the O(n²) cross join the
+    naive form plans."""
+    from ..operators.dedup import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+ORACLE_FUZZY = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "range_join_windows": (q_range_join_windows, ORACLE_RANGE_JOIN),
+    "unpivot_metrics": (q_unpivot_metrics, ORACLE_UNPIVOT),
+    "fuzzy_name_pairs": (q_fuzzy_name_pairs, ORACLE_FUZZY),
     "rolling_7day_revenue": (q_rolling_7day_revenue, ORACLE_ROLLING_7D),
     "daily_active_users": (q_daily_active_users, ORACLE_DAU),
     "event_interarrival": (q_event_interarrival, ORACLE_INTERARRIVAL),

@@ -238,13 +238,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash() -> str:
+def _minhash_ctes() -> str:
+    """The MinHash+LSH pipeline as a reusable CTE chain (shared by the
+    pair oracle and the clustering oracles)."""
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, array_to_string(list_slice(sig, {b*4+1}, {b*4+4}), '#') AS key FROM sigs"
         for b in range(4)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, {SQL_SHINGLES3} AS sh FROM documents
 ), hs AS (
   SELECT doc_id, sh,
@@ -261,13 +262,78 @@ WITH sh AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _oracle_minhash() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT c.id_a, c.id_b,
        ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6) AS jaccard_sim
 FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
 WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
+"""
+
+
+_CLUSTER_CTES_SUFFIX = """pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(root, id) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.id = e.src
+), cc AS (
+  SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1
+)"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components: every document labeled
+    with its cluster id (= the component's minimum doc_id). Iterative
+    min-label propagation — see ``operators/dedup.py::dedup_clusters``."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=16, num_bands=4, shingle_n=3
+    )
+    return dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+
+
+def _oracle_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()}, {_CLUSTER_CTES_SUFFIX}
+SELECT doc_id, cluster_id FROM cc
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped corpus: one survivor per near-dup cluster (the row
+    whose doc_id equals the cluster id — deterministic, no tie-break)."""
+    from ..operators.dedup import dedup_clusters, dedup_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=16, num_bands=4, shingle_n=3
+    )
+    clusters = dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    return dedup_keep_canonical(docs, clusters, "doc_id", ["lang", "n_chars"])
+
+
+def _oracle_dedup_canonical() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()}, {_CLUSTER_CTES_SUFFIX}
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id = cc.cluster_id
 """
 
 
@@ -404,6 +470,22 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0)
     out = similarity_topk_ivf(
         emb, query, "vec_id", "embedding", bucket_col="label", dim=64, k=10, n_probe=3
+    )
+    return out.select("rank", F.col("id").alias("vec_id"), "score")
+
+
+def q_similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED k-means codebook (3 Lloyd rounds, 8
+    clusters) instead of the label column — rows-only driver check (an
+    iterative learned quantizer has no tractable SQL twin); recall and
+    determinism are pytest-verified against the exact brute force."""
+    from ..operators.similarity import similarity_topk_ivf_learned
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = similarity_topk_ivf_learned(
+        emb, query, "vec_id", "embedding", dim=64, k=10,
+        n_clusters=8, n_probe=3, iterations=3,
     )
     return out.select("rank", F.col("id").alias("vec_id"), "score")
 
@@ -643,12 +725,15 @@ REGISTRY_EXT: dict = {
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, _oracle_minhash()),
+    "dedup_clusters": (q_dedup_clusters, _oracle_dedup_clusters()),
+    "dedup_canonical": (q_dedup_canonical, _oracle_dedup_canonical()),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "simhash_fingerprint": (q_simhash_fingerprint, _oracle_simhash_fp()),
     "simhash_neardup": (q_simhash_neardup, _oracle_simhash_pairs()),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "similarity_topk": (q_similarity_topk, ORACLE_SIM_TOPK),
     "similarity_topk_ivf": (q_similarity_topk_ivf, ORACLE_SIM_TOPK_IVF),
+    "similarity_topk_ivf_kmeans": (q_similarity_topk_ivf_kmeans, None),
     "multimodal_props": (q_multimodal_props, ORACLE_PROPS),
     "multimodal_props_typed": (q_multimodal_props_typed, ORACLE_PROPS_TYPED),
     "multimodal_features": (q_multimodal_features, ORACLE_MM_FEATURES),

@@ -46,6 +46,13 @@ _PRIORITY: list[str] = [
     # round 1 driver hash-fails, now cast fixed — must re-verify
     "train_val_split",
     "lang_distribution",
+    # round 2: new operators — first external check
+    "dedup_clusters",
+    "dedup_canonical",
+    "range_join_windows",
+    "unpivot_metrics",
+    "fuzzy_name_pairs",
+    "similarity_topk_ivf_kmeans",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {

@@ -37,6 +37,7 @@ def test_oracle_coverage_ratio():
     # only inherently-approximate ops may be rows-only — name them so a
     # new oracle-less query fails loudly instead of riding the count
     assert rows_only == [
-        "agg_count_distinct_approx",   # HLL estimate
-        "revenue_percentiles_approx",  # GK sketch
+        "agg_count_distinct_approx",    # HLL estimate
+        "revenue_percentiles_approx",   # GK sketch
+        "similarity_topk_ivf_kmeans",   # learned quantizer (iterative)
     ], (total, rows_only)

@@ -120,3 +120,44 @@ def test_sample_frames_tail_frame(spark):
     rows = sample_frames(media, frame_bytes=16, stride=1, max_frames=5).collect()
     got = sorted((r["frame_idx"], r["n_bytes"], bytes(r["frame"])) for r in rows)
     assert got == [(0, 16, b"b" * 16), (1, 4, b"b" * 4)]
+
+
+def test_kmeans_ivf_recall_and_determinism(spark):
+    """Learned-codebook IVF on well-separated clusters: recall@k = 1.0
+    for a query inside one cluster (the probed buckets must contain the
+    true neighbors), and two independent runs agree bit-for-bit."""
+    import random
+
+    from music_streaming_etl_spark.operators.similarity import (
+        similarity_topk,
+        similarity_topk_ivf_learned,
+    )
+
+    rng = random.Random(3)
+    dim, per = 16, 40
+    rows = []
+    for c in range(4):  # 4 well-separated cluster centers
+        center = [10.0 * (1 if (c >> b) & 1 else -1) for b in range(dim)]
+        for i in range(per):
+            vec = [x + rng.uniform(-0.5, 0.5) for x in center]
+            rows.append((c * per + i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = df.filter(F.col("vec_id") == 5)
+
+    exact = [
+        r["id"]
+        for r in similarity_topk(df, query, "vec_id", "embedding", k=10).collect()
+    ]
+
+    def run():
+        return [
+            (r["rank"], r["id"], r["score"])
+            for r in similarity_topk_ivf_learned(
+                df, query, "vec_id", "embedding", dim=dim,
+                k=10, n_clusters=4, n_probe=1, iterations=4,
+            ).collect()
+        ]
+
+    got1, got2 = run(), run()
+    assert got1 == got2  # deterministic end-to-end
+    assert [g[1] for g in got1] == exact  # full recall with 1 probe

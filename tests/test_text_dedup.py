@@ -118,3 +118,94 @@ def test_fingerprint_whitespace_invariant(spark):
     )
     fps = [r["fp"] for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chain A-B-C collapses to one cluster labeled min(id); isolated
+    pair and singleton stay separate; labels are the component minimum
+    regardless of edge direction."""
+    from music_streaming_etl_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_canonical,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # components: {1,2,3,4} (chain, mixed direction), {5,6}, {7} singleton
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(ids, pairs, "doc_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+    docs = ids.withColumn("payload", F.concat(F.lit("d"), F.col("doc_id")))
+    kept = dedup_keep_canonical(
+        docs,
+        dedup_clusters(ids, pairs, "doc_id"),
+        "doc_id",
+        ["payload"],
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5, 7]
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 12-hop chain needs multiple propagation rounds — the fixpoint
+    loop must converge and label everything with the chain minimum."""
+    from music_streaming_etl_spark.operators.dedup import dedup_clusters
+
+    n = 13
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(ids, pairs, "doc_id").collect()
+    assert all(r["cluster_id"] == 0 for r in out) and len(out) == n
+
+
+def test_fuzzy_pairs_matches_naive_levenshtein(spark):
+    """Slice blocking must find exactly the pairs the O(n²) scan finds
+    (substitution edits on equal-length strings — the exact-recall
+    contract)."""
+    import random
+
+    from music_streaming_etl_spark.operators.dedup import fuzzy_pairs
+
+    rng = random.Random(11)
+    base = ["".join(rng.choice("abcd") for _ in range(8)) for _ in range(60)]
+    # inject guaranteed 1-substitution neighbors
+    variants = [s[:3] + "x" + s[4:] for s in base[:20]]
+    rows = [(i, s) for i, s in enumerate(base + variants)]
+    df = spark.createDataFrame(rows, "id long, s string")
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "s", max_dist=1).collect()
+    )
+    a = df.selectExpr("id AS id_a", "s AS sa")
+    b = df.selectExpr("id AS id_b", "s AS sb")
+    naive = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("sa", "sb").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+        .collect()
+    )
+    assert got == naive and len(got) >= 20
+
+
+def test_fuzzy_pairs_plans_no_cartesian(spark, sf_dir):
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_fuzzy_name_pairs,
+    )
+
+    plan = (
+        q_fuzzy_name_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
