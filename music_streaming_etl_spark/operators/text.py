@@ -77,6 +77,39 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+# PII scrubbing — the compliance pass every training-data pipeline
+# runs before anything ships to a trainer. Patterns are RE2- AND
+# Java-compatible (no lookarounds) so the DuckDB oracle runs the SAME
+# regexes; a production deployment swaps in its legal team's pattern
+# set, the operator shape (count + ordered redact) stays.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\-\s()]{7,}\d",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts on the ORIGINAL text (independent of
+    redaction order)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("bigint")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
+    """Redact all PII kinds, applied in dict order (email → phone →
+    ipv4) — order matters when patterns could overlap, so it is fixed
+    and the oracle replicates it. Pure regexp_replace chain: codegen,
+    no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c
+
+
 # Language-ID marker words (per-language high-frequency function
 # words). A real system ships character-n-gram profiles; the heuristic
 # shape — score per language, argmax with deterministic tie-break —

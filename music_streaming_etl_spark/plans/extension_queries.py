@@ -474,6 +474,145 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", F.col("id").alias("vec_id"), "score")
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: per-doc match counts + fingerprint of
+    the redacted text. The synthetic corpus carries no PII, so each doc
+    gets a deterministic doc_id-derived contact line appended first —
+    the counts and the redacted output are then fully oracle-checkable
+    (same RE2/Java-compatible regexes, same email→phone→ipv4 order)."""
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+        F.lit(" or +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."), (d % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+    )
+    tagged = docs.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return tagged.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_fp"),
+    )
+
+
+_SQL_PII_INJECTED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)"
+)
+
+ORACLE_PII = f"""
+WITH t AS (SELECT doc_id, {_SQL_PII_INJECTED} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\+?\\d[\\d\\-\\s()]{{7,}}\\d')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+               '\\+?\\d[\\d\\-\\s()]{{7,}}\\d', '[PII]', 'g'),
+             '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[PII]', 'g')) AS redacted_fp
+FROM t
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality gate: per-doc token count,
+    mean word length, and top-bigram repetition fraction, plus the
+    keep/drop decision (≥30 tokens, mean word length in [4,5], top
+    bigram < 8% of bigrams). The repetition stat is the scale-shaped
+    two-phase aggregate — explode bigrams → count per (doc, gram) →
+    max/sum per doc — never a per-doc O(n²) array fold."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..operators.text import tokens
+
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat(
+                        F.element_at("toks", i.cast("int")),
+                        F.lit(" "),
+                        F.element_at("toks", (i + 1).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    rep = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.max("cnt").cast("double") / F.sum("cnt").cast("double")
+            ).alias("top_bigram_frac")
+        )
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        (
+            F.aggregate(
+                F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+            ).cast("double")
+            / F.size("toks").cast("double")
+        ).alias("mwl"),
+    )
+    joined = stats.join(rep, "doc_id", "left")
+    keep = (
+        (F.col("n_toks") >= 30)
+        & F.col("mwl").between(4.0, 5.0)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) < 0.08)
+    )
+    return joined.select(
+        "doc_id",
+        "n_toks",
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        keep.cast("bigint").alias("keep"),
+    )
+
+
+ORACLE_QUALITY = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+), c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS frac
+  FROM c GROUP BY 1
+), w AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS mwl
+  FROM t
+)
+SELECT w.doc_id, w.n_toks,
+       ROUND(w.mwl, 6) AS mean_word_len,
+       ROUND(m.frac, 6) AS top_bigram_frac,
+       CAST(w.n_toks >= 30 AND w.mwl BETWEEN 4.0 AND 5.0
+            AND COALESCE(m.frac, 0.0) < 0.08 AS BIGINT) AS keep
+FROM w LEFT JOIN m ON w.doc_id = m.doc_id
+"""
+
+
 def q_similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a LEARNED k-means codebook (3 Lloyd rounds, 8
     clusters) instead of the label column — rows-only driver check (an
@@ -734,6 +873,8 @@ REGISTRY_EXT: dict = {
     "similarity_topk": (q_similarity_topk, ORACLE_SIM_TOPK),
     "similarity_topk_ivf": (q_similarity_topk_ivf, ORACLE_SIM_TOPK_IVF),
     "similarity_topk_ivf_kmeans": (q_similarity_topk_ivf_kmeans, None),
+    "pii_redaction": (q_pii_redaction, ORACLE_PII),
+    "quality_filter": (q_quality_filter, ORACLE_QUALITY),
     "multimodal_props": (q_multimodal_props, ORACLE_PROPS),
     "multimodal_props_typed": (q_multimodal_props_typed, ORACLE_PROPS_TYPED),
     "multimodal_features": (q_multimodal_features, ORACLE_MM_FEATURES),

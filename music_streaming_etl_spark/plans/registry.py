@@ -53,6 +53,8 @@ _PRIORITY: list[str] = [
     "unpivot_metrics",
     "fuzzy_name_pairs",
     "similarity_topk_ivf_kmeans",
+    "pii_redaction",
+    "quality_filter",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {
