@@ -965,10 +965,50 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over per-customer revenue within each
+    market segment — the relative-standing window surface. Partitioned
+    by segment (5 bounded partitions over pre-aggregated per-customer
+    rows, not raw orders), totally ordered by (revenue, custkey)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(dec_sum(F.col("o_totalprice"), "revenue"))
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue"), F.col("o_custkey")
+    )
+    return rev.select(
+        "c_mktsegment",
+        F.col("o_custkey").alias("custkey"),
+        "revenue",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_PCT_RANK = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+  FROM orders o GROUP BY 1
+)
+SELECT c.c_mktsegment, r.o_custkey AS custkey, r.revenue,
+       ROUND(percent_rank() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY r.revenue, r.o_custkey), 6) AS pct_rank,
+       ROUND(cume_dist() OVER (PARTITION BY c.c_mktsegment
+                               ORDER BY r.revenue, r.o_custkey), 6) AS cume
+FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "range_join_windows": (q_range_join_windows, ORACLE_RANGE_JOIN),
     "unpivot_metrics": (q_unpivot_metrics, ORACLE_UNPIVOT),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, ORACLE_FUZZY),
+    "percent_rank_cume": (q_percent_rank_cume, ORACLE_PCT_RANK),
     "rolling_7day_revenue": (q_rolling_7day_revenue, ORACLE_ROLLING_7D),
     "daily_active_users": (q_daily_active_users, ORACLE_DAU),
     "event_interarrival": (q_event_interarrival, ORACLE_INTERARRIVAL),

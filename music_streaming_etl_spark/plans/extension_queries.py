@@ -613,6 +613,108 @@ FROM w LEFT JOIN m ON w.doc_id = m.doc_id
 """
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END TRAINING-DATA PREP PIPELINE as one composition:
+    quality gate (Gopher/C4 flags) ∘ near-dup clustering (keep the
+    canonical survivor) ∘ PII redaction — documents in, training
+    corpus out. Everything except the bounded clustering iterations is
+    a single lazy Catalyst plan; the oracle recomputes the identical
+    composition in SQL (recursive CTE for the components), so the
+    whole pipeline — not just its pieces — is hash-verified.
+
+    Order matters and is part of the contract: dedup runs on RAW text
+    (redaction would merge docs that differed only in their PII),
+    quality is measured on raw text too, redaction is applied last to
+    the survivors only (cheapest placement)."""
+    from ..operators.dedup import dedup_clusters, dedup_minhash_pairs
+    from ..operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    # 1. quality gate
+    kept_ids = q_quality_filter(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
+    survivors = docs.join(kept_ids, "doc_id", "left_semi")
+    # 2. near-dup clustering among the quality-kept docs; canonical id
+    pairs = dedup_minhash_pairs(
+        survivors, "doc_id", "text",
+        threshold=0.8, num_hashes=16, num_bands=4, shingle_n=3,
+    )
+    clusters = dedup_clusters(survivors.select("doc_id"), pairs, "doc_id")
+    canon = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    corpus = survivors.join(canon, "doc_id", "left_semi")
+    # 3. PII scrub on what ships
+    return corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(redact_pii(F.col("text"))).alias("text_fp"),
+    )
+
+
+def _oracle_training_corpus() -> str:
+    # quality keep-set → restricted minhash/cluster CTEs → redacted output
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), g2 AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM toks, UNNEST(range(1, len(toks))) AS r(i)
+), c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS frac
+  FROM c2 GROUP BY 1
+), quality AS (
+  SELECT t.doc_id
+  FROM toks t LEFT JOIN rep ON t.doc_id = rep.doc_id
+  WHERE len(t.toks) >= 30
+    AND CAST(list_sum(list_transform(t.toks, s -> length(s))) AS DOUBLE)
+        / CAST(len(t.toks) AS DOUBLE) BETWEEN 4.0 AND 5.0
+    AND COALESCE(rep.frac, 0.0) < 0.08
+), sh AS (
+  SELECT d.doc_id, {SQL_SHINGLES3} AS sh
+  FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+), hs AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h
+  FROM sh
+), sigs AS (
+  SELECT doc_id, sh,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(h, x -> ((2*i + 1) * x + (1000003*i + 12345)) % 2147483647))) AS sig
+  FROM hs
+), bands AS (
+{chr(10).join(f"SELECT doc_id, {b} AS band, array_to_string(list_slice(sig, {b*4+1}, {b*4+4}), '#') AS key FROM sigs" + ("" if b == 3 else " UNION ALL") for b in range(4))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(root, id) AS (
+  SELECT doc_id, doc_id FROM quality
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.id = e.src
+), cc AS (
+  SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.source,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+               '\\+?\\d[\\d\\-\\s()]{{7,}}\\d', '[PII]', 'g'),
+             '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[PII]', 'g')) AS text_fp
+FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id = cc.cluster_id
+"""
+
+
 def q_similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a LEARNED k-means codebook (3 Lloyd rounds, 8
     clusters) instead of the label column — rows-only driver check (an
@@ -875,6 +977,7 @@ REGISTRY_EXT: dict = {
     "similarity_topk_ivf_kmeans": (q_similarity_topk_ivf_kmeans, None),
     "pii_redaction": (q_pii_redaction, ORACLE_PII),
     "quality_filter": (q_quality_filter, ORACLE_QUALITY),
+    "training_corpus": (q_training_corpus, _oracle_training_corpus()),
     "multimodal_props": (q_multimodal_props, ORACLE_PROPS),
     "multimodal_props_typed": (q_multimodal_props_typed, ORACLE_PROPS_TYPED),
     "multimodal_features": (q_multimodal_features, ORACLE_MM_FEATURES),

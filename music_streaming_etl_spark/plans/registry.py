@@ -55,6 +55,9 @@ _PRIORITY: list[str] = [
     "similarity_topk_ivf_kmeans",
     "pii_redaction",
     "quality_filter",
+    "training_corpus",
+    "scan_orc_roundtrip",
+    "percent_rank_cume",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {

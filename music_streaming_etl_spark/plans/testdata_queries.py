@@ -638,6 +638,32 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-analog for ORC — Spark's other built-in columnar format
+    (predicate pushdown + column pruning work the same as parquet):
+    events written as ORC, re-read, same projection contract as the
+    CSV/JSON scans. Timestamps ride as formatted strings (ORC
+    timestamp round-trips are timezone-annotated; the string form is
+    the cross-engine-stable choice at a drop-zone boundary, identical
+    to the CSV path)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(SCRATCH, f"events_orc_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "ts", F.date_format("ts", CSV_TS_FMT)
+        )
+        ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.select(
+        "event_id",
+        F.to_timestamp("ts", CSV_TS_FMT).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def q_scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S3-analog — parquet scan with predicate + projection pushdown
     (explain shows PushedFilters + pruned ReadSchema)."""
@@ -807,6 +833,7 @@ REGISTRY: dict = {
     ),
     "scan_csv_multi": (q_scan_csv_multi, ORACLE_EVENTS_ALL),
     "scan_json_lines": (q_scan_json_lines, ORACLE_EVENTS_ALL),
+    "scan_orc_roundtrip": (q_scan_orc_roundtrip, ORACLE_EVENTS_ALL),
     "sink_csv": (q_sink_csv_roundtrip, ORACLE_AGG_AVG),
     "scan_parquet_pushdown": (
         q_scan_parquet_pushdown,
