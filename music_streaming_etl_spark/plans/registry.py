@@ -58,6 +58,8 @@ _PRIORITY: list[str] = [
     "training_corpus",
     "scan_orc_roundtrip",
     "percent_rank_cume",
+    "tpch_q19_disjunctive",
+    "tpch_q21_waiting_supplier",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {

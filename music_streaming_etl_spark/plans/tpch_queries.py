@@ -369,7 +369,136 @@ GROUP BY 1
 """
 
 
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: one equi-join (lineitem ⋈ part on partkey) carrying a
+    DISJUNCTION of brand/size/quantity conjunct groups — the planner
+    must keep the join equi (hash/sort-merge on partkey) and evaluate
+    the OR as a post-join residual instead of degrading to a
+    nested-loop over the disjuncts. Re-expressed on the testdata
+    columns (p_container/l_shipmode don't exist; p_size stands in)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "inner"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(26, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(
+        dec_sum(rev, "revenue", scale=4),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — the double-correlated EXISTS / NOT EXISTS: suppliers
+    who were the ONLY late shipper on a multi-supplier order. Late is
+    re-expressed as shipped >365 days after the order date (no
+    l_receiptdate/l_commitdate in the testdata). Decorrelated Spark
+    form: late lines → semi-join \"some other supplier on the order\" →
+    anti-join \"some other LATE supplier on the order\" — both
+    correlations become one-shuffle joins on l_orderkey, then a
+    per-supplier rollup with a bounded top-k."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .filter(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 365
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp")
+    )
+    waiting = (
+        late.join(
+            others,
+            (late.l_orderkey == others.o_key)
+            & (late.l_suppkey != others.o_supp),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (late.l_orderkey == late_others.lo_key)
+            & (late.l_suppkey != late_others.lo_supp),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    agg = (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey, "inner")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return global_topk(agg, [F.desc("numwait"), F.asc("s_name")], 20).select(
+        "rank", "s_name", "numwait"
+    )
+
+
+ORACLE_Q21 = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 365
+), waiting AS (
+  SELECT t.l_orderkey, t.l_suppkey
+  FROM late t
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = t.l_orderkey AND l3.l_suppkey <> t.l_suppkey)
+), agg AS (
+  SELECT s.s_name, COUNT(*) AS numwait
+  FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+  GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY numwait DESC, s_name ASC) AS BIGINT) AS rank,
+       s_name, numwait
+FROM agg
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 REGISTRY_TPCH: dict = {
+    "tpch_q19_disjunctive": (q_tpch_q19_disjunctive, ORACLE_Q19),
+    "tpch_q21_waiting_supplier": (q_tpch_q21_waiting_supplier, ORACLE_Q21),
     "tpch_q22_idle_customers": (q_tpch_q22_idle_customers, ORACLE_Q22),
     "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, ORACLE_Q15),
     "tpch_q17_small_quantity": (q_tpch_q17_small_quantity, ORACLE_Q17),
