@@ -60,6 +60,14 @@ _PRIORITY: list[str] = [
     "percent_rank_cume",
     "tpch_q19_disjunctive",
     "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_distribution",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_dominant_supplier",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {

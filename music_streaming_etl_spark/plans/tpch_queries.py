@@ -496,7 +496,513 @@ LIMIT 20
 """
 
 
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — the correlated scalar-MIN subquery: for each part,
+    the supplier(s) achieving the minimum supply cost, restricted to
+    one region. No partsupp table exists in the testdata, so supply
+    cost of (part, supplier) is re-expressed as their minimum observed
+    unit price ``l_extendedprice / l_quantity`` over lineitem.
+
+    Decorrelated Spark form: per-(part, supplier) MIN → per-part MIN
+    → equi-join back on (partkey, cost). Cost stays DOUBLE end-to-end
+    — MIN and IEEE division are bit-exact in both engines, so the
+    equality join is deterministic (no decimal rounding anywhere).
+    Scale shape: both aggregations partial-agg below a single shuffle
+    on l_partkey; supplier/nation/region dims broadcast only via the
+    size-aware policy; final output is a bounded global top-k."""
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    # region-restricted (part, supplier) supply costs
+    pair_cost = (
+        li.join(part.hint("broadcast"), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("unit_cost").alias("supply_cost"))
+    )
+    part_min = pair_cost.groupBy(
+        F.col("p_partkey").alias("m_partkey")
+    ).agg(F.min("supply_cost").alias("min_cost"))
+    winners = pair_cost.join(
+        part_min,
+        (F.col("p_partkey") == F.col("m_partkey"))
+        & (F.col("supply_cost") == F.col("min_cost")),
+    ).select("p_partkey", "s_name", "s_acctbal", "n_name", "supply_cost")
+    return global_topk(
+        winners,
+        [
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+        ],
+        100,
+    ).select("rank", "s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+
+
+ORACLE_Q2 = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pair_cost AS (
+  SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, s.n_name,
+         MIN(l.l_extendedprice / l.l_quantity) AS supply_cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supp s ON l.l_suppkey = s.s_suppkey
+  WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+  GROUP BY 1, 2, 3, 4, 5
+), part_min AS (
+  SELECT p_partkey, MIN(supply_cost) AS min_cost FROM pair_cost GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey) AS BIGINT) AS rank,
+       c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.supply_cost
+FROM pair_cost c JOIN part_min m
+  ON c.p_partkey = m.p_partkey AND c.supply_cost = m.min_cost
+ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bidirectional nation-pair trade volume — revenue
+    shipped between NATION_1 and NATION_2 (either direction) by year.
+    The OR-of-two-pairs predicate is evaluated post-join as a residual
+    over two broadcast-joined nation names; lineitem⋈orders and
+    orders⋈customer shuffle on their keys (both sides fact-scaled),
+    lineitem⋈supplier likewise. Partial aggregation runs below the
+    final 3-column group-by."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", "cust_nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.withColumn(
+            "l_year", F.year(F.to_date("l_shipdate")).cast("bigint")
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dec_sum(rev, "revenue", scale=4))
+    )
+
+
+ORACLE_Q7 = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_2's market share of PROMO-part revenue sold
+    into the ASIA region, by year — the conditional-sum-over-sum
+    ratio (SUM(CASE)/SUM). Both sums are decimal-exact then cast to
+    DOUBLE before the divide, so the ratio is bit-identical across
+    engines. Five joins: part/nation/region broadcast, the
+    fact-scaled orders/customer/supplier sides shuffle."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(part.hint("broadcast"), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.withColumn(
+            "o_year", F.year(F.to_date("o_orderdate")).cast("bigint")
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(nation_vol.cast("decimal(28,4)")).cast("double")
+                / F.sum(vol.cast("decimal(28,4)")).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+ORACLE_Q8 = """
+SELECT EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+       CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit on 'gear' parts by supplier nation and year.
+    No ps_supplycost exists, so cost is re-expressed as
+    ``0.1 × p_retailprice × l_quantity`` (a fixed carrying-cost
+    fraction of list price — the *plan* shape, a 4-table join with a
+    LIKE-filtered part dim and a two-level group-by, is the point).
+    The per-row amount has true scale ≤ 4, cast to DECIMAL(28,4)
+    before SUM on both engines."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part.hint("broadcast"), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("o_year", F.year(F.to_date("o_orderdate")).cast("bigint"))
+        .groupBy("nation", "o_year")
+        .agg(dec_sum(amount, "sum_profit", scale=4))
+    )
+
+
+ORACLE_Q9 = """
+SELECT n.n_name AS nation,
+       EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity
+                AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — the scalar-subquery fraction threshold: parts whose
+    EUROPE-supplied revenue exceeds 0.1% of the total across all such
+    parts. The total is a 1-row aggregate cross-joined (broadcast) into
+    the per-part rollup — Spark's decorrelation of
+    ``HAVING SUM(...) > (SELECT SUM(...) * 0.001 ...)``. Both the
+    per-part and total sums are decimal-exact → DOUBLE, and the
+    threshold multiply is the same double op in both engines, so the
+    filter boundary is deterministic. One shuffle on l_partkey; the
+    total reuses the per-part rollup (re-agg of ~|part| rows, not a
+    second scan)."""
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("sn_key"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+    )
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dec_sum(F.col("val"), "part_value", scale=4))
+    )
+    total = per_part.agg(
+        (F.sum(F.col("part_value").cast("decimal(28,4)")).cast("double") * 0.001)
+        .alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+ORACLE_Q11 = """
+WITH per_part AS (
+  SELECT l.l_partkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,4))) AS DOUBLE) * 0.001 FROM per_part)
+"""
+
+
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — the two-level aggregation over a LEFT OUTER join:
+    distribution of customers by how many non-'4-NOT SPECIFIED' orders
+    they placed (customers with none count in the c_count=0 bucket —
+    the left join is semantically load-bearing, an inner join would
+    drop them). Two shuffles: custkey, then the tiny c_count rollup."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("4-%")
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '4-%'
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier census per (brand, type, size) for
+    a filtered part set, EXCLUDING a bad-supplier list (the
+    customer-complaints NOT IN, re-expressed as s_name ending in '7')
+    — a left-anti join, the scalable form of NOT IN. supplier↔part
+    pairs come from lineitem (no partsupp table). COUNT(DISTINCT)
+    shuffles on the 3-column group key with partial distinct below."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select(F.col("s_suppkey").alias("bad_key"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part.hint("broadcast"), li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.bad_key, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — the nested semi-join chain with a correlated
+    quantity threshold: AMERICA-region suppliers who shipped more than
+    20% of some 'small *' part's total 1996 volume (the ps_availqty >
+    0.5×SUM(l_quantity) correlation, re-expressed on shipped volume).
+    Decorrelated: per-(part, supplier) sums and per-part totals are
+    two rollups of ONE shuffled base (exchange reuse), joined on
+    partkey; qualifying suppkeys then left-semi-join supplier.
+    Quantities are integral doubles, so the sums and the 0.2×
+    threshold are bit-exact in both engines."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small %")
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(part.hint("broadcast"), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    totals = pair.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("pair_qty").alias("total_qty")
+    )
+    dominant = (
+        pair.join(totals, pair.l_partkey == totals.t_partkey)
+        .filter(F.col("pair_qty") > F.lit(0.2) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("sn_key"))
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("sn_key"))
+        .join(dominant, F.col("s_suppkey") == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_Q20 = """
+WITH pair AS (
+  SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS pair_qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'small %'
+    AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+  GROUP BY 1, 2
+), totals AS (
+  SELECT l_partkey, SUM(pair_qty) AS total_qty FROM pair GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA'
+  AND EXISTS (
+    SELECT 1 FROM pair p JOIN totals t ON p.l_partkey = t.l_partkey
+    WHERE p.l_suppkey = s.s_suppkey AND p.pair_qty > 0.2 * t.total_qty
+  )
+"""
+
+
 REGISTRY_TPCH: dict = {
+    "tpch_q2_min_cost_supplier": (q_tpch_q2_min_cost_supplier, ORACLE_Q2),
+    "tpch_q7_volume_shipping": (q_tpch_q7_volume_shipping, ORACLE_Q7),
+    "tpch_q8_market_share": (q_tpch_q8_market_share, ORACLE_Q8),
+    "tpch_q9_product_profit": (q_tpch_q9_product_profit, ORACLE_Q9),
+    "tpch_q11_important_parts": (q_tpch_q11_important_parts, ORACLE_Q11),
+    "tpch_q13_order_distribution": (q_tpch_q13_order_distribution, ORACLE_Q13),
+    "tpch_q16_supplier_counts": (q_tpch_q16_supplier_counts, ORACLE_Q16),
+    "tpch_q20_dominant_supplier": (q_tpch_q20_dominant_supplier, ORACLE_Q20),
     "tpch_q19_disjunctive": (q_tpch_q19_disjunctive, ORACLE_Q19),
     "tpch_q21_waiting_supplier": (q_tpch_q21_waiting_supplier, ORACLE_Q21),
     "tpch_q22_idle_customers": (q_tpch_q22_idle_customers, ORACLE_Q22),

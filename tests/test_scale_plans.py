@@ -273,3 +273,55 @@ def test_global_topk_in_query_plans_take_ordered(spark, sf_dir):
 
     plan = _plan(q_tpch_q10_returns(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_new_tpch_shapes_plan_scale_safe(spark, sf_dir):
+    """Round-2 TPC-H additions: fact-scaled sides (orders/customer/
+    supplier) must shuffle-join, and the only broadcasts that survive
+    autoBroadcastJoinThreshold=-1 are hinted true dims (nation/region/
+    part) or 1-row scalar aggregates. Duplicate counts in the plan
+    text come from multi-consumer subtrees (pair_cost/per_part) being
+    printed per consumer. Q11's single nested-loop join is the 1-row
+    scalar-threshold cross join — the one legitimate NLJ shape."""
+    from music_streaming_etl_spark.plans.tpch_queries import (
+        q_tpch_q2_min_cost_supplier,
+        q_tpch_q7_volume_shipping,
+        q_tpch_q8_market_share,
+        q_tpch_q9_product_profit,
+        q_tpch_q11_important_parts,
+        q_tpch_q13_order_distribution,
+        q_tpch_q16_supplier_counts,
+        q_tpch_q20_dominant_supplier,
+        q_tpch_q21_waiting_supplier,
+    )
+
+    # (query, min shuffle joins, max hinted broadcasts, max NLJ)
+    cases = [
+        (q_tpch_q2_min_cost_supplier, 3, 6, 0),
+        (q_tpch_q7_volume_shipping, 3, 2, 0),
+        (q_tpch_q8_market_share, 3, 4, 0),
+        (q_tpch_q9_product_profit, 2, 2, 0),
+        (q_tpch_q11_important_parts, 2, 5, 1),  # 1-row scalar threshold
+        (q_tpch_q13_order_distribution, 1, 0, 0),
+        (q_tpch_q16_supplier_counts, 1, 1, 0),
+        (q_tpch_q20_dominant_supplier, 2, 4, 0),
+        (q_tpch_q21_waiting_supplier, 5, 0, 0),
+    ]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn, min_smj, max_bcast, max_nlj in cases:
+            plan = _plan(fn(spark, sf_dir)).split("== Initial Plan ==")[0]
+            n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+            assert n_smj >= min_smj, f"{fn.__name__}: {n_smj} shuffle joins\n{plan}"
+            n_bcast = plan.count("BroadcastExchange")
+            assert n_bcast <= max_bcast, (
+                f"{fn.__name__}: {n_bcast} forced broadcasts (max {max_bcast})\n{plan}"
+            )
+            n_nlj = plan.count("BroadcastNestedLoopJoin") + plan.count(
+                "CartesianProduct"
+            )
+            assert n_nlj <= max_nlj, f"{fn.__name__}: {n_nlj} nested-loop joins\n{plan}"
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
