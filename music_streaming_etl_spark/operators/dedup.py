@@ -632,3 +632,50 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
     )
 
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_shared: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share at
+    least ``min_shared`` distinct word ``shingle_n``-grams with some
+    held-out benchmark document. The standard pre-training hygiene
+    check (the reference has nothing like it; see e.g. GPT-3 appendix
+    C / PaLM contamination methodology for the n-gram-overlap shape).
+
+    Scale shape: an inverted-index equi-join — both sides explode to
+    (doc, shingle) rows and meet on the shingle key; never a doc×doc
+    cross product. ``max_shingle_df`` drops shingles occurring in more
+    than that many *benchmark* docs before the join: boilerplate
+    shingles are both noise (they indicate template reuse, not
+    contamination) and shuffle-skew hot keys, so the cap is the skew
+    guard — it is part of the operator's semantics (mirrored in the
+    oracle), not a lossy shortcut."""
+    c_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    b_sh = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    if max_shingle_df is not None:
+        keep = (
+            b_sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        b_sh = b_sh.join(keep, "sh", "left_semi")
+    return (
+        c_sh.join(b_sh, "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

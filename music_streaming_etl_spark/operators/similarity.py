@@ -207,3 +207,40 @@ def similarity_topk_ivf(
         "left_semi",
     )
     return similarity_topk(pruned, query, id_col, vec_col, k)
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-class mean embedding in flat (label, dim, centroid) form —
+    the building block for nearest-centroid classification, IVF coarse
+    quantizers, and class-balance diagnostics over an embedding
+    column.
+
+    Determinism across partitionings: float addition is not
+    associative, so a naive SUM(double) varies with merge order.
+    Elements are quantized to 1e-6 (DECIMAL(38,6)) and accumulated in
+    decimal — integer arithmetic underneath, so the sum is
+    order-independent and engines agree (scale 6 keeps the decimal
+    rounding boundary ~1e6 double-ulps away from the stored values,
+    so Spark's exact-BigDecimal cast and DuckDB's multiply-then-round
+    cast pick the same quantum; at finer scales they can differ by
+    1 ulp). One shuffle
+    on (label, dim) with partial aggregation below; output is
+    |labels|×|dims| rows regardless of input size."""
+    e = emb.select(
+        F.col(label_col).cast("bigint").alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return (
+        e.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        )
+    )

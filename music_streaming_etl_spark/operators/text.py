@@ -218,3 +218,90 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )).otherwise(F.array().cast("array<string>"))
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+):
+    """Token-window chunking — the training-data prep step that turns
+    variable-length documents into fixed-size overlapping context
+    windows (stride < chunk_tokens ⇒ chunk_tokens − stride tokens of
+    overlap). The reference has no equivalent; this is build-charter
+    LLM-pipeline surface.
+
+    Purely per-row (tokenize → window starts → posexplode): no
+    shuffle, stays in whole-stage codegen, and the output inherits the
+    input's partitioning — at 100 TB this is scan-bound. The trailing
+    window is allowed to be short (< chunk_tokens) rather than
+    dropped, so every token lands in ≥ 1 chunk."""
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size(toks) - s + 1)
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
+def repetition_stats(df, id_col: str, text_col: str, n: int = 3):
+    """Boilerplate / template detector: share of repeated word
+    ``n``-grams per document (1 − distinct/total). Spam, scraped
+    navigation chrome, and log dumps score high; natural prose scores
+    near 0. Pure per-row column expressions — scan-bound at scale."""
+    toks = tokens(text_col)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("bigint")
+    distinct = F.size(shingles(text_col, n)).cast("bigint")
+    ratio = F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct_ngrams"),
+        ratio.alias("repeated_ngram_ratio"),
+    )
+
+
+def unigram_commonness(df, id_col: str, text_col: str):
+    """Unigram-LM document scoring, kept integer-exact: build the
+    corpus term-frequency table (one shuffle on token), join it back
+    to every token occurrence (second shuffle; AQE demotes to
+    broadcast when the vocabulary is small), and score each document
+    by the mean corpus frequency of its tokens. Monotone proxy for
+    unigram log-likelihood — rare-token-heavy (junk/OCR) docs score
+    low, common-prose docs high — but uses only BIGINT sums so the
+    result is bit-identical across engines and partitionings (no
+    floating log accumulation)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                F.sum("tf").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_token_freq"),
+        )
+    )

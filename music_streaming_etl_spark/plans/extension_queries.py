@@ -938,7 +938,150 @@ GROUP BY 1
 """
 
 
+def _sql_shingles(n: int) -> str:
+    """Distinct word n-gram set in DuckDB, mirroring text.shingles."""
+    return (
+        f"CASE WHEN len({SQL_TOKS}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({SQL_TOKS}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({SQL_TOKS}, i, i + {n - 1}), ' '))) "
+        f"ELSE [] END"
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking: 64-token context windows with 16-token
+    overlap (stride 48) — per-row explode, no shuffle, scan-bound."""
+    from ..operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+ORACLE_DOC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start FROM t)
+SELECT doc_id,
+  CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+  array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk_text,
+  CAST(least(64, len(toks) - start + 1) AS BIGINT) AS n_chunk_tokens
+FROM s
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: repeated word-3-gram share per doc."""
+    from ..operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", n=3)
+
+
+ORACLE_REPETITION = f"""
+SELECT doc_id,
+  CAST(greatest(len({SQL_TOKS}) - 2, 0) AS BIGINT) AS n_ngrams,
+  CAST(len({SQL_SHINGLES3}) AS BIGINT) AS n_distinct_ngrams,
+  CASE WHEN len({SQL_TOKS}) - 2 > 0
+       THEN ROUND(1.0 - CAST(len({SQL_SHINGLES3}) AS DOUBLE)
+                        / CAST(len({SQL_TOKS}) - 2 AS DOUBLE), 6)
+       ELSE 0.0 END AS repeated_ngram_ratio
+FROM documents
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs sharing ≥3 distinct
+    5-grams with a held-out benchmark slice (doc_id % 20 == 0 stands
+    in for the benchmark set). Inverted-index shingle join with a
+    stop-shingle df-cap — finds exactly the planted near-dup pairs on
+    the synthetic corpus."""
+    from ..operators.dedup import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_pairs(
+        corpus,
+        bench,
+        "doc_id",
+        "text",
+        shingle_n=5,
+        min_shared=3,
+        max_shingle_df=2,
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH c AS (
+  SELECT doc_id, unnest(sh) AS s
+  FROM (SELECT doc_id, {_sql_shingles(5)} AS sh FROM documents
+        WHERE doc_id % 20 <> 0)
+), b0 AS (
+  SELECT doc_id AS bench_id, unnest(sh) AS s
+  FROM (SELECT doc_id, {_sql_shingles(5)} AS sh FROM documents
+        WHERE doc_id % 20 = 0)
+), keep AS (
+  SELECT s FROM b0 GROUP BY s HAVING COUNT(*) <= 2
+), b AS (
+  SELECT b0.bench_id, b0.s FROM b0 JOIN keep USING (s)
+)
+SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+FROM c JOIN b USING (s)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
+def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring: corpus term frequencies joined back to
+    every token occurrence; docs scored by mean token frequency
+    (integer-exact proxy for unigram log-likelihood)."""
+    from ..operators.text import unigram_commonness
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_commonness(docs, "doc_id", "text")
+
+
+ORACLE_UNIGRAM = f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents),
+freq AS (SELECT t, COUNT(*) AS tf FROM tok GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_freq
+FROM tok JOIN freq USING (t)
+GROUP BY 1
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, flat (label, dim, centroid) —
+    1e-6-quantized decimal accumulation so the float sums are
+    partitioning- and engine-independent."""
+    from ..operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
+
+
+ORACLE_CENTROIDS = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(unnest(range(1, len(embedding) + 1)) - 1 AS BIGINT) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM e GROUP BY 1, 2
+"""
+
+
 REGISTRY_EXT: dict = {
+    "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
+    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
+    "contamination_check": (q_contamination_check, ORACLE_CONTAMINATION),
+    "unigram_commonness": (q_unigram_commonness, ORACLE_UNIGRAM),
+    "embedding_centroids": (q_embedding_centroids, ORACLE_CENTROIDS),
     "deterministic_sample": (q_deterministic_sample, ORACLE_DET_SAMPLE),
     "train_val_split": (q_train_val_split, ORACLE_TRAIN_VAL),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED),

@@ -68,6 +68,11 @@ _PRIORITY: list[str] = [
     "tpch_q13_order_distribution",
     "tpch_q16_supplier_counts",
     "tpch_q20_dominant_supplier",
+    "doc_chunks",
+    "repetition_stats",
+    "contamination_check",
+    "unigram_commonness",
+    "embedding_centroids",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {
