@@ -55,6 +55,77 @@ def stratified_sample(
     return df.filter(cond)
 
 
+def domain_mixture(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    weights_bp: dict[str, int],
+) -> DataFrame:
+    """Deterministic corpus re-weighting to a target domain mixture —
+    the data-mixing step of a pre-training pipeline (e.g. 60% web /
+    30% books / 10% code): downsample every domain so the kept corpus
+    approaches the target proportions while using as much data as the
+    scarcest domain allows.
+
+    ``weights_bp`` maps domain → target weight in integer basis points
+    (ints, NOT floats — the whole threshold computation stays in
+    BIGINT arithmetic, so every engine and every partitioning derives
+    bit-identical keep decisions; domains absent from the map are
+    dropped). With W = Σ weights:
+
+    1. one aggregation → per-domain counts n_d (|domains| rows);
+    2. the largest total N honoring the mixture is
+       ``min_d(n_d * W // w_d)`` — the scarcest domain binds;
+    3. per-domain keep target = ``N * w_d // W``, applied as a
+       hash-bucket threshold ``target * BUCKETS // n_d`` on the same
+       md5 bucket as every other sampler, so membership is a pure
+       function of the row key (rerun-, retry-, and rescale-stable).
+
+    Scale shape: two tiny aggregates over the fact (partial-agg'd),
+    then one broadcast join of a |domains|-row threshold table back
+    onto the fact — no window, no collect of fact-scaled data. The
+    hash threshold keeps ~target rows per domain (±BUCKETS
+    granularity), which is the right trade at corpus scale: exact-N
+    selection would need a per-domain total sort for zero practical
+    gain."""
+    W = sum(weights_bp.values())
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [(d, int(wbp)) for d, wbp in weights_bp.items()],
+        f"{domain_col} string, __w bigint",
+    )
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(F.broadcast(w), domain_col)
+    )
+    # DIV (exact BIGINT floor-division) everywhere — `/` on bigints is
+    # double division in Spark, and floor(double) can misround vs the
+    # oracle's exact integer `//` once n_d * W nears 2^53.
+    counts = counts.select(
+        domain_col,
+        "__n",
+        "__w",
+        F.expr(f"__n * {W} DIV __w").alias("__cap"),
+    )
+    n_total = counts.groupBy().agg(F.min("__cap").alias("__N"))
+    thresholds = (
+        counts.alias("c")
+        .crossJoin(F.broadcast(n_total.alias("t")))
+        .select(
+            F.col(f"c.{domain_col}").alias(domain_col),
+            F.expr(f"(t.__N * c.__w DIV {W}) * {BUCKETS} DIV c.__n").alias(
+                "__thr"
+            ),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .filter(hash_bucket(key) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def train_val_split(
     df: DataFrame, key: str, val_fraction: float = 0.1, split_col: str = "split"
 ) -> DataFrame:

@@ -305,3 +305,60 @@ def unigram_commonness(df, id_col: str, text_col: str):
             ).alias("mean_token_freq"),
         )
     )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5):
+    """TF-IDF salient terms: the k most corpus-distinctive terms per
+    document — the classic relevance/keyword signal (and a cheap
+    topical fingerprint for corpus diagnostics).
+
+    Shape: per-(doc, term) counts (one shuffle), per-term document
+    frequencies derived FROM that aggregate (second, much smaller
+    shuffle — df never re-scans the fact), the corpus doc count as a
+    1-row broadcast, then ``tfidf = tf * ln(N / df)`` per row. The
+    top-k window partitions by doc — bounded by a document's distinct
+    terms, never by corpus size.
+
+    Determinism: both engines rank on the ROUNDED score (round 6) with
+    the term as tie-break, so ulp-level libm differences in ``ln``
+    can't flip an ordering the oracle sees differently.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )

@@ -1076,7 +1076,73 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing: re-weight the corpus toward a
+    50/30/15/5 target mixture over four sources (integer basis-point
+    weights; sources outside the recipe are dropped). All thresholds
+    derive in exact BIGINT arithmetic from per-domain counts, applied
+    as md5 hash-bucket filters — rerun-, rescale-, and engine-stable."""
+    from ..operators.sampling import domain_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mixture(
+        docs,
+        key="doc_id",
+        domain_col="source",
+        weights_bp={"src0": 5000, "src1": 3000, "src2": 1500, "src3": 500},
+    ).select("doc_id", "source", "n_chars")
+
+
+ORACLE_DOMAIN_MIXTURE = """
+WITH w(source, w) AS (
+  VALUES ('src0', 5000), ('src1', 3000), ('src2', 1500), ('src3', 500)
+),
+c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+j AS (SELECT c.source, n, w FROM c JOIN w USING (source)),
+nn AS (SELECT MIN(n * 10000 // w) AS ntot FROM j),
+thr AS (SELECT source, ((ntot * w // 10000) * 10000) // n AS thr FROM j, nn)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN thr USING (source)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 10000 < thr
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF salient terms: top-5 corpus-distinctive terms per doc,
+    ranked on the rounded score (term tie-break) so libm ulp noise in
+    ln can't flip an ordering between engines."""
+    from ..operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+ORACLE_TFIDF = f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(CAST(tf AS DOUBLE)
+               * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), nd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM ranked WHERE rank <= 5
+"""
+
+
 REGISTRY_EXT: dict = {
+    "domain_mixture": (q_domain_mixture, ORACLE_DOMAIN_MIXTURE),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
     "contamination_check": (q_contamination_check, ORACLE_CONTAMINATION),

@@ -73,6 +73,10 @@ _PRIORITY: list[str] = [
     "contamination_check",
     "unigram_commonness",
     "embedding_centroids",
+    "scan_xml_roundtrip",
+    "scan_binary_ingest",
+    "domain_mixture",
+    "tfidf_top_terms",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {

@@ -664,6 +664,76 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-analog for XML (built into Spark 4) — the last drop-zone
+    text format after CSV/JSON/ORC: events sunk as XML, re-read with a
+    declared schema, same projection contract as the other scans.
+    Timestamps ride as formatted strings like the CSV/ORC paths (XML
+    is a text boundary; the string form is the cross-engine-stable
+    choice)."""
+    from ..sources.io import scan_xml, sink_xml
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(SCRATCH, f"events_xml_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "ts", F.date_format("ts", CSV_TS_FMT)
+        )
+        sink_xml(ev, out, row_tag="event", root_tag="events")
+    xml_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.StringType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    back = scan_xml(spark, out, row_tag="event", schema=xml_schema)
+    return back.select(
+        "event_id",
+        F.to_timestamp("ts", CSV_TS_FMT).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+# The binary-ingest fixture is the reference's OWN data drop (the three
+# stream CSV objects its DAG downloads from S3, ref
+# dags/music_streaming_etl_dags.py:105-121) — a fixed path independent
+# of sf_dir, so the oracle (DuckDB read_blob on the same glob) stays a
+# static SQL string.
+BINARY_FIXTURE_DIR = "/root/reference/data/streams"
+
+
+def q_scan_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-analog for opaque binary objects (``binaryFile`` source) —
+    the multimodal ingest entry point: each file becomes one row of
+    (file_name, n_bytes, content_md5), listing and reads distributed
+    across tasks. The md5 rides on the HEX of the bytes because the
+    oracle's md5 only takes strings — both engines hex uppercase, so
+    the digests agree."""
+    from ..sources.io import scan_binary_files
+
+    bins = scan_binary_files(spark, BINARY_FIXTURE_DIR, path_glob="*.csv")
+    return bins.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("content_md5"),
+    )
+
+
+ORACLE_BINARY_INGEST = f"""
+SELECT parse_filename(filename) AS file_name,
+       CAST(size AS BIGINT) AS n_bytes,
+       md5(hex(content)) AS content_md5
+FROM read_blob('{BINARY_FIXTURE_DIR}/*.csv')
+"""
+
+
 def q_scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S3-analog — parquet scan with predicate + projection pushdown
     (explain shows PushedFilters + pruned ReadSchema)."""
@@ -834,6 +904,8 @@ REGISTRY: dict = {
     "scan_csv_multi": (q_scan_csv_multi, ORACLE_EVENTS_ALL),
     "scan_json_lines": (q_scan_json_lines, ORACLE_EVENTS_ALL),
     "scan_orc_roundtrip": (q_scan_orc_roundtrip, ORACLE_EVENTS_ALL),
+    "scan_xml_roundtrip": (q_scan_xml_roundtrip, ORACLE_EVENTS_ALL),
+    "scan_binary_ingest": (q_scan_binary_ingest, ORACLE_BINARY_INGEST),
     "sink_csv": (q_sink_csv_roundtrip, ORACLE_AGG_AVG),
     "scan_parquet_pushdown": (
         q_scan_parquet_pushdown,

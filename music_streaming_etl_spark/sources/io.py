@@ -211,6 +211,60 @@ def jdbc_writer(
     return w
 
 
+def scan_binary_files(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Whole-file binary ingest (``binaryFile`` source) — the entry
+    point of every multimodal pipeline: images/audio/video land as
+    opaque files, and this scan turns a directory tree into
+    (path, modificationTime, length, content) rows that the
+    ``operators/multimodal.py`` decode stages consume. Listing and
+    reading are distributed (files are split across tasks, one file
+    per row — binary files are never split mid-file), so a 100 TB
+    media drop ingests in parallel; ``path_glob`` prunes at listing
+    time, before any bytes are read."""
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)
+
+
+def scan_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan (built into Spark 4) — the remaining drop-zone text
+    format after CSV/JSON/ORC. Schema is declared, never inferred, by
+    the same rule as ``scan_csv_multi`` (the reference re-infers at
+    every hop; a declared schema is the only stable contract)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def sink_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str,
+    root_tag: str,
+    mode: str = "overwrite",
+) -> None:
+    """XML sink — one file per partition like the CSV sink's default
+    (parallel writers; no driver coalesce)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
