@@ -679,3 +679,111 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def _sym_edges(e: DataFrame) -> DataFrame:
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u) = min of
+    u's closed neighborhood (Kiveris et al., Alg. 2 map/reduce round
+    as one groupBy + join)."""
+    sym = _sym_edges(e)
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select("src", F.least(F.col("src"), F.col("__mn")).alias("__m"))
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor (and u itself) to the
+    minimum of u's smaller neighborhood (Kiveris et al., Alg. 3)."""
+    canon = (
+        e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = canon.groupBy("src").agg(F.min("dst").alias("__m"))
+    joined = canon.join(mins, "src")
+    out = (
+        joined.select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        .unionByName(joined.select("src", F.col("__m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return out
+
+
+def dedup_clusters_twophase(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log² n)-round alternative to ``dedup_clusters``'
+    min-label propagation, whose round count is the component
+    DIAMETER. Same contract and same fixpoint: every node labeled
+    with its component's minimum id; singletons label themselves.
+
+    Use this form when duplication chains run deep (scraped mirror
+    hierarchies, long citation chains): a 10 000-hop chain converges
+    in ~log² rounds instead of 10 000 propagation rounds. Each round
+    is two groupBy-join pipelines over the edge set — all distributed,
+    only the convergence scalar crosses to the driver;
+    ``localCheckpoint`` truncates the per-round lineage."""
+    def _sig(frame: DataFrame) -> tuple:
+        # one cheap agg per round: (count, order-free xor of 64-bit
+        # edge hashes). A stable signature triggers ONE exact
+        # set-equality confirmation below, so a (astronomically
+        # unlikely) xor collision costs an extra round, never a wrong
+        # answer.
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        ).collect()[0]
+        return (row.n, row.x)
+
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _sig(e)
+    for _ in range(max_iterations):
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _sig(new_e)
+        if new_sig == sig and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            break
+        e, sig = new_e, new_sig
+    labels = e.select(
+        F.col("src").alias("id"), F.col("dst").alias("label")
+    ).groupBy("id").agg(F.min("label").alias("label"))
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+        )
+    )

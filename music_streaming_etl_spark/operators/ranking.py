@@ -90,6 +90,55 @@ def global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order: Sequence[Column],
+    value_col: str,
+    num_partitions: int = 32,
+    alias: str = "prefix_sum",
+) -> DataFrame:
+    """Exact EXCLUSIVE running total of ``value_col`` over a total
+    order, distributed — ``global_rank`` generalized from counting
+    rows to summing a value: range-partition on the order, local
+    cumulative sum, then add each partition's cumulative value-total
+    offset (a #partitions-row broadcast). Row 1 gets 0; row i gets
+    Σ values of rows 1..i−1."""
+    parts = (
+        df.repartitionByRange(num_partitions, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    local = parts.withColumn(
+        "_lsum",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col(value_col),
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_n"))
+        .withColumn(
+            "_offset",
+            # prefix-sum over the #partitions-row totals table — its
+            # single-partition window is bounded by design
+            F.coalesce(
+                F.sum("_n").over(Window.orderBy("_pid")) - F.col("_n"),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, (F.col("_lsum") + F.col("_offset")).cast("bigint"))
+        .drop("_pid", "_lsum", "_offset")
+    )
+
+
 def global_ntile(
     df: DataFrame, order: Sequence[Column], n: int, num_partitions: int = 32
 ) -> DataFrame:

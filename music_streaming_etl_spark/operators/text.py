@@ -362,3 +362,35 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5):
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df", "tfidf")
     )
+
+
+def pack_sequences(
+    chunks,
+    order_cols: tuple[str, ...],
+    tokens_col: str,
+    budget: int,
+):
+    """Sequence packing — assign ordered training chunks to
+    fixed-token-budget bins, the step between chunking and batch
+    assembly in an LLM data pipeline. Semantics are the concatenated
+    token stream cut every ``budget`` tokens: a chunk lives in the bin
+    where its first token lands (``bin_id = exclusive_prefix DIV
+    budget``), and ``bin_offset`` is that first token's position
+    within the bin. Deterministic for any partitioning because the
+    order is total and the prefix sum is exact BIGINT.
+
+    Scale shape: one range-partition shuffle on the pack order + a
+    #partitions-row broadcast offset table (``global_prefix_sum``) —
+    never a single-partition window over the corpus."""
+    from .ranking import global_prefix_sum
+
+    order = [F.col(c).asc() for c in order_cols]
+    pref = global_prefix_sum(
+        chunks, order, tokens_col, alias="__prefix"
+    )
+    return pref.select(
+        *order_cols,
+        F.col(tokens_col),
+        F.expr(f"__prefix DIV {budget}").alias("bin_id"),
+        (F.col("__prefix") % budget).alias("bin_offset"),
+    )

@@ -315,6 +315,20 @@ SELECT doc_id, cluster_id FROM cc
 """
 
 
+def q_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components as ``dedup_clusters``, computed by alternating
+    large-star/small-star rounds (O(log²) rounds vs diameter) — the
+    deep-chain scale path; must agree with the recursive-CTE oracle
+    exactly like the propagation form."""
+    from ..operators.dedup import dedup_clusters_twophase
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=16, num_bands=4, shingle_n=3
+    )
+    return dedup_clusters_twophase(docs.select("doc_id"), pairs, "doc_id")
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduped corpus: one survivor per near-dup cluster (the row
     whose doc_id equals the cluster id — deterministic, no tie-break)."""
@@ -1076,6 +1090,43 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: the 64/48 token chunks of the corpus packed
+    into 512-token training bins over the (doc_id, chunk_idx) total
+    order — concat-stream-cut semantics, distributed exact prefix
+    sum (range partition + broadcast offsets, no global window)."""
+    from ..operators.text import chunk_documents, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+    return pack_sequences(
+        chunks, ("doc_id", "chunk_idx"), "n_chunk_tokens", budget=512
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start FROM t),
+ch AS (
+  SELECT doc_id,
+    CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+    CAST(least(64, len(toks) - start + 1) AS BIGINT) AS n_chunk_tokens
+  FROM s
+),
+p AS (
+  SELECT doc_id, chunk_idx, n_chunk_tokens,
+         COALESCE(SUM(n_chunk_tokens) OVER (
+           ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM ch
+)
+SELECT doc_id, chunk_idx, n_chunk_tokens,
+       CAST(prefix // 512 AS BIGINT) AS bin_id,
+       CAST(prefix % 512 AS BIGINT) AS bin_offset
+FROM p
+"""
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixing: re-weight the corpus toward a
     50/30/15/5 target mixture over four sources (integer basis-point
@@ -1141,6 +1192,7 @@ FROM ranked WHERE rank <= 5
 
 
 REGISTRY_EXT: dict = {
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "domain_mixture": (q_domain_mixture, ORACLE_DOMAIN_MIXTURE),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
@@ -1176,6 +1228,7 @@ REGISTRY_EXT: dict = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, _oracle_minhash()),
     "dedup_clusters": (q_dedup_clusters, _oracle_dedup_clusters()),
+    "dedup_clusters_twophase": (q_dedup_clusters_twophase, _oracle_dedup_clusters()),
     "dedup_canonical": (q_dedup_canonical, _oracle_dedup_canonical()),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "simhash_fingerprint": (q_simhash_fingerprint, _oracle_simhash_fp()),

@@ -77,6 +77,9 @@ _PRIORITY: list[str] = [
     "scan_binary_ingest",
     "domain_mixture",
     "tfidf_top_terms",
+    "ref_pipeline_genre_kpis",
+    "pack_sequences",
+    "dedup_clusters_twophase",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {

@@ -734,6 +734,104 @@ FROM read_blob('{BINARY_FIXTURE_DIR}/*.csv')
 """
 
 
+REF_DATA_DIR = "/root/reference/data"
+
+
+def q_ref_pipeline_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL pipeline on its ACTUAL data: the 3 real
+    stream CSV objects + the real 50k-user table through the full
+    compute_kpis genre branch (extract → enrich joins → fused
+    mode+agg), oracle-checked end-to-end. songs.csv is absent from
+    the reference snapshot (.MISSING_LARGE_BLOBS), so the songs dim
+    derives deterministically from each track_id — same synthesis on
+    both engines, so the comparison still pins every join, the
+    null-group drop, the decimal-exact average, and the mode
+    tie-break on real-world data. Fixed paths, independent of sf_dir
+    (like the binary-ingest fixture)."""
+    from ..schemas import USERS
+    from ..sources.io import scan_csv_multi
+    from .kpis import compute_kpis
+    from .pipeline import extract_streams
+
+    users = scan_csv_multi(spark, f"{REF_DATA_DIR}/users/users.csv", USERS)
+    streams = extract_streams(
+        spark,
+        [f"{REF_DATA_DIR}/streams/streams{i}.csv" for i in (1, 2, 3)],
+    )
+    songs = (
+        streams.select("track_id")
+        .distinct()
+        .select(
+            "track_id",
+            F.concat(F.lit("artist_"), F.substring("track_id", 1, 2)).alias(
+                "artists"
+            ),
+            F.concat(F.lit("track_"), F.substring("track_id", 1, 4)).alias(
+                "track_name"
+            ),
+            F.concat(F.lit("genre_"), F.substring("track_id", 1, 1)).alias(
+                "track_genre"
+            ),
+            (F.ascii(F.substring("track_id", 1, 1)) * 3000).alias(
+                "duration_ms"
+            ),
+        )
+    )
+    res = compute_kpis(streams, songs, users, cache=False)
+    return res.genre_kpis
+
+
+ORACLE_REF_PIPELINE = f"""
+WITH streams AS (
+  SELECT user_id, track_id, listen_time
+  FROM read_csv('{REF_DATA_DIR}/streams/streams*.csv', header=true,
+                columns={{'user_id': 'BIGINT', 'track_id': 'VARCHAR',
+                          'listen_time': 'TIMESTAMP'}})
+),
+users AS (
+  SELECT user_id FROM read_csv('{REF_DATA_DIR}/users/users.csv', header=true)
+),
+songs AS (
+  SELECT track_id,
+         'track_' || substr(track_id, 1, 4) AS track_name,
+         'genre_' || substr(track_id, 1, 1) AS track_genre,
+         ascii(substr(track_id, 1, 1)) * 3000 AS duration_ms
+  FROM (SELECT DISTINCT track_id FROM streams)
+),
+merged AS (
+  SELECT s.track_id, s.listen_time, g.track_name, g.track_genre,
+         g.duration_ms
+  FROM streams s
+  LEFT JOIN songs g USING (track_id)
+  LEFT JOIN users u USING (user_id)
+),
+base AS (
+  SELECT *, CAST(listen_time AS DATE) AS date FROM merged
+  WHERE track_genre IS NOT NULL
+),
+agg AS (
+  SELECT track_genre, date, COUNT(track_id) AS listen_count,
+         CAST(SUM(duration_ms) AS DOUBLE)
+           / CAST(COUNT(duration_ms) AS DOUBLE) AS avg_track_duration
+  FROM base GROUP BY 1, 2
+),
+cnts AS (
+  SELECT track_genre, date, track_name, COUNT(*) AS cnt
+  FROM base WHERE track_name IS NOT NULL GROUP BY 1, 2, 3
+),
+md AS (
+  SELECT track_genre, date, track_name AS most_popular_track,
+         ROW_NUMBER() OVER (PARTITION BY track_genre, date
+                            ORDER BY cnt DESC, track_name ASC) AS rn
+  FROM cnts
+)
+SELECT a.track_genre, a.date, a.listen_count, a.avg_track_duration,
+       m.most_popular_track
+FROM agg a
+LEFT JOIN (SELECT * FROM md WHERE rn = 1) m USING (track_genre, date)
+"""
+
+
 def q_scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S3-analog — parquet scan with predicate + projection pushdown
     (explain shows PushedFilters + pruned ReadSchema)."""
@@ -906,6 +1004,7 @@ REGISTRY: dict = {
     "scan_orc_roundtrip": (q_scan_orc_roundtrip, ORACLE_EVENTS_ALL),
     "scan_xml_roundtrip": (q_scan_xml_roundtrip, ORACLE_EVENTS_ALL),
     "scan_binary_ingest": (q_scan_binary_ingest, ORACLE_BINARY_INGEST),
+    "ref_pipeline_genre_kpis": (q_ref_pipeline_genre_kpis, ORACLE_REF_PIPELINE),
     "sink_csv": (q_sink_csv_roundtrip, ORACLE_AGG_AVG),
     "scan_parquet_pushdown": (
         q_scan_parquet_pushdown,
