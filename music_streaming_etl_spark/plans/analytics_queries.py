@@ -1004,7 +1004,61 @@ FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
 """
 
 
+def q_salted_skew_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation on a pathologically hot key:
+    lineitem has only 3 return-flag values, so a plain groupBy sends
+    ~1/3 of 100 TB to each of 3 reducers. ``salted_count`` sprays each
+    flag across 16 deterministic salt buckets, partially aggregates,
+    and re-combines — result identical to A1 ``agg_count`` (the oracle
+    is a plain GROUP BY), plan is straggler-free. Mirrors the
+    reference's 98%-one-country user skew (SURVEY.md §1.1)."""
+    from ..operators.skew import salted_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    return salted_count(li, ["l_returnflag"], "l_orderkey", "n_items")
+
+
+ORACLE_SALTED_COUNT = """
+SELECT l_returnflag, COUNT(l_orderkey) AS n_items
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: orders and customer are
+    both persisted bucketed+sorted on the customer key (8 buckets), so
+    the join plans a sort-merge with ZERO Exchange on either side —
+    the standard layout for a fact table joined on the same key by
+    many recurring queries (`tests/test_scale_plans.py` asserts the
+    no-Exchange plan). Result is oracle-identical to the plain join."""
+    from ..operators.skew import bucketed_table, join_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    bo = bucketed_table(spark, orders, f"orders_bkt_{tag}", "custkey")
+    bc = bucketed_table(spark, cust, f"customer_bkt_{tag}", "custkey")
+    return join_bucketed(bo, bc, "custkey").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "salted_skew_count": (q_salted_skew_count, ORACLE_SALTED_COUNT),
+    "bucketed_join_revenue": (q_bucketed_join_revenue, ORACLE_BUCKETED_JOIN),
     "range_join_windows": (q_range_join_windows, ORACLE_RANGE_JOIN),
     "unpivot_metrics": (q_unpivot_metrics, ORACLE_UNPIVOT),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, ORACLE_FUZZY),

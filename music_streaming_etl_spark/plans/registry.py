@@ -80,6 +80,8 @@ _PRIORITY: list[str] = [
     "ref_pipeline_genre_kpis",
     "pack_sequences",
     "dedup_clusters_twophase",
+    "salted_skew_count",
+    "bucketed_join_revenue",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {
