@@ -44,6 +44,44 @@ def global_topk(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Per-group top-k (1-based ``rank`` within each group) that
+    survives hot groups.
+
+    The naive ``row_number().over(partitionBy(group))`` sorts each
+    group on ONE reducer — a straggler when one domain holds half the
+    corpus (the per-domain cap every pretraining pipeline applies).
+    Phase 1 here salts each group across ``num_salts`` reducers and
+    keeps a per-(group, salt) top-k, so no task ever sorts more than
+    ~|group|/num_salts rows; phase 2 re-ranks the ≤ num_salts × k
+    survivors per group — a bounded window by construction.
+
+    The salt is a deterministic content hash (not ``rand()``), so the
+    plan is reproducible; ``order`` must be a total order within each
+    group (tie-break to a unique id) for ranks to be well-defined.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .drop("__salt")
+    )
+
+
 def global_rank(
     df: DataFrame, order: Sequence[Column], num_partitions: int = 32
 ) -> DataFrame:

@@ -77,6 +77,18 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
+# DuckDB mirror of operators/text.py::quality_score — kept as one
+# fragment so every oracle that ranks/filters on quality uses the
+# exact same expression as ORACLE_TEXT_STATS.
+SQL_QUALITY = f"""ROUND(
+    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
+    + least(2 * CAST(len(list_filter({{toks}}, t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
+            / CAST(len({{toks}}) AS DOUBLE), 1.0) * 0.3
+    + (1 - least(4 * CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{{{}}}}\\-]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6)""".format(
+    toks=SQL_TOKS
+)
+
 ORACLE_TEXT_STATS = f"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -1159,6 +1171,36 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
 """
 
 
+def q_domain_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality cap: keep the top-10 highest-quality docs
+    per source — the 'cap each domain, keep only its best' selection
+    step of a pretraining mixture. Ranks via the salted two-phase
+    ``grouped_topk`` so a domain holding half the corpus never sorts
+    on one reducer; (quality DESC, doc_id) is the required total
+    order."""
+    from ..operators.ranking import grouped_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return grouped_topk(
+        docs, ["source"], [F.desc("quality"), F.asc("doc_id")], k=10
+    ).select("source", "rank", "doc_id", "quality")
+
+
+ORACLE_DOMAIN_TOP = f"""
+WITH q AS (
+  SELECT doc_id, source, {SQL_QUALITY} AS quality FROM documents
+)
+SELECT source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, quality
+FROM q
+QUALIFY rank <= 10
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF salient terms: top-5 corpus-distinctive terms per doc,
     ranked on the rounded score (term tie-break) so libm ulp noise in
@@ -1194,6 +1236,7 @@ FROM ranked WHERE rank <= 5
 REGISTRY_EXT: dict = {
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "domain_mixture": (q_domain_mixture, ORACLE_DOMAIN_MIXTURE),
+    "domain_top_docs": (q_domain_top_docs, ORACLE_DOMAIN_TOP),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),

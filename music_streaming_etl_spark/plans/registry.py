@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "dedup_clusters_twophase",
     "salted_skew_count",
     "bucketed_join_revenue",
+    "domain_top_docs",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {

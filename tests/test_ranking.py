@@ -80,3 +80,34 @@ def test_global_ntile_even_split(spark):
         .collect()
     )
     assert {r["tile"]: r["count"] for r in sizes} == {1: 10, 2: 10, 3: 10, 4: 10}
+
+
+def test_grouped_topk_matches_partitioned_window(spark):
+    from music_streaming_etl_spark.operators.ranking import grouped_topk
+
+    # one pathologically hot group (80% of rows) + several small ones,
+    # with score ties to exercise the id tie-break across salt buckets
+    rows = [
+        Row(id=i, grp="hot" if i % 10 < 8 else f"g{i % 10}", score=float((i * 3) % 7))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows).repartition(8)
+    order = [F.desc("score"), F.asc("id")]
+    got = grouped_topk(df, ["grp"], order, k=5).select("grp", "rank", "id", "score")
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = (
+        df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("grp", "rank", "id", "score")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_grouped_topk_groups_smaller_than_k(spark):
+    from music_streaming_etl_spark.operators.ranking import grouped_topk
+
+    rows = [Row(id=i, grp=f"g{i}", score=1.0) for i in range(7)]
+    df = spark.createDataFrame(rows)
+    got = grouped_topk(df, ["grp"], [F.desc("score"), F.asc("id")], k=5)
+    assert got.count() == 7
+    assert got.filter(F.col("rank") != 1).count() == 0
