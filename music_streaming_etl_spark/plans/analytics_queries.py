@@ -1004,6 +1004,38 @@ FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
 """
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history reconstructed from the raw event feed:
+    each user's event_type stream collapses to versioned states with
+    [valid_from, valid_to) intervals and an is_current flag — the
+    'what was true WHEN the fact happened' table the reference's
+    recreate-wholesale dims cannot answer. All windows are per-user
+    (bounded), total order (ts, event_id)."""
+    from ..operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2_history(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak=["event_id"]
+    )
+
+
+ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), versions AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM versions
+"""
+
+
 def q_salted_skew_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation on a pathologically hot key:
     lineitem has only 3 return-flag values, so a plain groupBy sends
@@ -1057,6 +1089,7 @@ GROUP BY 1
 
 
 REGISTRY_ANALYTICS: dict = {
+    "scd2_user_state": (q_scd2_user_state, ORACLE_SCD2),
     "salted_skew_count": (q_salted_skew_count, ORACLE_SALTED_COUNT),
     "bucketed_join_revenue": (q_bucketed_join_revenue, ORACLE_BUCKETED_JOIN),
     "range_join_windows": (q_range_join_windows, ORACLE_RANGE_JOIN),

@@ -32,7 +32,6 @@ _PRIORITY: list[str] = [
     "tpch_q5_local_supplier",
     "top_revenue_customers",
     "revenue_percentiles",
-    "tpch_q3_shipping",
     "tpch_q10_returns",
     "tpch_q18_large_orders",
     "tpch_q15_top_supplier",
@@ -83,6 +82,7 @@ _PRIORITY: list[str] = [
     "salted_skew_count",
     "bucketed_join_revenue",
     "domain_top_docs",
+    "scd2_user_state",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {
