@@ -787,3 +787,44 @@ def dedup_clusters_twophase(
             F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, span_n: int = 5
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022's
+    "Deduplicating Training Data Makes Language Models Better", via
+    its scalable shingle approximation): for each document, what
+    fraction of its distinct ``span_n``-token spans also appears in at
+    least one OTHER document? High-fraction docs are boilerplate /
+    copy-paste candidates the training pipeline down-weights or drops.
+
+    Plan shape (all codegen, no lambdas): distinct (id, span) rows via
+    ``shingle_frame`` (posexplode + lead windows), one hash-agg
+    counting docs per span, a span-key equi-join to flag cross-doc
+    spans, one hash-agg back to per-doc fractions. Two shuffles over
+    the span frame, both key-partitioned and AQE-balanced — never an
+    all-pairs comparison, so the cost is linear in total span count at
+    any corpus size (the true suffix-array variant saves constant
+    factors only; join-on-span is the distributed-native form).
+    """
+    sh = shingle_frame(df, id_col, text_col, shingle_n=span_n)
+    span_docs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__docs"))
+    flagged = sh.join(span_docs, "sh").select(
+        "id", (F.col("__docs") > 1).cast("int").alias("__dup")
+    )
+    return (
+        flagged.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("__dup").cast("bigint").alias("n_shared_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(
+                F.col("n_shared_spans").cast("double")
+                / F.col("n_spans").cast("double"),
+                6,
+            ),
+        )
+    )

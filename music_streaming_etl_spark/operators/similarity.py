@@ -244,3 +244,50 @@ def label_centroids(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop embeddings whose cosine
+    similarity to a LOWER-id member of the same cluster exceeds
+    ``threshold``; return the retained rows (id, cluster).
+
+    The clustering is the scalability lever: pairwise comparison runs
+    only WITHIN a cluster (equi-join on ``cluster_col``), so total
+    work is Σ|cluster|² — at 100 TB you raise k (e.g. 100k k-means
+    clusters over 1B embeddings ≈ 10k rows/cluster) and the join
+    stays shuffle-partitioned by cluster with AQE splitting any skewed
+    cluster. Pair with ``kmeans_codebook``/``_nearest_bucket_expr``
+    to learn the clusters when no label exists. Keep-lowest-id is the
+    paper's arbitrary-representative choice made deterministic (total
+    order on id); a row is dropped iff it duplicates ANY lower-id row
+    in its cluster — one pass, no iteration, the standard streaming
+    relaxation of the paper's per-cluster greedy sweep.
+    """
+    a = emb.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__ida"),
+        as_double_vec(F.col(vec_col)).alias("__va"),
+    )
+    b = emb.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__idb"),
+        as_double_vec(F.col(vec_col)).alias("__vb"),
+    )
+    dropped = (
+        a.join(b, "__c")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .withColumn("__cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("__cos") > threshold)
+        .select(F.col("__ida").alias("__drop"))
+        .distinct()
+    )
+    return (
+        emb.join(dropped, emb[id_col] == dropped["__drop"], "left_anti")
+        .select(F.col(id_col), F.col(cluster_col))
+    )

@@ -1,0 +1,47 @@
+"""Time-series gap handling: last-observation-carried-forward.
+
+The reference's hourly KPI frame (``dags/music_streaming_etl_dags.py``
+``compute_hourly_kpis``) silently drops hours with no events; any
+consumer charting "current state per entity over time" needs the last
+known value carried forward across the gaps. ``locf`` is that fill as
+a single window expression.
+
+Scale design: one window per entity key, ordered by the event time —
+``F.last(ignorenulls=True)`` over an unbounded-preceding frame is a
+running accumulator, evaluated in one pass per partition after the
+per-key shuffle+sort. State is O(1) per column being filled; the
+partition is bounded by per-entity history (the same argument as
+sessionization/SCD2 — never a global window).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def locf(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    fill_cols: Sequence[str],
+    suffix: str = "_filled",
+) -> DataFrame:
+    """Carry each ``fill_cols`` value forward within its key group.
+
+    ``order_by`` must totally order rows within a key (engine-wide
+    determinism rule) — pass a tiebreak column alongside the timestamp.
+    Nulls BEFORE the first observation stay null (there is nothing to
+    carry); callers wanting a default should ``coalesce`` after.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in fill_cols:
+        out = out.withColumn(c + suffix, F.last(c, ignorenulls=True).over(w))
+    return out

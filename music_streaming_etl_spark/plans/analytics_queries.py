@@ -1088,7 +1088,119 @@ GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two dim snapshots, each deterministically derived
+    from ``customer`` (old: keys not ≡0 mod 7; new: keys not ≡0 mod 5,
+    with acctbal bumped +100 on keys ≡0 mod 3 to simulate updates).
+    The diff itself joins only (key, md5-digest) projections — ~40
+    bytes/row through the shuffle no matter how wide the dim is."""
+    from ..operators.cdc import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 7 != 0)
+    new = cust.filter(F.col("c_custkey") % 5 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + F.lit(100.0)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    return snapshot_diff(
+        old, new, ["c_custkey"],
+        ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0),
+new AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 5 <> 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+       WHEN n.c_custkey IS NULL THEN 'delete'
+       WHEN o.c_name IS NOT DISTINCT FROM n.c_name
+        AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+        AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+        AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+       THEN 'unchanged' ELSE 'update' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+"""
+
+
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over a sparse per-user series:
+    only 'purchase' events observe a value; every event row gets the
+    user's last observed purchase value at that point in time. One
+    bounded per-user window (running ``last(ignorenulls)``)."""
+    from ..operators.timeseries import locf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    return locf(
+        ev, ["user_id"], ["ts", "event_id"], ["purchase_value"]
+    ).select("user_id", "event_id", "ts", "purchase_value_filled")
+
+
+ORACLE_LOCF = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS purchase_value_filled
+FROM events
+"""
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic one-pass table profile of ``customer``: per column the
+    row/null/distinct counts and min/max — the onboarding scan a new
+    100 TB source gets before any modeling. Single aggregation job
+    (multi-distinct via Expand), then a 1-row explode."""
+    from ..operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+
+
+ORACLE_PROFILE = """
+WITH src AS (SELECT * FROM customer)
+SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
+  COUNT(*) - COUNT(c_custkey) AS n_nulls,
+  COUNT(DISTINCT c_custkey) AS n_distinct,
+  CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+  CAST(MAX(c_custkey) AS VARCHAR) AS max_value FROM src
+UNION ALL
+SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+  COUNT(DISTINCT c_name), CAST(MIN(c_name) AS VARCHAR),
+  CAST(MAX(c_name) AS VARCHAR) FROM src
+UNION ALL
+SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+  COUNT(DISTINCT c_nationkey), CAST(MIN(c_nationkey) AS VARCHAR),
+  CAST(MAX(c_nationkey) AS VARCHAR) FROM src
+UNION ALL
+SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+  COUNT(DISTINCT c_acctbal), CAST(MIN(c_acctbal) AS VARCHAR),
+  CAST(MAX(c_acctbal) AS VARCHAR) FROM src
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+  COUNT(DISTINCT c_mktsegment), CAST(MIN(c_mktsegment) AS VARCHAR),
+  CAST(MAX(c_mktsegment) AS VARCHAR) FROM src
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "snapshot_diff": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
+    "locf_fill": (q_locf_fill, ORACLE_LOCF),
+    "profile_table": (q_profile_table, ORACLE_PROFILE),
     "scd2_user_state": (q_scd2_user_state, ORACLE_SCD2),
     "salted_skew_count": (q_salted_skew_count, ORACLE_SALTED_COUNT),
     "bucketed_join_revenue": (q_bucketed_join_revenue, ORACLE_BUCKETED_JOIN),

@@ -1233,7 +1233,71 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile: per doc, the fraction of
+    its distinct 5-token spans appearing in ≥1 other document (the
+    shingle form of Lee et al. 2022 substring dedup). Linear in total
+    span count — two key-partitioned shuffles, no all-pairs stage."""
+    from ..operators.dedup import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, "doc_id", "text", span_n=5)
+
+
+SQL_SHINGLES5 = (
+    f"CASE WHEN len({SQL_TOKS}) >= 5 THEN "
+    f"list_distinct(list_transform(range(1, len({SQL_TOKS}) - 3), "
+    f"i -> array_to_string(list_slice({SQL_TOKS}, i, i + 4), ' '))) "
+    f"ELSE [] END"
+)
+
+ORACLE_DUP_SPANS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES5}) AS sh FROM documents
+), cnt AS (
+  SELECT sh, COUNT(*) AS docs FROM sh GROUP BY sh
+)
+SELECT sh.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN cnt.docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+  ROUND(SUM(CASE WHEN cnt.docs > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS dup_fraction
+FROM sh JOIN cnt USING (sh)
+GROUP BY sh.doc_id
+"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: within each label cluster, drop any
+    embedding whose cosine to a lower-id member exceeds 0.35
+    (calibrated: the synthetic corpus' intra-label max is ~0.475, so
+    a real but small set drops). Pairwise work is cluster-local —
+    the k-means variant of the same operator
+    (``similarity_topk_ivf_kmeans`` path) supplies clusters when no
+    label exists."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", "label", threshold=0.35)
+
+
+ORACLE_SEMDEDUP = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), dropped AS (
+  SELECT DISTINCT a.vec_id FROM v a JOIN v b
+    ON a.label = b.label AND b.vec_id < a.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+        6) > 0.35
+)
+SELECT vec_id, label FROM v WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 REGISTRY_EXT: dict = {
+    "duplicate_spans": (q_duplicate_spans, ORACLE_DUP_SPANS),
+    "semdedup": (q_semdedup, ORACLE_SEMDEDUP),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "domain_mixture": (q_domain_mixture, ORACLE_DOMAIN_MIXTURE),
     "domain_top_docs": (q_domain_top_docs, ORACLE_DOMAIN_TOP),

@@ -32,16 +32,12 @@ _PRIORITY: list[str] = [
     "tpch_q5_local_supplier",
     "top_revenue_customers",
     "revenue_percentiles",
-    "tpch_q10_returns",
-    "tpch_q18_large_orders",
-    "tpch_q15_top_supplier",
     # round 2: new approx variant (rows-only check)
     "revenue_percentiles_approx",
     # round 2: fused multi-distinct aggregation
     "hourly_kpis",
     # round 2: asof seq_col + sessionizer chunk-sort fixes
     "asof_join_signup",
-    "sessionize_events",
     # round 1 driver hash-fails, now cast fixed — must re-verify
     "train_val_split",
     "lang_distribution",
@@ -55,7 +51,6 @@ _PRIORITY: list[str] = [
     "pii_redaction",
     "quality_filter",
     "training_corpus",
-    "scan_orc_roundtrip",
     "percent_rank_cume",
     "tpch_q19_disjunctive",
     "tpch_q21_waiting_supplier",
@@ -83,6 +78,12 @@ _PRIORITY: list[str] = [
     "bucketed_join_revenue",
     "domain_top_docs",
     "scd2_user_state",
+    # round 2b: CDC / time-series / profiling / LLM-dedup additions
+    "snapshot_diff",
+    "locf_fill",
+    "profile_table",
+    "duplicate_spans",
+    "semdedup",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {
