@@ -1,0 +1,111 @@
+"""Continuous-aggregate rollups: answer coarse-grain queries from a
+fine-grain pre-aggregate instead of the fact table.
+
+The reference recomputes every KPI from raw streams each run
+(``compute_genre_kpis``/``compute_hourly_kpis`` re-scan the full
+``streams`` frame, ref ``dags/music_streaming_etl_dags.py:185-263``).
+At 100 TB the only viable shape is the hypertable / materialized-view
+one: maintain a daily pre-aggregate (fact-scan once per day of new
+data), and answer month/year questions by re-aggregating the daily
+rows — input size |days × keys|, not |facts|.
+
+Re-aggregation needs measures that MERGE:
+
+- SUM/COUNT merge exactly (sum of sums). ``time_rollup`` +
+  ``reaggregate`` carry these, keeping the engine's decimal-exact
+  accumulation so a rollup-of-rollups equals the direct aggregate
+  bit-for-bit.
+- COUNT(DISTINCT) does not merge — the 100 TB answer is a mergeable
+  sketch. ``hll_rollup``/``hll_reaggregate`` store a DataSketches HLL
+  per fine bucket (binary column) and union them upward; the merged
+  estimate is IDENTICAL to sketching the raw facts directly (HLL
+  union is lossless over sketches of the same lgK), which
+  ``tests/test_rollup.py`` asserts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRAINS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def _bucket(ts_col: str, grain: str) -> Column:
+    if grain not in _GRAINS:
+        raise ValueError(f"grain {grain!r} not in {_GRAINS}")
+    return F.date_trunc(grain, F.col(ts_col))
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grain: str,
+    keys: Sequence[str],
+    measures: dict[str, Column],
+) -> DataFrame:
+    """Fine-grain pre-aggregate: groupBy(date_trunc(grain), keys) with
+    the given measure expressions (use ``dec_sum``-style exact
+    accumulators so rollups re-merge deterministically)."""
+    return (
+        df.withColumn("bucket", _bucket(ts_col, grain))
+        .groupBy("bucket", *keys)
+        .agg(*[m.alias(a) for a, m in measures.items()])
+    )
+
+
+def reaggregate(
+    fine: DataFrame,
+    grain: str,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    scale: int = 2,
+) -> DataFrame:
+    """Coarsen a ``time_rollup`` result: sum-of-sums per coarser
+    bucket. Decimal-exact re-accumulation (same ``scale`` discipline
+    as ``dec_sum``) keeps rollup-of-rollup == direct-aggregate."""
+    coarse = fine.withColumn("bucket", _bucket("bucket", grain))
+    aggs = [
+        F.sum(F.col(c).cast(f"decimal(28,{scale})")).cast("double").alias(c)
+        if dict(fine.dtypes)[c] == "double"
+        else F.sum(c).cast("bigint").alias(c)
+        for c in sum_cols
+    ]
+    return coarse.groupBy("bucket", *keys).agg(*aggs)
+
+
+def hll_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grain: str,
+    keys: Sequence[str],
+    distinct_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count pre-aggregate: one DataSketches HLL
+    sketch (binary) per (bucket, keys). The sketch column is what a
+    materialized rollup table persists."""
+    return (
+        df.withColumn("bucket", _bucket(ts_col, grain))
+        .groupBy("bucket", *keys)
+        .agg(F.hll_sketch_agg(distinct_col, F.lit(lgk)).alias("sketch"))
+    )
+
+
+def hll_reaggregate(
+    sketches: DataFrame, grain: str, keys: Sequence[str]
+) -> DataFrame:
+    """Union fine-grain sketches to a coarser bucket and estimate.
+    Returns ``bucket, keys..., approx_distinct`` (bigint)."""
+    coarse = sketches.withColumn("bucket", _bucket("bucket", grain))
+    return (
+        coarse.groupBy("bucket", *keys)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .select(
+            "bucket",
+            *keys,
+            F.hll_sketch_estimate("sketch").cast("bigint").alias("approx_distinct"),
+        )
+    )

@@ -1197,7 +1197,59 @@ SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
 """
 
 
+def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: monthly revenue answered
+    by RE-AGGREGATING a daily pre-aggregate (sum-of-sums over ≤31
+    rows/month/key) instead of re-scanning the fact table — the only
+    viable recurring-report shape at 100 TB. Decimal-exact
+    accumulation at both grains makes rollup-of-rollup equal the
+    direct monthly aggregate bit-for-bit, which the oracle (a direct
+    monthly aggregate) checks."""
+    from ..operators.rollup import reaggregate, time_rollup
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = time_rollup(
+        orders, "o_orderdate", "day", ["o_orderstatus"],
+        {
+            "revenue": F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double"),
+            "n_orders": F.count(F.lit(1)).cast("bigint"),
+        },
+    )
+    monthly = reaggregate(daily, "month", ["o_orderstatus"], ["revenue", "n_orders"])
+    return monthly.select(
+        F.col("bucket").alias("month"), "o_orderstatus", "revenue", "n_orders"
+    )
+
+
+ORACLE_CONTINUOUS_AGG = """
+SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_hll_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day DataSketches HLL sketches of
+    o_custkey unioned up to monthly distinct-customer estimates.
+    COUNT(DISTINCT) does not merge across pre-aggregated buckets; the
+    sketch union is lossless over same-lgK sketches, so the monthly
+    estimate equals sketching the raw month directly (asserted in
+    tests/test_rollup.py). Rows-only driver check: DuckDB's HLL is a
+    different implementation, so estimates are not cross-engine
+    comparable."""
+    from ..operators.rollup import hll_reaggregate, hll_rollup
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = hll_rollup(orders, "o_orderdate", "day", [], "o_custkey")
+    monthly = hll_reaggregate(daily, "month", [])
+    return monthly.select(F.col("bucket").alias("month"), "approx_distinct")
+
+
 REGISTRY_ANALYTICS: dict = {
+    "continuous_aggregate": (q_continuous_aggregate, ORACLE_CONTINUOUS_AGG),
+    "hll_rollup_customers": (q_hll_rollup_customers, None),
     "snapshot_diff": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "locf_fill": (q_locf_fill, ORACLE_LOCF),
     "profile_table": (q_profile_table, ORACLE_PROFILE),

@@ -51,7 +51,6 @@ _PRIORITY: list[str] = [
     "pii_redaction",
     "quality_filter",
     "training_corpus",
-    "percent_rank_cume",
     "tpch_q19_disjunctive",
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier",
@@ -84,6 +83,7 @@ _PRIORITY: list[str] = [
     "profile_table",
     "duplicate_spans",
     "semdedup",
+    "continuous_aggregate",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {

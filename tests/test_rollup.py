@@ -1,0 +1,88 @@
+"""Continuous-aggregate invariants: rollup-of-rollup == direct
+aggregate (exact measures), HLL union == direct sketch (mergeable
+distinct), plus the grain guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.operators.rollup import (
+    hll_reaggregate,
+    hll_rollup,
+    reaggregate,
+    time_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+
+def test_reaggregate_equals_direct(spark, orders):
+    daily = time_rollup(
+        orders, "o_orderdate", "day", ["o_orderstatus"],
+        {
+            "revenue": F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double"),
+            "n_orders": F.count(F.lit(1)).cast("bigint"),
+        },
+    )
+    monthly = reaggregate(daily, "month", ["o_orderstatus"], ["revenue", "n_orders"])
+    direct = (
+        orders.withColumn("bucket", F.date_trunc("month", F.col("o_orderdate")))
+        .groupBy("bucket", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    a = sorted(map(tuple, monthly.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b  # bit-for-bit, not approx
+
+
+def test_hll_union_equals_direct_sketch(spark, orders):
+    daily = hll_rollup(orders, "o_orderdate", "day", [], "o_custkey")
+    merged = hll_reaggregate(daily, "month", [])
+    direct = (
+        orders.withColumn("bucket", F.date_trunc("month", F.col("o_orderdate")))
+        .groupBy("bucket")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sketch"))
+        .select(
+            "bucket",
+            F.hll_sketch_estimate("sketch").cast("bigint").alias("approx_distinct"),
+        )
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b  # union of same-lgK sketches is lossless
+
+
+def test_hll_estimate_near_exact(spark, orders):
+    merged = {
+        r.bucket: r.approx_distinct
+        for r in hll_reaggregate(
+            hll_rollup(orders, "o_orderdate", "day", [], "o_custkey"), "month", []
+        ).collect()
+    }
+    exact = {
+        r.bucket: r.n
+        for r in orders.withColumn(
+            "bucket", F.date_trunc("month", F.col("o_orderdate"))
+        )
+        .groupBy("bucket")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+def test_bad_grain_raises(spark, orders):
+    with pytest.raises(ValueError, match="grain"):
+        time_rollup(orders, "o_orderdate", "decade", [], {"n": F.count(F.lit(1))})
