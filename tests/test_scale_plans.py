@@ -325,3 +325,39 @@ def test_new_tpch_shapes_plan_scale_safe(spark, sf_dir):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_snapshot_diff_hashes_before_shuffle(spark, sf_dir):
+    """The CDC diff must shuffle (key, digest) projections, not full
+    rows: md5 sits BELOW each Exchange, and the full-outer join is a
+    sort-merge on the key (never a nested loop)."""
+    from music_streaming_etl_spark.plans.analytics_queries import q_snapshot_diff
+
+    plan = _plan(q_snapshot_diff(spark, sf_dir))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastNestedLoop" not in plan
+    for side in plan.split("SortMergeJoin")[1].split("Exchange")[1:3]:
+        assert "md5" in side, plan  # digest projected map-side
+
+
+def test_profile_table_single_scan_no_union(spark, sf_dir):
+    """Profiler must be ONE aggregation pass: a single FileScan, no
+    Union of per-column jobs."""
+    from music_streaming_etl_spark.plans.analytics_queries import q_profile_table
+
+    plan = _plan(q_profile_table(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan
+    assert "Union" not in plan
+    assert "Expand" in plan  # multi-distinct in the same pass
+
+
+def test_continuous_aggregate_two_level_agg(spark, sf_dir):
+    """Monthly-from-daily re-aggregation: exactly two shuffle
+    boundaries (daily grain, monthly grain) over one fact scan."""
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_continuous_aggregate,
+    )
+
+    plan = _plan(q_continuous_aggregate(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 2, plan
