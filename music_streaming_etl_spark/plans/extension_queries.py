@@ -1295,7 +1295,25 @@ SELECT vec_id, label FROM v WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE tokenization end-to-end: train 16 merges on the
+    corpus' word-frequency table (one corpus pass + 16 vocab-frame
+    iterations — the k-means-style iterate-on-aggregates pattern),
+    then encode every document with an Arrow-batched, word-cached
+    UDF. Rows-only driver check: iterative training has no SQL twin;
+    tests/test_bpe.py verifies merges and encodings token-for-token
+    against a pure-Python reference."""
+    from ..operators.bpe import bpe_encode, bpe_train, word_frequency_table
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(word_frequency_table(docs, "text"), num_merges=16)
+    return bpe_encode(docs, "text", merges).select(
+        "doc_id", F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens")
+    )
+
+
 REGISTRY_EXT: dict = {
+    "bpe_tokenize": (q_bpe_tokenize, None),
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUP_SPANS),
     "semdedup": (q_semdedup, ORACLE_SEMDEDUP),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),

@@ -38,6 +38,7 @@ def test_oracle_coverage_ratio():
     # new oracle-less query fails loudly instead of riding the count
     assert rows_only == [
         "agg_count_distinct_approx",    # HLL estimate
+        "bpe_tokenize",                 # iterative learned tokenizer
         "hll_rollup_customers",         # DataSketches HLL (no DuckDB twin)
         "revenue_percentiles_approx",   # GK sketch
         "similarity_topk_ivf_kmeans",   # learned quantizer (iterative)
