@@ -1,0 +1,87 @@
+"""Streamed daily rollup == batch daily aggregate, late data replaces
+rather than duplicates, and the monthly re-aggregation runs unchanged
+on the streamed table."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.operators.rollup import reaggregate
+from music_streaming_etl_spark.streaming.rollup import (
+    daily_rollup_stream,
+    start_daily_rollup_sink,
+)
+
+SCHEMA = "user_id int, kind string, ts timestamp, amount double"
+
+
+def _write_csv(spark, rows, path):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").option(
+        "header", True
+    ).csv(path)
+
+
+def _drain(spark, stream_dir, out, ckpt):
+    events = (
+        spark.readStream.schema(SCHEMA).option("header", True).csv(stream_dir)
+    )
+    daily = daily_rollup_stream(events, "ts", ["kind"], "amount")
+    q = start_daily_rollup_sink(spark, daily, out, ckpt, ["kind"])
+    q.awaitTermination(120)
+
+
+def test_streamed_rollup_matches_batch_and_reaggregates(spark, tmp_path):
+    stream_dir = str(tmp_path / "in")
+    out = str(tmp_path / "daily")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = dt.datetime(2024, 5, 30, 9, 0)
+    d2 = dt.datetime(2024, 5, 31, 9, 0)
+    d3 = dt.datetime(2024, 6, 1, 9, 0)
+
+    batch1 = [
+        (1, "a", d1, 10.0),
+        (2, "a", d1.replace(hour=23), 5.0),
+        (3, "b", d2, 7.0),
+    ]
+    _write_csv(spark, batch1, stream_dir)
+    _drain(spark, stream_dir, out, ckpt)
+
+    got1 = {
+        (r.bucket.date(), r.kind): (r.total_value, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {
+        (dt.date(2024, 5, 30), "a"): (15.0, 2),
+        (dt.date(2024, 5, 31), "b"): (7.0, 1),
+    }
+
+    # late row for May 30 + first June row: the touched day must be
+    # REPLACED with new full totals, untouched days left alone
+    _write_csv(spark, [(4, "a", d1.replace(hour=12), 2.5), (5, "a", d3, 1.0)], stream_dir)
+    _drain(spark, stream_dir, out, ckpt)
+
+    daily = spark.read.parquet(out)
+    got2 = {
+        (r.bucket.date(), r.kind): (r.total_value, r.n_events)
+        for r in daily.collect()
+    }
+    assert got2 == {
+        (dt.date(2024, 5, 30), "a"): (17.5, 3),
+        (dt.date(2024, 5, 31), "b"): (7.0, 1),
+        (dt.date(2024, 6, 1), "a"): (1.0, 1),
+    }
+
+    # the streamed table feeds the SAME batch re-aggregation
+    monthly = {
+        (r.bucket.date(), r.kind): (r.total_value, r.n_events)
+        for r in reaggregate(
+            daily, "month", ["kind"], ["total_value", "n_events"]
+        ).collect()
+    }
+    assert monthly == {
+        (dt.date(2024, 5, 1), "a"): (17.5, 3),
+        (dt.date(2024, 5, 1), "b"): (7.0, 1),
+        (dt.date(2024, 6, 1), "a"): (1.0, 1),
+    }
