@@ -59,15 +59,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. Read the physical int64 nanos
-    (``nanosAsLong``) and rebuild a microsecond timestamp JVM-side
-    (``timestamp_micros(ts div 1000)`` — integer division; the data is
-    whole microseconds, verified). Stays fully distributed — no driver
-    materialization — so it scales like any parquet scan."""
+    """events.parquet's ``ts`` physical type varies by generator
+    vintage: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — read the physical int64 via ``nanosAsLong`` and rebuild
+    microseconds JVM-side) or TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false (reads as TIMESTAMP_NTZ — cast to session
+    TIMESTAMP under the pinned UTC zone, same instants). Both paths
+    stay fully distributed — no driver materialization — so they
+    scale like any parquet scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = raw.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw int64 nanos
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dec_sum(col, alias: str, scale: int = 2):
