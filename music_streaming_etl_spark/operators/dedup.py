@@ -217,13 +217,15 @@ def jaccard(a, b) -> F.Column:
     ).cast("double")
 
 
-def shingle_frame(
+def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1
 ) -> DataFrame:
-    """Exploded distinct shingle rows (id, sh) — the codegen-friendly
-    dual of the array-valued ``shingles()`` column. posexplode +
-    lead() windows build n-grams entirely JVM-side; interpreted
-    higher-order lambdas never touch the hot path."""
+    """Exploded shingle rows (id, sh), NOT yet distinct — shared base
+    of ``shingle_frame`` (raw-string dedup, exact ops) and
+    ``minhash_index`` (hash-then-dedup, so raw strings never enter a
+    shuffle). posexplode + lead() windows build n-grams entirely
+    JVM-side; interpreted higher-order lambdas never touch the hot
+    path."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -231,22 +233,41 @@ def shingle_frame(
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
     if shingle_n == 1:
-        sh = toks.select("id", F.col("tok").alias("sh"))
-    else:
-        w = Window.partitionBy("id").orderBy("pos")
-        parts = [F.col("tok")] + [
-            F.lead("tok", i).over(w) for i in range(1, shingle_n)
-        ]
-        sh = (
-            toks.select(
-                "id",
-                F.concat_ws(" ", *parts).alias("sh"),
-                parts[-1].alias("__last"),
-            )
-            .filter(F.col("__last").isNotNull())
-            .drop("__last")
+        return toks.select("id", F.col("tok").alias("sh"))
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, shingle_n)
+    ]
+    return (
+        toks.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("sh"),
+            parts[-1].alias("__last"),
         )
-    return sh.distinct()
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1
+) -> DataFrame:
+    """Exploded distinct shingle rows (id, sh) — the codegen-friendly
+    dual of the array-valued ``shingles()`` column. Used by the EXACT
+    ops (n-gram Jaccard, duplicate spans) where the raw string is the
+    set element; MinHash goes through the hashed index instead."""
+    return _shingle_rows(df, id_col, text_col, shingle_n).distinct()
+
+
+def _shingle_hash60(sh) -> F.Column:
+    """60-bit md5-derived shingle hash — the set element the hashed
+    MinHash index stores and the verify stage intersects (within-doc
+    collision odds ~k²/2⁶¹ — semantics note, not silent). The
+    signature permutations run on ``h % MINHASH_P`` of this same
+    value, so signatures are bit-identical to hashing the raw string
+    directly. Exact DuckDB mirror:
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
 
 
 def dedup_minhash_pairs(
@@ -261,22 +282,25 @@ def dedup_minhash_pairs(
     """X2 — MinHash + LSH near-duplicate pairs with exact-Jaccard
     verification, in fully-codegen'd exploded form:
 
-    1. distinct (id, shingle) rows -> one md5-derived hash per row;
+    1. exploded shingle rows -> 60-bit md5 hash per row MAP-SIDE, then
+       distinct on (id, h): raw shingle text never enters a shuffle;
     2. groupBy(id) with ``num_hashes`` min-aggregates (the linear
-       permutations) -> signature columns: a single hash aggregation;
+       permutations over h % P) -> signature columns: one hash agg;
     3. explode band keys -> self-join on (band, key), id < id ->
        distinct candidates (only colliding docs ever meet);
-    4. exact Jaccard from a shingle equi-join: inter = matching-row
-       count, union = |A|+|B|-inter — set arithmetic as joins, no
-       per-element array lambdas.
+    4. Jaccard over the hashed shingle sets from an equi-join on h:
+       inter = matching-row count, union = |A|+|B|-inter — set
+       arithmetic as joins on LONGS, no per-element array lambdas,
+       no string shuffles. Identical to raw-string Jaccard up to
+       ~k²/2⁶¹ hash-collision odds (the oracle runs the same hash).
 
     Returns (id_a, id_b, jaccard_sim), id_a < id_b. Every stage is a
     plain shuffle/join Catalyst plans and AQE rebalances at any
-    corpus size; the shingle frame is cached because the band and
-    verify stages both consume it.
+    corpus size; the hashed-shingle frame is cached because the
+    signature and verify stages both consume it.
     """
-    sh, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
-    sh = sh.cache()
+    hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
+    hsd = hsd.cache()
     bands = _band_frame(mins, num_hashes, num_bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -289,13 +313,13 @@ def dedup_minhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    cnts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        cand.join(hsd.select(F.col("id").alias("id_a"), "h"), "id_a")
         .join(
-            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+            hsd.select(F.col("id").alias("id_b"), F.col("h").alias("h_b")), "id_b"
         )
-        .filter(F.col("sh") == F.col("sh_b"))
+        .filter(F.col("h") == F.col("h_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -327,26 +351,32 @@ def minhash_index(
     shingle_n: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistable MinHash index for INCREMENTAL dedup: returns
-    (shingles, signature-mins) frames for a corpus. Write both to
-    parquet once; each new ingest batch dedups against them without
+    (hashed-shingles, signature-mins) frames for a corpus. Write both
+    to parquet once; each new ingest batch dedups against them without
     touching the corpus text again — the pattern that makes
-    continuous 100 TB ingestion O(batch), not O(corpus)."""
-    sh = shingle_frame(df, id_col, text_col, shingle_n)
-    hs = sh.withColumn(
-        "h",
-        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-        % F.lit(MINHASH_P),
-    )
-    mins = hs.groupBy("id").agg(
+    continuous 100 TB ingestion O(batch), not O(corpus).
+
+    The shingle frame holds (id, h) with h the 60-bit md5 shingle
+    hash, NOT the raw string: the hash is computed map-side BEFORE the
+    distinct, so raw shingle text never enters a shuffle, the
+    persisted index is a fixed 8 bytes/shingle, and the verify-stage
+    joins exchange longs. Jaccard is therefore over hashed shingle
+    sets — identical to raw-string Jaccard except with ~k²/2⁶¹
+    within-doc collision odds (documented; the DuckDB oracle mirrors
+    the same hash so both engines see the same sets)."""
+    rows = _shingle_rows(df, id_col, text_col, shingle_n)
+    hsd = rows.select("id", _shingle_hash60(F.col("sh")).alias("h")).distinct()
+    hp = F.col("h") % F.lit(MINHASH_P)
+    mins = hsd.groupBy("id").agg(
         *[
             F.min(
-                ((2 * i + 1) * F.col("h") + (1_000_003 * i + 12_345))
+                ((2 * i + 1) * hp + (1_000_003 * i + 12_345))
                 % F.lit(MINHASH_P)
             ).alias(f"m{i}")
             for i in range(num_hashes)
         ]
     )
-    return sh, mins
+    return hsd, mins
 
 
 def _band_frame(mins: DataFrame, num_hashes: int, num_bands: int) -> DataFrame:
@@ -380,9 +410,11 @@ def dedup_incremental(
     """Incremental MinHash dedup of a new ingest batch against a
     pre-built corpus index (from ``minhash_index``): band-join the
     BATCH signatures (small, broadcastable) against the CORPUS bands,
-    verify exact Jaccard for collisions only, and split the batch into
-    (kept, rejected-with-match). The corpus is never re-shingled —
-    per-batch cost is O(|batch| + collisions).
+    verify hashed-shingle Jaccard for collisions only, and split the
+    batch into (kept, rejected-with-match). The corpus is never
+    re-shingled — per-batch cost is O(|batch| + collisions).
+    ``corpus_shingles`` is the hashed (id, h) frame ``minhash_index``
+    returns — 8 bytes/shingle on disk, long-typed verify joins.
     """
     new_sh, new_mins = minhash_index(new_docs, id_col, text_col, num_hashes, shingle_n)
     new_sh = new_sh.cache()
@@ -400,14 +432,14 @@ def dedup_incremental(
     n_cnt = new_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_new"))
     c_cnt = corpus_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_corp"))
     inter = (
-        cand.join(new_sh.select(F.col("id").alias("id_new"), "sh"), "id_new")
+        cand.join(new_sh.select(F.col("id").alias("id_new"), "h"), "id_new")
         .join(
             corpus_shingles.select(
-                F.col("id").alias("id_corpus"), F.col("sh").alias("sh_c")
+                F.col("id").alias("id_corpus"), F.col("h").alias("h_c")
             ),
             "id_corpus",
         )
-        .filter(F.col("sh") == F.col("sh_c"))
+        .filter(F.col("h") == F.col("h_c"))
         .groupBy("id_new", "id_corpus")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

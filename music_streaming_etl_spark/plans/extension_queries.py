@@ -261,12 +261,14 @@ def _minhash_ctes() -> str:
   SELECT doc_id, {SQL_SHINGLES3} AS sh FROM documents
 ), hs AS (
   SELECT doc_id, sh,
-         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h
+         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
   FROM sh
+), hd AS (
+  SELECT doc_id, list_distinct(h) AS h FROM hs
 ), sigs AS (
   SELECT doc_id, sh,
          list_transform(range(0, 16),
-           i -> list_min(list_transform(h, x -> ((2*i + 1) * x + (1000003*i + 12345)) % 2147483647))) AS sig
+           i -> list_min(list_transform(h, x -> ((2*i + 1) * (x % 2147483647) + (1000003*i + 12345)) % 2147483647))) AS sig
   FROM hs
 ), bands AS (
 {band_selects}
@@ -278,22 +280,25 @@ def _minhash_ctes() -> str:
 
 
 def _oracle_minhash() -> str:
+    # Jaccard over the distinct 60-bit shingle hashes — the exact sets
+    # the Spark verify stage intersects (operators/dedup.py
+    # _shingle_hash60); union = |A| + |B| − |A∩B|.
     return f"""
 WITH {_minhash_ctes()}
 SELECT c.id_a, c.id_b,
-       ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6) AS jaccard_sim
-FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
+       ROUND(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+             / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE), 6) AS jaccard_sim
+FROM cand c JOIN hd x ON c.id_a = x.doc_id JOIN hd y ON c.id_b = y.doc_id
+WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+      / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE) >= 0.8
 """
 
 
 _CLUSTER_CTES_SUFFIX = """pairs AS (
   SELECT c.id_a, c.id_b
-  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
+  FROM cand c JOIN hd x ON c.id_a = x.doc_id JOIN hd y ON c.id_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+        / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE) >= 0.8
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -701,12 +706,14 @@ WITH RECURSIVE toks AS (
   FROM documents d JOIN quality q ON d.doc_id = q.doc_id
 ), hs AS (
   SELECT doc_id, sh,
-         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h
+         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
   FROM sh
+), hd AS (
+  SELECT doc_id, list_distinct(h) AS h FROM hs
 ), sigs AS (
   SELECT doc_id, sh,
          list_transform(range(0, 16),
-           i -> list_min(list_transform(h, x -> ((2*i + 1) * x + (1000003*i + 12345)) % 2147483647))) AS sig
+           i -> list_min(list_transform(h, x -> ((2*i + 1) * (x % 2147483647) + (1000003*i + 12345)) % 2147483647))) AS sig
   FROM hs
 ), bands AS (
 {chr(10).join(f"SELECT doc_id, {b} AS band, array_to_string(list_slice(sig, {b*4+1}, {b*4+4}), '#') AS key FROM sigs" + ("" if b == 3 else " UNION ALL") for b in range(4))}
@@ -716,9 +723,9 @@ WITH RECURSIVE toks AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ), pairs AS (
   SELECT c.id_a, c.id_b
-  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.8
+  FROM cand c JOIN hd x ON c.id_a = x.doc_id JOIN hd y ON c.id_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+        / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE) >= 0.8
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
