@@ -109,3 +109,99 @@ def hll_reaggregate(
             F.hll_sketch_estimate("sketch").cast("bigint").alias("approx_distinct"),
         )
     )
+
+
+def hist_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grain: str,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Mergeable QUANTILE pre-aggregate: a fixed-range equi-width
+    histogram per (bucket, keys) stored as rows (bucket, keys, bidx,
+    cnt). Quantiles don't merge, and ``approx_percentile``'s sketch
+    internals aren't engine-portable — histogram COUNTS merge exactly
+    (sum of sums), so a rollup-of-rollups equals the direct
+    fact-level histogram bit-for-bit and the whole path is
+    oracle-checkable in plain SQL, unlike an opaque sketch binary.
+    Quantile error is bounded by one bucket width, chosen up front via
+    ``n_buckets``.
+
+    Values outside [lo, hi) clamp into the edge buckets: ranks stay
+    exact, the ESTIMATE saturates at the range edge (documented
+    contract — pick lo/hi from domain knowledge, e.g. price caps).
+    Every expression (floor((v−lo)/(hi−lo)·n), clamp) is plain IEEE
+    double arithmetic reproduced operation-for-operation by the SQL
+    oracle, so cross-engine results are bit-identical."""
+    span = float(hi) - float(lo)
+    idx = F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo)))
+        / F.lit(span)
+        * F.lit(n_buckets)
+    )
+    bidx = F.least(
+        F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1)
+    ).cast("bigint")
+    return (
+        df.withColumn("bucket", _bucket(ts_col, grain))
+        .withColumn("bidx", bidx)
+        .groupBy("bucket", *keys, "bidx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_reaggregate(
+    hist: DataFrame, grain: str, keys: Sequence[str]
+) -> DataFrame:
+    """Coarsen a ``hist_rollup``: sum the per-bucket counts under the
+    coarser time bucket. Counts are integers — the merge is exact,
+    which is the whole point of the histogram-as-rows representation."""
+    coarse = hist.withColumn("bucket", _bucket("bucket", grain))
+    return (
+        coarse.groupBy("bucket", *keys, "bidx")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Quantile estimates from a histogram: per (bucket, keys, q) the
+    upper edge of the first bucket whose cumulative count reaches
+    ``ceil(q·total)`` — a conservative estimate within one bucket
+    width of the exact nearest-rank percentile.
+
+    The cumulative window partitions on (bucket, keys) and holds at
+    most ``n_buckets`` rows per partition — bounded by construction,
+    never a global sort. Returns ``bucket, keys..., q, est``."""
+    span = float(hi) - float(lo)
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy("bucket", *keys).orderBy("bidx")
+    w_tot = Window.partitionBy("bucket", *keys)
+    cum = hist.select(
+        "bucket",
+        *keys,
+        "bidx",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("tot"),
+    )
+    exploded = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    sel = (
+        exploded.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("tot")))
+        .groupBy("bucket", *keys, "q")
+        .agg(F.min("bidx").alias("bidx"))
+    )
+    est = F.lit(float(lo)) + (F.col("bidx") + 1) * F.lit(span) / F.lit(n_buckets)
+    return sel.select("bucket", *keys, "q", est.alias("est"))

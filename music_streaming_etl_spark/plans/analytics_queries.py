@@ -1247,8 +1247,63 @@ def q_hll_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(F.col("bucket").alias("month"), "approx_distinct")
 
 
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup: per-day equi-width histograms of
+    o_totalprice (1000 buckets over [0, 500000) — width 500, the
+    quantile error bound) merged up to monthly, then p50/p90/p99 per
+    order priority read off the cumulative counts. Unlike
+    ``approx_percentile`` this sketch is engine-portable, so the
+    oracle recomputes the identical histogram directly from the facts
+    in SQL — the hash-match PROVES the daily→monthly merge is lossless
+    (counts sum exactly), the property that makes the rollup valid as
+    a materialized view at 100 TB."""
+    from ..operators.rollup import hist_quantiles, hist_reaggregate, hist_rollup
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = hist_rollup(
+        orders, "o_orderdate", "day", ["o_orderpriority"],
+        "o_totalprice", 0.0, 500000.0, 1000,
+    )
+    monthly = hist_reaggregate(daily, "month", ["o_orderpriority"])
+    est = hist_quantiles(
+        monthly, ["o_orderpriority"], [0.5, 0.9, 0.99], 0.0, 500000.0, 1000
+    )
+    return est.select(
+        F.to_date("bucket").alias("month"),
+        "o_orderpriority",
+        "q",
+        F.col("est").alias("price_q"),
+    )
+
+
+ORACLE_QUANTILE_SKETCH = """
+WITH h AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, o_orderpriority,
+         CAST(LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0) / 500000.0 * 1000), 0), 999) AS BIGINT) AS bidx,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2, 3
+), c AS (
+  SELECT month, o_orderpriority, bidx,
+         SUM(cnt) OVER (PARTITION BY month, o_orderpriority ORDER BY bidx) AS cum,
+         SUM(cnt) OVER (PARTITION BY month, o_orderpriority) AS tot
+  FROM h
+), qq AS (
+  SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q
+), sel AS (
+  SELECT month, o_orderpriority, q, MIN(bidx) AS bidx
+  FROM c CROSS JOIN qq
+  WHERE cum >= CEIL(q * tot)
+  GROUP BY 1, 2, 3
+)
+SELECT month, o_orderpriority, q,
+       0.0 + (bidx + 1) * 500000.0 / 1000 AS price_q
+FROM sel
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "continuous_aggregate": (q_continuous_aggregate, ORACLE_CONTINUOUS_AGG),
+    "quantile_sketch_rollup": (q_quantile_sketch_rollup, ORACLE_QUANTILE_SKETCH),
     "hll_rollup_customers": (q_hll_rollup_customers, None),
     "snapshot_diff": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "locf_fill": (q_locf_fill, ORACLE_LOCF),

@@ -86,3 +86,56 @@ def test_hll_estimate_near_exact(spark, orders):
 def test_bad_grain_raises(spark, orders):
     with pytest.raises(ValueError, match="grain"):
         time_rollup(orders, "o_orderdate", "decade", [], {"n": F.count(F.lit(1))})
+
+
+def test_hist_merge_equals_direct(spark, orders):
+    """Daily→monthly histogram merge must equal the direct monthly
+    histogram bit-for-bit — counts are integers, the merge is exact."""
+    from music_streaming_etl_spark.operators.rollup import (
+        hist_reaggregate,
+        hist_rollup,
+    )
+
+    daily = hist_rollup(
+        orders, "o_orderdate", "day", ["o_orderpriority"],
+        "o_totalprice", 0.0, 500000.0, 1000,
+    )
+    merged = hist_reaggregate(daily, "month", ["o_orderpriority"])
+    direct = hist_rollup(
+        orders, "o_orderdate", "month", ["o_orderpriority"],
+        "o_totalprice", 0.0, 500000.0, 1000,
+    )
+    key = lambda r: (r["bucket"], r["o_orderpriority"], r["bidx"])
+    assert sorted(map(tuple, merged.collect()), key=lambda t: str(t)) == sorted(
+        map(tuple, direct.collect()), key=lambda t: str(t)
+    )
+
+
+def test_hist_quantile_within_bucket_width(spark, orders):
+    """The histogram p50 is the upper edge of the nearest-rank
+    median's bucket: exact_value < est <= exact_value + width."""
+    import math
+
+    from music_streaming_etl_spark.operators.rollup import (
+        hist_quantiles,
+        hist_rollup,
+    )
+
+    hist = hist_rollup(
+        orders, "o_orderdate", "month", [], "o_totalprice", 0.0, 500000.0, 1000
+    )
+    est = {
+        r["bucket"]: r["est"]
+        for r in hist_quantiles(hist, [], [0.5], 0.0, 500000.0, 1000).collect()
+    }
+    vals: dict = {}
+    for r in orders.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("bucket"),
+        "o_totalprice",
+    ).collect():
+        vals.setdefault(r["bucket"], []).append(r["o_totalprice"])
+    assert est.keys() == vals.keys()
+    for b, vs in vals.items():
+        vs.sort()
+        nearest_rank = vs[math.ceil(0.5 * len(vs)) - 1]
+        assert nearest_rank < est[b] <= nearest_rank + 500.0
