@@ -137,3 +137,24 @@ def train_val_split(
             "train"
         ),
     )
+
+
+def seeded_shuffle(df: DataFrame, key: str, seed: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    permutation every pretraining run needs to be REPRODUCIBLE: sort
+    by ``md5(seed || ':' || key)`` (tie-break on the key itself) and
+    assign 1..N positions. Changing the seed gives an independent
+    permutation; re-running the pipeline gives the identical one.
+
+    The rank comes from ``global_rank`` (range-partition + broadcast
+    offsets), so no single-partition window anywhere — this shuffles
+    100 TB the same way it shuffles 100 rows. Returns the input
+    columns plus ``shuffle_pos`` (bigint, 1-based)."""
+    from .ranking import global_rank
+
+    sort_key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(key).cast("string")))
+    ranked = global_rank(
+        df.withColumn("__sk", sort_key),
+        [F.col("__sk").asc(), F.col(key).asc()],
+    )
+    return ranked.withColumnRenamed("rank", "shuffle_pos").drop("__sk")

@@ -99,3 +99,29 @@ def join_bucketed(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     counts Catalyst plans a sort-merge join with NO Exchange on either
     side (verify: no 'Exchange' nodes in the physical plan)."""
     return left.join(right, key)
+
+
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Join/groupBy-key skew diagnostic: the ``top_n`` heaviest keys
+    with their row counts and global share — the first thing to run
+    before sizing a shuffle at scale (a 0.3-share key means salting or
+    a skew-join hint; a flat profile means plain hash partitioning is
+    fine).
+
+    Shape: one hash aggregation to per-key counts, then
+    ``global_topk`` (per-partition heaps — never a global window) and
+    a broadcast 1-row total for the share. Deterministic: total order
+    (cnt DESC, key ASC).
+
+    Returns ``rank, <key>, cnt, share`` (share rounded to 6dp)."""
+    from .ranking import global_topk
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("__tot"))
+    top = global_topk(counts, [F.col("cnt").desc(), F.col(key).asc()], top_n)
+    return top.crossJoin(F.broadcast(total)).select(
+        "rank",
+        key,
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("__tot"), 6).alias("share"),
+    )

@@ -1319,7 +1319,55 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over events.user_id: the 20
+    heaviest keys with counts and global share — the pre-flight every
+    big join/agg runs before picking salting vs plain hash
+    partitioning. See ``operators/skew.py::key_skew_profile``."""
+    from ..operators.skew import key_skew_profile
+
+    events = _t(spark, sf_dir, "events")
+    return key_skew_profile(events, "user_id", top_n=20)
+
+
+ORACLE_KEY_SKEW = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
+       user_id, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / t.tot, 6) AS share
+FROM c, t
+ORDER BY cnt DESC, user_id
+LIMIT 20
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle of the document corpus:
+    seed '42' → the same global permutation on every rerun, an
+    independent one per seed. Distributed rank — no global window.
+    See ``operators/sampling.py::seeded_shuffle``."""
+    from ..operators.sampling import seeded_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return seeded_shuffle(docs, "doc_id", "42")
+
+
+ORACLE_CORPUS_SHUFFLE = """
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 REGISTRY_EXT: dict = {
+    "key_skew_profile": (q_key_skew_profile, ORACLE_KEY_SKEW),
+    "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "bpe_tokenize": (q_bpe_tokenize, None),
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUP_SPANS),
     "semdedup": (q_semdedup, ORACLE_SEMDEDUP),

@@ -49,3 +49,31 @@ def test_stratified_fractions_respected(spark):
     counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts["de"] == 2000  # full stratum kept
     assert 400 < counts["en"] < 600  # ~25% of 2000
+
+
+def test_seeded_shuffle_reproducible_and_seed_dependent(spark):
+    from music_streaming_etl_spark.operators.sampling import seeded_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    a = {r["k"]: r["shuffle_pos"] for r in seeded_shuffle(df, "k", "s1").collect()}
+    b = {r["k"]: r["shuffle_pos"] for r in seeded_shuffle(df, "k", "s1").collect()}
+    c = {r["k"]: r["shuffle_pos"] for r in seeded_shuffle(df, "k", "s2").collect()}
+    assert a == b  # rerun-stable
+    assert a != c  # seed changes the permutation
+    assert sorted(a.values()) == list(range(1, 201))  # exact 1..N permutation
+    # not the identity order (vanishingly unlikely for a real hash)
+    assert [k for k, _ in sorted(a.items(), key=lambda kv: kv[1])] != sorted(a)
+
+
+def test_key_skew_profile_orders_and_shares(spark):
+    from music_streaming_etl_spark.operators.skew import key_skew_profile
+
+    rows = [("hot",)] * 50 + [("warm",)] * 30 + [(f"u{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top_n=3).collect()
+    assert [(r["rank"], r["k"], r["cnt"]) for r in out] == [
+        (1, "hot", 50),
+        (2, "warm", 30),
+        (3, "u0", 1),
+    ]
+    assert abs(out[0]["share"] - 0.5) < 1e-9
