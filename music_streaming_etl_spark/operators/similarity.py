@@ -291,3 +291,139 @@ def semantic_dedup(
         emb.join(dropped, emb[id_col] == dropped["__drop"], "left_anti")
         .select(F.col(id_col), F.col(cluster_col))
     )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m_subspaces: int,
+    k_codes: int = 16,
+    iterations: int = 3,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    dim-D space into ``m_subspaces`` contiguous subvectors and train an
+    independent k-means codebook in each — M small quantizers whose
+    cross product spans K^M cells, the trick that gives PQ its
+    capacity at 8 bits/subspace of storage.
+
+    Reuses the deterministic Lloyd loop (``kmeans_codebook``) per
+    subspace slice; at 100 TB you train on a deterministic sample
+    (``deterministic_sample``) — codebook quality needs thousands of
+    rows per code, not the full corpus — while ENCODING always stays
+    full-corpus, zero-shuffle codegen."""
+    sub_dim = dim // m_subspaces
+    assert sub_dim * m_subspaces == dim, "dim must divide evenly"
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    books = []
+    for m in range(m_subspaces):
+        sliced = v.select("id", F.slice("v", m * sub_dim + 1, sub_dim).alias("v"))
+        books.append(
+            kmeans_codebook(sliced, "id", "v", sub_dim, k_codes, iterations)
+        )
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int,
+) -> DataFrame:
+    """Encode every vector as M code ids (argmin centroid per
+    subspace): per-row codegen against literal centroids — no join, no
+    shuffle, exactly like the IVF assignment. The (id, codes) frame is
+    what a 100 TB deployment persists: M bytes/vector instead of
+    4·dim, a 32× compression at M=8, dim=64."""
+    sub_dim = dim // len(books)
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    code_cols = []
+    for m, book in enumerate(books):
+        sub = F.slice("v", m * sub_dim + 1, sub_dim)
+        structs = []
+        for cid, c in book:
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(F.round(d, 9).alias("d"), F.lit(cid).alias("cid")))
+        code_cols.append(F.array_min(F.array(*structs)).getField("cid"))
+    return v.select("id", F.array(*code_cols).alias("codes"))
+
+
+def similarity_topk_pq(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    iterations: int = 3,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k: the query stays EXACT, the corpus
+    is its PQ codes — score(v) ≈ Σ_m  ⟨q_m, centroid_m[code_m]⟩, read
+    from an M×K lookup table of subspace dot products.
+
+    The table is M·K scalars computed driver-side from the 1-row query
+    (the same legitimate scalar collect as every broadcast-scalar
+    query in this engine) and embedded as literals, so scoring an
+    encoded vector is M array lookups + a sum — per-row codegen over
+    the (id, codes) frame, no join, no shuffle, then
+    ``global_topk``. Vectors are L2-normalized before training and
+    encoding, so the inner product approximates cosine.
+
+    Returns (rank, id, score) with score the PQ-approximate cosine —
+    rows-only correctness (iterative quantizer; no SQL twin); recall
+    against exact brute force is pytest-asserted."""
+    v = (
+        vectors.select(
+            F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v0")
+        )
+        .withColumn("__n", norm(F.col("v0")))
+        .select(
+            "id",
+            F.transform("v0", lambda x: x / F.col("__n")).alias("v"),
+        )
+        # consumed by M subspace trainings + the encode pass — cache
+        # the normalized frame once instead of renormalizing per job
+        .cache()
+    )
+    books = pq_codebooks(v, "id", "v", dim, m_subspaces, k_codes, iterations)
+    encoded = pq_encode(v, "id", "v", books, dim)
+
+    sub_dim = dim // m_subspaces
+    qraw = query.select(as_double_vec(F.col(vec_col)).alias("qv")).collect()[0]["qv"]
+    qn = sum(x * x for x in qraw) ** 0.5
+    qrow = [x / qn for x in qraw]
+    # tables[m][cid] = <q_m, centroid_{m,cid}> — M·K literal doubles
+    tables = []
+    for m, book in enumerate(books):
+        qsub = qrow[m * sub_dim : (m + 1) * sub_dim]
+        row = [0.0] * len(book)
+        for cid, c in book:
+            row[cid] = sum(a * b for a, b in zip(qsub, c))
+        tables.append(row)
+    lut = F.array(*[F.array(*[F.lit(x) for x in row]) for row in tables])
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+            lambda c, m: F.element_at(F.element_at(lut, m + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = encoded.select("id", F.round(score, 6).alias("score"))
+    return global_topk(scored, [F.desc("score"), F.asc("id")], k).select(
+        "rank", "id", "score"
+    )

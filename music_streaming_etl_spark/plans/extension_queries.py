@@ -1365,9 +1365,27 @@ FROM documents
 """
 
 
+def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (4 subspaces × 16 codes over the
+    64-dim embeddings): corpus stored as 4 code bytes/vector, query
+    scored via an M×K literal lookup table — per-row codegen, no
+    join. Rows-only driver check (iterative quantizer, no SQL twin);
+    recall vs exact brute force is pytest-asserted."""
+    from ..operators.similarity import similarity_topk_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = similarity_topk_pq(
+        emb, query, "vec_id", "embedding", dim=64, k=10,
+        m_subspaces=4, k_codes=16, iterations=2,
+    )
+    return out.select("rank", F.col("id").alias("vec_id"), "score")
+
+
 REGISTRY_EXT: dict = {
     "key_skew_profile": (q_key_skew_profile, ORACLE_KEY_SKEW),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
+    "similarity_topk_pq": (q_similarity_topk_pq, None),
     "bpe_tokenize": (q_bpe_tokenize, None),
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUP_SPANS),
     "semdedup": (q_semdedup, ORACLE_SEMDEDUP),

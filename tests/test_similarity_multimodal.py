@@ -161,3 +161,54 @@ def test_kmeans_ivf_recall_and_determinism(spark):
     got1, got2 = run(), run()
     assert got1 == got2  # deterministic end-to-end
     assert [g[1] for g in got1] == exact  # full recall with 1 probe
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ ADC top-k on clustered data: the top-10 must recover most of
+    the exact top-10 (PQ is lossy — codes quantize — but on
+    well-separated clusters the query's own cluster dominates), and
+    two runs agree bit-for-bit."""
+    import random
+
+    from music_streaming_etl_spark.operators.similarity import (
+        similarity_topk,
+        similarity_topk_pq,
+    )
+
+    rng = random.Random(7)
+    dim, m, sub = 16, 4, 4
+    # each subspace draws one of 4 prototype patterns (+ small noise):
+    # exactly the structure a 4-dim codebook with ≥4 codes represents,
+    # so ADC scores should track exact cosine closely.
+    protos = [
+        [5.0 * (1 if (p >> b) & 1 else -1) for b in range(sub)] for p in range(4)
+    ]
+    rows = []
+    for i in range(200):
+        vec = []
+        for _ in range(m):
+            vec.extend(x + rng.uniform(-0.1, 0.1) for x in protos[rng.randrange(4)])
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = df.filter(F.col("vec_id") == 5)
+
+    exact = {
+        r["id"]
+        for r in similarity_topk(df, query, "vec_id", "embedding", k=10).collect()
+    }
+
+    def run():
+        return [
+            (r["rank"], r["id"], r["score"])
+            for r in similarity_topk_pq(
+                df, query, "vec_id", "embedding", dim=dim,
+                k=10, m_subspaces=m, k_codes=8, iterations=3,
+            ).collect()
+        ]
+
+    got1, got2 = run(), run()
+    assert got1 == got2  # deterministic end-to-end
+    overlap = len({g[1] for g in got1} & exact)
+    assert overlap >= 7, f"PQ recall@10 too low: {overlap}/10"
+    # the query itself must be its own nearest neighbor under ADC
+    assert got1[0][1] == 5
