@@ -1301,9 +1301,55 @@ FROM sel
 """
 
 
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (o_custkey, o_totalprice), 8 bits/dim —
+    the sort key ``zorder_layout`` clusters files by so parquet
+    footer min/max prunes BOTH columns at once. The value computation
+    is pure shifts over span-mapped grids, mirrored
+    operation-for-operation by the SQL oracle; the layout's actual
+    file-skipping win is asserted in tests/test_zorder.py."""
+    from ..operators.layout import zorder_values
+
+    orders = _t(spark, sf_dir, "orders")
+    return zorder_values(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        ["o_custkey", "o_totalprice"],
+        bits=8,
+    ).select("o_orderkey", "zval")
+
+
+def _oracle_zorder(bits: int = 8) -> str:
+    def scale(v: str, lo: str, hi: str) -> str:
+        return (
+            f"CAST(CASE WHEN CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE) = 0.0 THEN 0 "
+            f"ELSE FLOOR((CAST({v} AS DOUBLE) - CAST({lo} AS DOUBLE)) "
+            f"/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {float(2**bits - 1)}) "
+            f"END AS BIGINT)"
+        )
+
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((gc >> {b}) & 1) << {b * 2})")
+        terms.append(f"(((gp >> {b}) & 1) << {b * 2 + 1})")
+    return f"""
+WITH s AS (
+  SELECT MIN(o_custkey) AS lo_c, MAX(o_custkey) AS hi_c,
+         MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p
+  FROM orders
+), g AS (
+  SELECT o_orderkey,
+         {scale('o_custkey', 'lo_c', 'hi_c')} AS gc,
+         {scale('o_totalprice', 'lo_p', 'hi_p')} AS gp
+  FROM orders, s
+)
+SELECT o_orderkey, ({' | '.join(terms)}) AS zval FROM g
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "continuous_aggregate": (q_continuous_aggregate, ORACLE_CONTINUOUS_AGG),
     "quantile_sketch_rollup": (q_quantile_sketch_rollup, ORACLE_QUANTILE_SKETCH),
+    "zorder_values": (q_zorder_values, _oracle_zorder()),
     "hll_rollup_customers": (q_hll_rollup_customers, None),
     "snapshot_diff": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "locf_fill": (q_locf_fill, ORACLE_LOCF),
