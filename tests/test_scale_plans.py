@@ -361,3 +361,58 @@ def test_continuous_aggregate_two_level_agg(spark, sf_dir):
     plan = _plan(q_continuous_aggregate(spark, sf_dir))
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") == 2, plan
+
+
+def test_skew_profile_plans_take_ordered(spark, sf_dir):
+    """key_skew_profile must resolve top-n via per-partition heaps
+    (TakeOrderedAndProject) and broadcast the 1-row total — never a
+    global-window sort of the key counts."""
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_key_skew_profile,
+    )
+
+    plan = _plan(q_key_skew_profile(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total, broadcast
+
+
+def test_corpus_shuffle_no_global_window(spark, sf_dir):
+    """The seeded shuffle ranks via range-partition + offsets; a
+    'Window' node over an unpartitioned full input would be the
+    single-partition scale bug. The only Window allowed is the one
+    inside global_rank partitioned by _pid."""
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_corpus_shuffle,
+    )
+
+    plan = _plan(q_corpus_shuffle(spark, sf_dir))
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_minhash_verify_joins_exchange_longs_not_strings(spark, sf_dir):
+    """After the hashed-index rewrite, the verify-stage shuffles carry
+    the 60-bit hash column — no raw shingle string column may appear
+    in any Exchange's output schema."""
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_dedup_minhash,
+    )
+
+    df = q_dedup_minhash(spark, sf_dir)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "sh#" in line:
+            raise AssertionError(f"raw shingle string in a shuffle: {line}")
+
+
+def test_zorder_layout_single_shuffle(spark, sf_dir):
+    """zorder_layout = one range exchange (plus the broadcast of the
+    1-row span aggregate) — no second shuffle, no join on data."""
+    from music_streaming_etl_spark.operators.layout import zorder_layout
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plan = _plan(zorder_layout(orders, ["o_custkey", "o_totalprice"], 8))
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row spans, broadcast
+    assert "SortMergeJoin" not in plan
