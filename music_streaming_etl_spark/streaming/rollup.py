@@ -76,3 +76,62 @@ def start_daily_rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hist_rollup_stream(
+    events: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming maintenance of the QUANTILE pre-aggregate
+    (``operators/rollup.py::hist_rollup``): per (day, keys, bidx)
+    counts with the identical grid expression, so the streamed table
+    is row-compatible with the batch histogram — ``hist_reaggregate``
+    and ``hist_quantiles`` run unchanged on it, giving live p50/p99
+    dashboards without ever re-scanning facts. State per open day is
+    ≤ n_buckets × |keys| counters; the update-mode sink replaces
+    touched (day, keys, bidx) rows idempotently, exactly like the
+    continuous aggregate."""
+    span = float(hi) - float(lo)
+    idx = F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo)))
+        / F.lit(span)
+        * F.lit(n_buckets)
+    )
+    bidx = F.least(F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1)).cast("bigint")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .withColumn("bidx", bidx)
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("w"), *keys, "bidx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.col("w.start").alias("bucket"), *keys, "bidx", "cnt")
+    )
+
+
+def start_hist_rollup_sink(
+    spark: SparkSession,
+    hist: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+) -> StreamingQuery:
+    """Drain the streaming histogram into a parquet sketch table,
+    replacing touched (bucket, keys, bidx) rows each micro-batch."""
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_parquet(spark, batch, path, ["bucket", *keys, "bidx"])
+
+    return (
+        hist.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -85,3 +85,50 @@ def test_streamed_rollup_matches_batch_and_reaggregates(spark, tmp_path):
         (dt.date(2024, 5, 1), "b"): (7.0, 1),
         (dt.date(2024, 6, 1), "a"): (1.0, 1),
     }
+
+
+def test_streamed_histogram_matches_batch_and_serves_quantiles(spark, tmp_path):
+    """The streamed histogram equals the batch hist_rollup on the same
+    rows (late data replaces counts), and hist_quantiles reads live
+    medians straight off the maintained table."""
+    from music_streaming_etl_spark.operators.rollup import (
+        hist_quantiles,
+        hist_rollup,
+    )
+    from music_streaming_etl_spark.streaming.rollup import (
+        hist_rollup_stream,
+        start_hist_rollup_sink,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    out = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt_h")
+    d1 = dt.datetime(2024, 5, 30, 9, 0)
+
+    def drain():
+        events = (
+            spark.readStream.schema(SCHEMA).option("header", True).csv(stream_dir)
+        )
+        hist = hist_rollup_stream(
+            events, "ts", ["kind"], "amount", 0.0, 100.0, 10
+        )
+        q = start_hist_rollup_sink(spark, hist, out, ckpt, ["kind"])
+        q.awaitTermination(120)
+
+    rows1 = [(1, "a", d1, 5.0), (2, "a", d1, 15.0), (3, "a", d1, 17.0)]
+    _write_csv(spark, rows1, stream_dir)
+    drain()
+    late = [(4, "a", d1.replace(hour=20), 15.5)]
+    _write_csv(spark, late, stream_dir)
+    drain()
+
+    streamed = spark.read.parquet(out)
+    batch = hist_rollup(
+        spark.createDataFrame(rows1 + late, SCHEMA),
+        "ts", "day", ["kind"], "amount", 0.0, 100.0, 10,
+    )
+    key = lambda r: (r["bucket"], r["kind"], r["bidx"], r["cnt"])
+    assert sorted(map(key, streamed.collect())) == sorted(map(key, batch.collect()))
+
+    med = hist_quantiles(streamed, ["kind"], [0.5], 0.0, 100.0, 10).collect()
+    assert len(med) == 1 and med[0]["est"] == 20.0  # bucket (10,20] upper edge
