@@ -27,40 +27,48 @@ REGISTRY.update(REGISTRY_TPCH)
 # with the round's riskiest changes; BUILD_NOTES.md records which keys
 # the driver did not see.
 _PRIORITY: list[str] = [
-    # round 2: de-broadcast fact-scaled joins
-    "revenue_by_region",
-    "tpch_q5_local_supplier",
-    "top_revenue_customers",
-    "revenue_percentiles",
-    # round 2: new approx variant (rows-only check)
-    "revenue_percentiles_approx",
-    # round 2: fused multi-distinct aggregation
-    "hourly_kpis",
-    # round 2: asof seq_col + sessionizer chunk-sort fixes
-    "asof_join_signup",
-    # round 1 driver hash-fails, now cast fixed — must re-verify
-    "train_val_split",
-    "lang_distribution",
-    # round 2: new operators — first external check
+    # round 4: brand-new queries — first external check
+    "quantile_sketch_rollup",
+    "zorder_values",
+    "key_skew_profile",
+    "corpus_shuffle",
+    "similarity_topk_pq",
+    # round 4: MinHash index rewrite (hashed shingles) — re-verify the
+    # whole family whose verify stage / oracle changed
+    "dedup_minhash",
     "dedup_clusters",
+    "dedup_clusters_twophase",
     "dedup_canonical",
+    "training_corpus",
+    # round 4: events.parquet reader changed (ts physical type) —
+    # re-verify every events-backed query
+    "hourly_kpis",
+    "sessionize_events",
+    "daily_active_users",
+    "event_interarrival",
+    "customer_retention",
+    "rolling_7day_revenue",
+    "asof_join_signup",
     "range_join_windows",
+    # round 2-3 additions that have had exactly one external check
+    "revenue_percentiles_approx",
+    "snapshot_diff",
+    "locf_fill",
+    "profile_table",
+    "duplicate_spans",
+    "semdedup",
+    "continuous_aggregate",
+    "scd2_user_state",
+    "salted_skew_count",
+    "bucketed_join_revenue",
+    "domain_top_docs",
+    "pack_sequences",
+    "ref_pipeline_genre_kpis",
     "unpivot_metrics",
     "fuzzy_name_pairs",
     "similarity_topk_ivf_kmeans",
     "pii_redaction",
     "quality_filter",
-    "training_corpus",
-    "tpch_q19_disjunctive",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_distribution",
-    "tpch_q16_supplier_counts",
-    "tpch_q20_dominant_supplier",
     "doc_chunks",
     "repetition_stats",
     "contamination_check",
@@ -70,20 +78,13 @@ _PRIORITY: list[str] = [
     "scan_binary_ingest",
     "domain_mixture",
     "tfidf_top_terms",
-    "ref_pipeline_genre_kpis",
-    "pack_sequences",
-    "dedup_clusters_twophase",
-    "salted_skew_count",
-    "bucketed_join_revenue",
-    "domain_top_docs",
-    "scd2_user_state",
-    # round 2b: CDC / time-series / profiling / LLM-dedup additions
-    "snapshot_diff",
-    "locf_fill",
-    "profile_table",
-    "duplicate_spans",
-    "semdedup",
-    "continuous_aggregate",
+    "train_val_split",
+    "lang_distribution",
+    # round 2: de-broadcast fact-scaled joins (stable two rounds)
+    "revenue_by_region",
+    "tpch_q5_local_supplier",
+    "top_revenue_customers",
+    "revenue_percentiles",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {
