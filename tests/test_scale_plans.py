@@ -416,3 +416,49 @@ def test_zorder_layout_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange rangepartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan  # 1-row spans, broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """The engine's stated skew story is 'AQE handles residual skew on
+    shuffle joins' (joins.py, SCALE.md) — prove it: a sort-merge join
+    with one hot key must come out of AQE with the skewed partition
+    split (the final adaptive plan marks the SMJ 'skew=true')."""
+    hot = spark.range(200_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(2_000).select(
+        (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("payload")
+    )
+    left = hot.unionAll(cold)
+    right = spark.range(51).select(
+        (F.col("id") + 1).alias("k"), F.lit("dim").alias("tag")
+    )
+    old = {
+        c: spark.conf.get(c, None)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        joined = left.join(right, "k")
+        # execute THIS Dataset's queryExecution (count() would build a
+        # separate one and leave this plan un-finalized by AQE)
+        assert len(joined.collect()) == 202_000
+        plan = _plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for c, v in old.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
