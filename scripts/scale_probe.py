@@ -119,21 +119,59 @@ def materialize_llm(spark, sf_dir: str, mult: int) -> str:
     return out
 
 
+def materialize_orders(spark, sf_dir: str, mult: int) -> str:
+    """Multiplied orders (re-keyed o_orderkey; values untouched) for
+    the orders-backed probes (z-order, quantile rollup)."""
+    out = os.path.join(SCRATCH, "scale_probe", f"ord_x{mult}")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        m = F.col("_m")
+        (
+            _t(spark, sf_dir, "orders")
+            .crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
+            .withColumn("o_orderkey", F.col("o_orderkey") * mult + m)
+            .drop("_m")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "orders.parquet"))
+        )
+        open(os.path.join(out, "_done"), "w").close()
+    return out
+
+
 def main() -> None:
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_quantile_sketch_rollup,
+        q_zorder_values,
+    )
     from music_streaming_etl_spark.plans.extension_queries import (
+        q_corpus_shuffle,
         q_dedup_minhash,
         q_similarity_topk_ivf,
     )
 
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    ops = args[1:] or ["genre_kpis", "dedup_minhash", "similarity_topk_ivf"]
+    ops = args[1:] or [
+        "genre_kpis",
+        "dedup_minhash",
+        "similarity_topk_ivf",
+        "corpus_shuffle",
+        "zorder_values",
+        "quantile_sketch_rollup",
+    ]
     spark = get_spark("scale-probe")
     base_docs = _t(spark, sf_dir, "documents").count()
+    base_orders = _t(spark, sf_dir, "orders").count()
     probes = {
         "genre_kpis": (q_genre_kpis, materialize, 600_000),
         "dedup_minhash": (q_dedup_minhash, materialize_llm, base_docs),
         "similarity_topk_ivf": (q_similarity_topk_ivf, materialize_llm, base_docs),
+        "corpus_shuffle": (q_corpus_shuffle, materialize_llm, base_docs),
+        "zorder_values": (q_zorder_values, materialize_orders, base_orders),
+        "quantile_sketch_rollup": (
+            q_quantile_sketch_rollup, materialize_orders, base_orders,
+        ),
     }
     out = {"sf_dir": sf_dir, "ops": {}}
     for op in ops:
