@@ -205,3 +205,118 @@ def hist_quantiles(
     )
     est = F.lit(float(lo)) + (F.col("bidx") + 1) * F.lit(span) / F.lit(n_buckets)
     return sel.select("bucket", *keys, "q", est.alias("est"))
+
+
+def cms_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grain: str,
+    keys: Sequence[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Mergeable FREQUENCY pre-aggregate — a count-min sketch stored
+    as rows (bucket, keys, row_i, col_j, cnt), completing the sketch
+    family: HLL (distinct), histogram (quantiles), CMS (per-item
+    frequency). ``depth`` independent md5-derived hash rows × ``width``
+    columns; counts are integers, so rollup-of-rollups equals the
+    direct fact-level sketch bit-for-bit (same property as the
+    histogram) and the whole structure is reproducible in SQL — no
+    opaque binary, cross-engine checkable.
+
+    Size per (bucket, keys): ≤ depth·width rows regardless of input —
+    the 100 TB materialized-view shape for "how many times did item X
+    appear in month M" without storing per-item counts."""
+    item = F.col(item_col).cast("string")
+    rows = df.withColumn("bucket", _bucket(ts_col, grain)).select(
+        "bucket",
+        *keys,
+        item.alias("__item"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_i"),
+    )
+    col_j = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("__item"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(width)
+    )
+    return (
+        rows.withColumn("col_j", col_j)
+        .groupBy("bucket", *keys, "row_i", "col_j")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_reaggregate(
+    cms: DataFrame, grain: str, keys: Sequence[str]
+) -> DataFrame:
+    """Coarsen a ``cms_rollup``: integer count sums per coarser
+    bucket — exact merge, same as the histogram."""
+    coarse = cms.withColumn("bucket", _bucket("bucket", grain))
+    return (
+        coarse.groupBy("bucket", *keys, "row_i", "col_j")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates: for every (bucket, keys) × probe
+    item, ``min`` over the depth rows of the counter each hash lands
+    in — the classic one-sided CMS bound (estimate ≥ true count,
+    overshoot ≤ ε·N with prob 1−δ). Probe items absent from a sketch
+    row still hit a counter (possibly 0 via the left join) — a miss
+    estimates 0, never negative.
+
+    ``probes`` is a small frame with ``item_col`` (broadcast); the
+    lookup is an equi-join on (row_i, col_j) — no scan of the fact
+    table, which is the point of the materialized sketch."""
+    item = F.col(item_col).cast("string")
+    p = probes.select(item.alias("__probe")).distinct()
+    p = p.select(
+        "__probe",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_i"),
+    )
+    col_j = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("__probe"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(width)
+    )
+    p = p.withColumn("col_j", col_j)
+    hit = cms.join(F.broadcast(p), ["row_i", "col_j"], "inner").groupBy(
+        "bucket", *keys, "__probe"
+    )
+    # a probe hashes into depth counters; min over the ones present —
+    # if fewer than depth rows matched, an absent counter means 0
+    est = hit.agg(
+        F.min("cnt").alias("__min_cnt"), F.count(F.lit(1)).alias("__n_rows")
+    )
+    return est.select(
+        "bucket",
+        *keys,
+        F.col("__probe").alias(item_col),
+        F.when(F.col("__n_rows") < depth, F.lit(0))
+        .otherwise(F.col("__min_cnt"))
+        .cast("bigint")
+        .alias("est_count"),
+    )

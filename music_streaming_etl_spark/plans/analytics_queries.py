@@ -1346,9 +1346,60 @@ SELECT o_orderkey, ({' | '.join(terms)}) AS zval FROM g
 """
 
 
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch rollup: daily CMS of events.user_id (4×1024
+    md5 counters) merged to monthly, then point-frequency estimates
+    for users 1-10 read off the sketch — no fact re-scan. The oracle
+    rebuilds the identical sketch DIRECTLY at month grain in SQL, so
+    the hash-match proves the daily→monthly merge is lossless, the
+    same property the histogram rollup proves for quantiles."""
+    from ..operators.rollup import cms_estimate, cms_reaggregate, cms_rollup
+
+    events = _t(spark, sf_dir, "events")
+    daily = cms_rollup(events, "ts", "day", [], "user_id")
+    monthly = cms_reaggregate(daily, "month", [])
+    probes = spark.range(1, 11).select(F.col("id").alias("user_id"))
+    est = cms_estimate(monthly, probes, [], "user_id")
+    return est.select(
+        F.to_date("bucket").alias("month"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "est_count",
+    )
+
+
+ORACLE_CMS = """
+WITH base AS (
+  SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+         CAST(user_id AS VARCHAR) AS item
+  FROM events
+), r AS (
+  SELECT month, item, i AS row_i FROM base, UNNEST([0, 1, 2, 3]) AS t(i)
+), cms AS (
+  SELECT month, row_i,
+         CAST('0x' || substr(md5(CAST(row_i AS VARCHAR) || ':' || item), 1, 15) AS BIGINT) % 1024 AS col_j,
+         COUNT(*) AS cnt
+  FROM r GROUP BY 1, 2, 3
+), probes AS (
+  SELECT CAST(u AS VARCHAR) AS p FROM UNNEST([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS t(u)
+), ph AS (
+  SELECT p, i AS row_i,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || p), 1, 15) AS BIGINT) % 1024 AS col_j
+  FROM probes, UNNEST([0, 1, 2, 3]) AS t(i)
+), est AS (
+  SELECT c.month, ph.p, MIN(c.cnt) AS m, COUNT(*) AS nr
+  FROM cms c JOIN ph ON c.row_i = ph.row_i AND c.col_j = ph.col_j
+  GROUP BY 1, 2
+)
+SELECT month, CAST(p AS BIGINT) AS user_id,
+       CAST(CASE WHEN nr < 4 THEN 0 ELSE m END AS BIGINT) AS est_count
+FROM est
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "continuous_aggregate": (q_continuous_aggregate, ORACLE_CONTINUOUS_AGG),
     "quantile_sketch_rollup": (q_quantile_sketch_rollup, ORACLE_QUANTILE_SKETCH),
+    "cms_frequency": (q_cms_frequency, ORACLE_CMS),
     "zorder_values": (q_zorder_values, _oracle_zorder()),
     "hll_rollup_customers": (q_hll_rollup_customers, None),
     "snapshot_diff": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),

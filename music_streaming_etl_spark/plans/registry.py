@@ -29,6 +29,7 @@ REGISTRY.update(REGISTRY_TPCH)
 _PRIORITY: list[str] = [
     # round 4: brand-new queries — first external check
     "quantile_sketch_rollup",
+    "cms_frequency",
     "zorder_values",
     "key_skew_profile",
     "corpus_shuffle",

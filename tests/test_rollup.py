@@ -139,3 +139,44 @@ def test_hist_quantile_within_bucket_width(spark, orders):
         vs.sort()
         nearest_rank = vs[math.ceil(0.5 * len(vs)) - 1]
         assert nearest_rank < est[b] <= nearest_rank + 500.0
+
+
+def test_cms_merge_equals_direct_and_bounds(spark):
+    """Daily→monthly CMS merge equals the direct monthly sketch
+    bit-for-bit, and every estimate obeys the one-sided CMS bound:
+    exact ≤ est ≤ exact + collision mass (≲ N/width)."""
+    import datetime as dt
+
+    from music_streaming_etl_spark.operators.rollup import (
+        cms_estimate,
+        cms_reaggregate,
+        cms_rollup,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 5, 1)
+    for day in range(10):
+        for u in range(100):
+            # user u appears u+1 times on each of 10 days
+            rows.extend(
+                (base + dt.timedelta(days=day, seconds=i), u)
+                for i in range(u + 1)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id int")
+
+    daily = cms_rollup(df, "ts", "day", [], "user_id", depth=4, width=256)
+    merged = cms_reaggregate(daily, "month", [])
+    direct = cms_rollup(df, "ts", "month", [], "user_id", depth=4, width=256)
+    k = lambda r: (r["bucket"], r["row_i"], r["col_j"], r["cnt"])
+    assert sorted(map(k, merged.collect())) == sorted(map(k, direct.collect()))
+
+    probes = spark.range(0, 100).select(F.col("id").alias("user_id"))
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimate(merged, probes, [], "user_id", depth=4, width=256).collect()
+    }
+    n_total = len(rows)
+    for u in range(100):
+        exact = (u + 1) * 10
+        assert est[str(u)] >= exact, (u, est[str(u)], exact)
+        assert est[str(u)] <= exact + 2 * n_total / 256 * 4  # loose ε bound
