@@ -166,3 +166,31 @@ def semi_join_matched(
     pass without materializing the dim columns.
     Size-aware broadcast policy as in :func:`left_join_equi`."""
     return fact.join(_maybe_broadcast(dim, broadcast_dim), on=key, how="left_semi")
+
+
+def left_join_null_skipping(
+    left: DataFrame, right: DataFrame, key: str
+) -> DataFrame:
+    """LEFT equi-join that routes null-key left rows AROUND the join:
+    a null key can never match, yet a plain left join still hashes
+    every null-key row to the single hash(null) partition — all of
+    them land on ONE reducer, the classic hidden hot spot in
+    sparse-foreign-key facts (events without a user, orders without a
+    promo). Here null-key rows skip the exchange entirely (filter +
+    union of literal-null right columns — map-side only) and only
+    non-null keys shuffle; result is row-identical to
+    ``left.join(right, key, "left")``.
+
+    AQE's skew-split can also carve up the null partition at runtime,
+    but not shuffling unmatched rows at all is strictly cheaper — the
+    rewrite removes bytes from the wire instead of re-balancing them.
+    """
+    matched = left.filter(F.col(key).isNotNull()).join(right, key, "left")
+    nulls = left.filter(F.col(key).isNull())
+    for field in right.schema.fields:
+        if field.name != key:
+            nulls = nulls.withColumn(
+                field.name, F.lit(None).cast(field.dataType)
+            )
+    # align to the join's output column order (key, left..., right...)
+    return matched.unionByName(nulls.select(*matched.columns))

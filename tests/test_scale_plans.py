@@ -462,3 +462,33 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_null_skipping_left_join_equivalent_and_no_null_shuffle(spark):
+    """left_join_null_skipping must be row-identical to the plain left
+    join, and its null branch must reach the union without any
+    Exchange (null-key rows never enter a shuffle)."""
+    from music_streaming_etl_spark.operators.joins import (
+        left_join_null_skipping,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (3, "e")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame([(1, "x"), (3, "z")], "k int, rv string")
+
+    got = left_join_null_skipping(left, right, "k")
+    want = left.join(right, "k", "left")
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+
+    # plan: routing the null rows must add ZERO exchanges over the
+    # non-null-only join — the null branch reaches the union map-side
+    plan = _plan(got).split("== Initial Plan ==")[0]
+    base = left.filter(F.col("k").isNotNull()).join(right, "k", "left")
+    base.collect()
+    base_plan = _plan(base).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == base_plan.count("Exchange"), plan
+    assert "Union" in plan
