@@ -135,3 +135,74 @@ def start_hist_rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_rollup_stream(
+    events: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming maintenance of the count-min FREQUENCY sketch
+    (``operators/rollup.py::cms_rollup``): identical md5 counter
+    construction per (day, keys, row_i, col_j), so the streamed table
+    merges and estimates with the batch helpers unchanged. State per
+    open day is ≤ depth·width counters per key group — bounded however
+    hot the stream."""
+    item = F.col(item_col).cast("string")
+    exploded = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            *keys,
+            item.alias("__item"),
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_i"),
+        )
+    )
+    col_j = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("__item"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(width)
+    )
+    return (
+        exploded.withColumn("col_j", col_j)
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("w"), *keys, "row_i", "col_j"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.col("w.start").alias("bucket"), *keys, "row_i", "col_j", "cnt")
+    )
+
+
+def start_cms_rollup_sink(
+    spark: SparkSession,
+    cms: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+) -> StreamingQuery:
+    """Drain the streaming CMS into a parquet sketch table, replacing
+    touched (bucket, keys, row_i, col_j) rows each micro-batch."""
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_parquet(spark, batch, path, ["bucket", *keys, "row_i", "col_j"])
+
+    return (
+        cms.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -132,3 +132,51 @@ def test_streamed_histogram_matches_batch_and_serves_quantiles(spark, tmp_path):
 
     med = hist_quantiles(streamed, ["kind"], [0.5], 0.0, 100.0, 10).collect()
     assert len(med) == 1 and med[0]["est"] == 20.0  # bucket (10,20] upper edge
+
+
+def test_streamed_cms_matches_batch_and_estimates(spark, tmp_path):
+    """The streamed CMS equals the batch cms_rollup on the same rows,
+    and cms_estimate reads frequencies off the maintained table."""
+    from music_streaming_etl_spark.operators.rollup import (
+        cms_estimate,
+        cms_rollup,
+    )
+    from music_streaming_etl_spark.streaming.rollup import (
+        cms_rollup_stream,
+        start_cms_rollup_sink,
+    )
+
+    stream_dir = str(tmp_path / "in_cms")
+    out = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt_cms")
+    d1 = dt.datetime(2024, 5, 30, 9, 0)
+
+    def drain():
+        events = (
+            spark.readStream.schema(SCHEMA).option("header", True).csv(stream_dir)
+        )
+        cms = cms_rollup_stream(events, "ts", [], "user_id", depth=4, width=64)
+        q = start_cms_rollup_sink(spark, cms, out, ckpt, [])
+        q.awaitTermination(120)
+
+    rows1 = [(7, "a", d1, 1.0)] * 5 + [(9, "b", d1, 1.0)] * 2
+    _write_csv(spark, rows1, stream_dir)
+    drain()
+    _write_csv(spark, [(7, "a", d1.replace(hour=20), 1.0)], stream_dir)
+    drain()
+
+    streamed = spark.read.parquet(out)
+    all_rows = rows1 + [(7, "a", d1.replace(hour=20), 1.0)]
+    batch = cms_rollup(
+        spark.createDataFrame(all_rows, SCHEMA), "ts", "day", [], "user_id",
+        depth=4, width=64,
+    )
+    k = lambda r: (r["bucket"], r["row_i"], r["col_j"], r["cnt"])
+    assert sorted(map(k, streamed.collect())) == sorted(map(k, batch.collect()))
+
+    probes = spark.createDataFrame([(7,), (9,), (404,)], "user_id int")
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimate(streamed, probes, [], "user_id", depth=4, width=64).collect()
+    }
+    assert est["7"] >= 6 and est["9"] >= 2
