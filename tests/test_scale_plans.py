@@ -492,3 +492,39 @@ def test_null_skipping_left_join_equivalent_and_no_null_shuffle(spark):
     base_plan = _plan(base).split("== Initial Plan ==")[0]
     assert plan.count("Exchange") == base_plan.count("Exchange"), plan
     assert "Union" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim-side filter must
+    inject a bloom filter into the fact side of the shuffle join
+    (might_contain below the join), so fact rows that cannot match die
+    at the scan instead of crossing the exchange — Catalyst's own
+    version of semi-join pushdown, and the conf story this engine
+    relies on for selective fact×dim shuffle joins at scale. The
+    creation/application thresholds are lowered here only because the
+    local fixture is tiny; at real scale the defaults fire."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {c: spark.conf.get(c, None) for c in confs}
+    try:
+        for c, v in confs.items():
+            spark.conf.set(c, v)
+        li = _t(spark, sf_dir, "lineitem")
+        urgent = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        plan = _plan(j).lower()
+        assert "might_contain" in plan or "bloomfilter" in plan, plan[:1500]
+        # and the filtered join still answers correctly
+        assert j.count() > 0
+    finally:
+        for c, v in old.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
