@@ -65,3 +65,40 @@ def test_jaccard_pairs_bounded(spark, sf_dir):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert 0.0 < r["jaccard_sim"] <= 1.0
+
+
+def test_round4_ops_handle_empty_input(spark):
+    """Every round-4 operator must return an empty (not crashing, not
+    null-row) frame on empty input — the behavior incremental
+    pipelines hit on quiet days."""
+    from music_streaming_etl_spark.operators.layout import zorder_values
+    from music_streaming_etl_spark.operators.rollup import (
+        cms_estimate,
+        cms_reaggregate,
+        cms_rollup,
+        hist_quantiles,
+        hist_reaggregate,
+        hist_rollup,
+    )
+    from music_streaming_etl_spark.operators.sampling import seeded_shuffle
+    from music_streaming_etl_spark.operators.skew import key_skew_profile
+
+    empty_ev = spark.createDataFrame([], "ts timestamp, user_id long, v double")
+
+    hist = hist_rollup(empty_ev, "ts", "day", [], "v", 0.0, 100.0, 10)
+    assert hist.count() == 0
+    assert hist_reaggregate(hist, "month", []).count() == 0
+    assert hist_quantiles(hist, [], [0.5], 0.0, 100.0, 10).count() == 0
+
+    cms = cms_rollup(empty_ev, "ts", "day", [], "user_id", depth=2, width=8)
+    assert cms.count() == 0
+    probes = spark.range(3).select(F.col("id").alias("user_id"))
+    merged = cms_reaggregate(cms, "month", [])
+    assert cms_estimate(merged, probes, [], "user_id", depth=2, width=8).count() == 0
+
+    empty_kv = spark.createDataFrame([], "k long, v string")
+    assert key_skew_profile(empty_kv, "k").count() == 0
+    assert seeded_shuffle(empty_kv, "k", "s").count() == 0
+    # zorder: the span aggregate yields one all-null row; the cross
+    # join against zero data rows must still be empty
+    assert zorder_values(empty_kv.select(F.col("k").alias("a"), F.col("k").alias("b")), ["a", "b"]).count() == 0

@@ -528,3 +528,36 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """MIN/MAX/COUNT with no filter must come straight out of parquet
+    footer statistics (PushedAggregation in the v2 BatchScan) — at
+    100 TB that is the difference between a metadata read and a full
+    table scan. The v1 source can't push aggregates, so the engine's
+    documented recipe is: flip to the v2 parquet source for
+    stats-only queries."""
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    old_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown", None)
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        agg = df.agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        plan = _plan(agg)
+        assert "PushedAggregation: [MIN(o_totalprice), MAX(o_totalprice), COUNT(*)]" in plan, plan
+        row = agg.collect()[0]
+        assert row["n"] > 0 and row["lo"] < row["hi"]
+    finally:
+        if old_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        if old_agg is None:
+            spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+        else:
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
