@@ -16,6 +16,8 @@ scan ~0.1% of rows.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -333,15 +335,19 @@ def pq_encode(
     vec_col: str,
     books: list[list[tuple[int, list[float]]]],
     dim: int,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Encode every vector as M code ids (argmin centroid per
     subspace): per-row codegen against literal centroids — no join, no
     shuffle, exactly like the IVF assignment. The (id, codes) frame is
     what a 100 TB deployment persists: M bytes/vector instead of
-    4·dim, a 32× compression at M=8, dim=64."""
+    4·dim, a 32× compression at M=8, dim=64. ``keep_cols`` pass
+    through untouched (e.g. the IVF bucket id)."""
     sub_dim = dim // len(books)
     v = vectors.select(
-        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("id"),
+        as_double_vec(F.col(vec_col)).alias("v"),
+        *[F.col(c) for c in keep_cols],
     )
     code_cols = []
     for m, book in enumerate(books):
@@ -356,7 +362,7 @@ def pq_encode(
             )
             structs.append(F.struct(F.round(d, 9).alias("d"), F.lit(cid).alias("cid")))
         code_cols.append(F.array_min(F.array(*structs)).getField("cid"))
-    return v.select("id", F.array(*code_cols).alias("codes"))
+    return v.select("id", F.array(*code_cols).alias("codes"), *keep_cols)
 
 
 def similarity_topk_pq(
@@ -424,6 +430,112 @@ def similarity_topk_pq(
         lambda acc, x: acc + x,
     )
     scored = encoded.select("id", F.round(score, 6).alias("score"))
+    return global_topk(scored, [F.desc("score"), F.asc("id")], k).select(
+        "rank", "id", "score"
+    )
+
+
+def similarity_topk_ivfpq(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_coarse: int = 8,
+    n_probe: int = 3,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    iterations: int = 3,
+) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (FAISS IVFPQ; Jégou et
+    al. 2011 §IV): a coarse quantizer prunes the scan to ``n_probe``
+    buckets, and within them vectors are scored from PQ codes of their
+    RESIDUAL (v − coarse_centroid), which quantizes far better than
+    raw vectors because residuals are small and centered.
+
+    ADC decomposition keeps scoring per-row codegen: score(v) =
+    ⟨q, c_b⟩ + Σ_m ⟨q_m, r̂_m[code_m]⟩ — the first term is one literal
+    per bucket, the second an M×K lookup table shared by ALL buckets
+    (global residual codebooks), so the probed rows do M array lookups
+    and a sum: no join, no shuffle beyond the semi-join prune.
+
+    At 100 TB: coarse/PQ training runs on a deterministic sample,
+    encoding is zero-shuffle codegen, the persisted index is
+    (id, bucket, M bytes), and a query scans n_probe/n_coarse of it.
+    Deterministic end-to-end (fixed seeds, fixed rounds, literal
+    arithmetic); recall asserted in pytest against exact brute force."""
+    v = (
+        vectors.select(
+            F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v0")
+        )
+        .withColumn("__n", norm(F.col("v0")))
+        .select("id", F.transform("v0", lambda x: x / F.col("__n")).alias("v"))
+        .cache()
+    )
+    coarse = kmeans_codebook(v, "id", "v", dim, n_coarse, iterations)
+    cmap = {cid: c for cid, c in coarse}
+    tagged = v.withColumn("bucket", _nearest_bucket_expr(coarse, vec="v"))
+    # residual = v − centroid[bucket], via a literal array-of-centroids
+    cent_lut = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in cmap[cid]])
+            for cid in sorted(cmap)
+        ]
+    )
+    resid = tagged.withColumn(
+        "r",
+        F.zip_with(
+            F.col("v"),
+            F.element_at(cent_lut, F.col("bucket") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    books = pq_codebooks(resid, "id", "r", dim, m_subspaces, k_codes, iterations)
+    encoded = pq_encode(resid, "id", "r", books, dim, keep_cols=["bucket"])
+
+    sub_dim = dim // m_subspaces
+    qraw = query.select(as_double_vec(F.col(vec_col)).alias("qv")).collect()[0]["qv"]
+    qn = sum(x * x for x in qraw) ** 0.5
+    qrow = [x / qn for x in qraw]
+    # rank buckets by query·centroid, keep the best n_probe
+    bscore = sorted(
+        (
+            (sum(a * b for a, b in zip(qrow, c)), cid)
+            for cid, c in coarse
+        ),
+        key=lambda t: (-round(t[0], 9), t[1]),
+    )
+    probed = {cid: s for s, cid in bscore[:n_probe]}
+    # bucket constant ⟨q, c_b⟩ per probed bucket + shared residual table
+    bconst = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(b) for b in probed]),
+            F.array(*[F.lit(float(s)) for s in probed.values()]),
+        ),
+        F.col("bucket"),
+    )
+    tables = []
+    for m, book in enumerate(books):
+        qsub = qrow[m * sub_dim : (m + 1) * sub_dim]
+        row = [0.0] * len(book)
+        for cid, c in book:
+            row[cid] = sum(a * b for a, b in zip(qsub, c))
+        tables.append(row)
+    lut = F.array(*[F.array(*[F.lit(x) for x in row]) for row in tables])
+    tsum = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+            lambda c, m: F.element_at(F.element_at(lut, m + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.filter(F.col("bucket").isin(*probed))
+        .select("id", F.round(bconst + tsum, 6).alias("score"))
+    )
     return global_topk(scored, [F.desc("score"), F.asc("id")], k).select(
         "rank", "id", "score"
     )

@@ -1382,10 +1382,27 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", F.col("id").alias("vec_id"), "score")
 
 
+def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — coarse k-means pruning + residual product codes
+    scored via ADC lookup tables (the FAISS IVFPQ shape). Rows-only
+    driver check (two learned quantizers, no SQL twin); recall and
+    determinism pytest-asserted on structured fixtures."""
+    from ..operators.similarity import similarity_topk_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = similarity_topk_ivfpq(
+        emb, query, "vec_id", "embedding", dim=64, k=10,
+        n_coarse=8, n_probe=3, m_subspaces=4, k_codes=16, iterations=2,
+    )
+    return out.select("rank", F.col("id").alias("vec_id"), "score")
+
+
 REGISTRY_EXT: dict = {
     "key_skew_profile": (q_key_skew_profile, ORACLE_KEY_SKEW),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "similarity_topk_pq": (q_similarity_topk_pq, None),
+    "similarity_topk_ivfpq": (q_similarity_topk_ivfpq, None),
     "bpe_tokenize": (q_bpe_tokenize, None),
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUP_SPANS),
     "semdedup": (q_semdedup, ORACLE_SEMDEDUP),

@@ -34,6 +34,7 @@ _PRIORITY: list[str] = [
     "key_skew_profile",
     "corpus_shuffle",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     # round 4: MinHash index rewrite (hashed shingles) — re-verify the
     # whole family whose verify stage / oracle changed
     "dedup_minhash",

@@ -42,5 +42,6 @@ def test_oracle_coverage_ratio():
         "hll_rollup_customers",         # DataSketches HLL (no DuckDB twin)
         "revenue_percentiles_approx",   # GK sketch
         "similarity_topk_ivf_kmeans",   # learned quantizer (iterative)
+        "similarity_topk_ivfpq",        # two learned quantizers (iterative)
         "similarity_topk_pq",           # learned PQ codebooks (iterative)
     ], (total, rows_only)

@@ -212,3 +212,60 @@ def test_pq_recall_and_determinism(spark):
     assert overlap >= 7, f"PQ recall@10 too low: {overlap}/10"
     # the query itself must be its own nearest neighbor under ADC
     assert got1[0][1] == 5
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ on well-separated clusters: coarse pruning finds the
+    query's cluster, residual PQ codes rank within it — top-10 must
+    overlap the exact top-10 and the whole index must be
+    deterministic run-to-run."""
+    import random
+
+    from music_streaming_etl_spark.operators.similarity import (
+        similarity_topk,
+        similarity_topk_ivfpq,
+    )
+
+    rng = random.Random(11)
+    dim, per, m, sub = 16, 40, 4, 4
+    # cluster centers carry the coarse structure; residuals are drawn
+    # from per-subspace prototypes (+ tiny noise) — structure the
+    # residual codebooks CAN represent, so ADC ranks within-cluster
+    # neighbors faithfully (the same construction as the PQ test, one
+    # level down)
+    protos = [
+        [2.0 * (1 if (p >> b) & 1 else -1) for b in range(sub)] for p in range(4)
+    ]
+    rows = []
+    for c in range(4):
+        center = [8.0 * (1 if (c >> b) & 1 else -1) for b in range(dim)]
+        for i in range(per):
+            resid = []
+            for _ in range(m):
+                resid.extend(
+                    x + rng.uniform(-0.1, 0.1) for x in protos[rng.randrange(4)]
+                )
+            rows.append((c * per + i, [a + b for a, b in zip(center, resid)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = df.filter(F.col("vec_id") == 5)
+
+    exact = {
+        r["id"]
+        for r in similarity_topk(df, query, "vec_id", "embedding", k=10).collect()
+    }
+
+    def run():
+        return [
+            (r["rank"], r["id"], r["score"])
+            for r in similarity_topk_ivfpq(
+                df, query, "vec_id", "embedding", dim=dim, k=10,
+                n_coarse=4, n_probe=1, m_subspaces=4, k_codes=16, iterations=3,
+            ).collect()
+        ]
+
+    got1, got2 = run(), run()
+    assert got1 == got2  # deterministic end-to-end
+    assert all(0 <= g[1] < 40 for g in got1)  # pruned to the right cluster
+    overlap = len({g[1] for g in got1} & exact)
+    assert overlap >= 6, f"IVF-PQ recall@10 too low: {overlap}/10"
+    assert got1[0][1] == 5  # the query is its own nearest neighbor
