@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,3 +45,43 @@ def locf(
     for c in fill_cols:
         out = out.withColumn(c + suffix, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """N-step ordered funnel (view → click → purchase …): a user
+    reaches step i at the EARLIEST event of type ``steps[i]`` strictly
+    after their step i−1 time. Returns ONE row with a ``bigint`` user
+    count per step — the classic product-analytics conversion query.
+
+    Scale shape: every step is a conditional-min window over the SAME
+    ``partitionBy(user)`` — Catalyst plans one exchange on the user
+    key and stacks N window passes on it, so an N-step funnel costs
+    one shuffle regardless of N (plus the final 1-row aggregate).
+    No self-joins, no per-step scans of the fact."""
+    w = Window.partitionBy(user_col)
+    out = df
+    prev: Column | None = None
+    step_cols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        c = f"__t{i}"
+        out = out.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(c)
+        step_cols.append(c)
+    per_user = out.select(user_col, *step_cols).distinct()
+    return per_user.agg(
+        *[
+            F.count(F.when(F.col(c).isNotNull(), F.lit(1)))
+            .cast("bigint")
+            .alias(f"n_{steps[i]}")
+            for i, c in enumerate(step_cols)
+        ]
+    )

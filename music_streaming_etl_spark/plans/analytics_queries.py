@@ -1396,10 +1396,46 @@ FROM est
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel over events: earliest view → first click
+    strictly after it → first purchase strictly after that, counted
+    per user. One shuffle however many steps (stacked same-partition
+    conditional-min windows — see
+    ``operators/timeseries.py::funnel_counts``)."""
+    from ..operators.timeseries import funnel_counts
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+ORACLE_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t1
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t2
+  GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+       (SELECT COUNT(*) FROM t2) AS n_click,
+       (SELECT COUNT(*) FROM t3) AS n_purchase
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "continuous_aggregate": (q_continuous_aggregate, ORACLE_CONTINUOUS_AGG),
     "quantile_sketch_rollup": (q_quantile_sketch_rollup, ORACLE_QUANTILE_SKETCH),
     "cms_frequency": (q_cms_frequency, ORACLE_CMS),
+    "funnel_conversion": (q_funnel_conversion, ORACLE_FUNNEL),
     "zorder_values": (q_zorder_values, _oracle_zorder()),
     "hll_rollup_customers": (q_hll_rollup_customers, None),
     "snapshot_diff": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),

@@ -30,6 +30,7 @@ _PRIORITY: list[str] = [
     # round 4: brand-new queries — first external check
     "quantile_sketch_rollup",
     "cms_frequency",
+    "funnel_conversion",
     "zorder_values",
     "key_skew_profile",
     "corpus_shuffle",

@@ -86,3 +86,44 @@ def test_profile_columns_single_job_and_values(spark):
     # one aggregation pass: exactly one Aggregate over the scan, no union
     plan = profile_columns(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("union") == 0
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    """Funnel steps must be STRICTLY ordered per user: a purchase
+    before the first view doesn't count, a click at the exact view
+    timestamp doesn't count (strict >)."""
+    import datetime as dt
+
+    from music_streaming_etl_spark.operators.timeseries import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: full ordered funnel
+        (1, s(0), "view"), (1, s(10), "click"), (1, s(20), "purchase"),
+        # user 2: purchase BEFORE view — stops at view
+        (2, s(5), "purchase"), (2, s(10), "view"),
+        # user 3: click at the exact view timestamp — strict > rejects
+        (3, s(0), "view"), (3, s(0), "click"),
+        # user 4: never views — contributes nothing
+        (4, s(0), "click"), (4, s(1), "purchase"),
+        # user 5: view → click, second click later, no purchase
+        (5, s(0), "view"), (5, s(1), "click"), (5, s(2), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = funnel_counts(df, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"]).collect()[0]
+    assert (out["n_view"], out["n_click"], out["n_purchase"]) == (4, 2, 1)
+
+
+def test_funnel_single_shuffle_plan(spark, sf_dir):
+    """However many steps, the funnel must cost ONE exchange on the
+    user key (stacked same-partition windows) plus the 1-row final
+    aggregate's single-partition exchange."""
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_funnel_conversion,
+    )
+
+    df = q_funnel_conversion(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
