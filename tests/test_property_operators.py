@@ -142,3 +142,59 @@ def test_global_rank_and_ntile_match_windows(spark, rows, n):
         for r in df.withColumn("tile", F.ntile(n).over(w).cast("bigint")).collect()
     }
     assert got_tile == want_tile
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(1, 5),                      # user
+        st.integers(0, 30),                     # second offset (ties likely)
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(events=funnel_events)
+def test_funnel_counts_match_bruteforce(spark, events):
+    """funnel_counts must agree with a per-user Python simulation for
+    ANY event stream — including timestamp ties, missing steps, and
+    repeated step events."""
+    import datetime as dt
+
+    from music_streaming_etl_spark.operators.timeseries import funnel_counts
+
+    steps = ["view", "click", "purchase"]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(seconds=sec), kind) for u, sec, kind in events
+    ]
+
+    # brute force: per user, walk steps via earliest-strictly-after
+    per_user: dict = {}
+    for u, ts, kind in rows:
+        per_user.setdefault(u, []).append((ts, kind))
+    want = [0] * len(steps)
+    for evs in per_user.values():
+        prev = None
+        for i, step in enumerate(steps):
+            cands = [
+                ts for ts, kind in evs
+                if kind == step and (prev is None or ts > prev)
+            ]
+            if not cands:
+                break
+            prev = min(cands)
+            want[i] += 1
+
+    if not rows:
+        return  # createDataFrame needs a schema'd empty frame; skip
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = funnel_counts(df, "user_id", "ts", "event_type", steps).collect()[0]
+    got = [out[f"n_{s}"] for s in steps]
+    assert got == want, (got, want, rows)
