@@ -304,3 +304,44 @@ def ddl_recreate(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.saveAsTable(table)
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: Sequence[str] = (),
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 8,
+) -> int:
+    """One-call table maintenance — the ``OPTIMIZE [ZORDER BY]`` verb
+    lake users expect: rewrite a parquet dir into ⌈total/target⌉
+    right-sized files, optionally laying rows along a Morton curve
+    over ``zorder_cols`` so footer min/max stats prune every listed
+    column (see ``operators/layout.py``). Same atomic-enough sibling
+    swap as ``compact_small_files``; returns the new file count.
+
+    At scale this is the nightly job that keeps streaming/upsert
+    output scannable: without it, micro-batch files accumulate and
+    multi-column predicates stop skipping."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if zorder_cols:
+        from ..operators.layout import zorder_layout
+
+        df = zorder_layout(df, zorder_cols, n_files, bits=bits).drop("zval")
+    else:
+        df = df.repartition(n_files)
+    tmp = path.rstrip("/") + "__optimize_swap"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

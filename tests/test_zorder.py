@@ -92,3 +92,41 @@ def test_zorder_layout_skips_files(spark, tmp_path):
     # and the layout loses no rows
     back = spark.read.parquet(zpath)
     assert back.count() == orders.count()
+
+
+def test_optimize_table_compacts_and_zorders(spark, tmp_path):
+    """optimize_table must shrink many small files into few, preserve
+    every row, and leave a z-ordered layout whose footer stats skip
+    files for box predicates."""
+    from music_streaming_etl_spark.sources.io import optimize_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "messy")
+    orders.repartition(40).write.parquet(path)  # 40 tiny files
+    n_before = orders.count()
+
+    n_files = optimize_table(
+        spark, path, zorder_cols=["o_custkey", "o_totalprice"],
+        target_file_bytes=8 * 1024,
+    )
+    import glob
+
+    assert n_files == len(glob.glob(f"{path}/*.parquet"))
+    assert n_files < 40
+    back = spark.read.parquet(path)
+    assert back.count() == n_before
+    assert set(back.columns) == {"o_orderkey", "o_custkey", "o_totalprice"}
+
+    # the rewritten files must skip for a 2-D box (middle quarter)
+    stats = back.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    cust = (stats[0] + (stats[1] - stats[0]) * 3 // 8,
+            stats[0] + (stats[1] - stats[0]) * 5 // 8)
+    price = (stats[2] + (stats[3] - stats[2]) * 0.375,
+             stats[2] + (stats[3] - stats[2]) * 0.625)
+    touched, total = _files_touched(path, cust, price)
+    assert touched < total, (touched, total)
