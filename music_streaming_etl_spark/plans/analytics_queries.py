@@ -1431,8 +1431,69 @@ SELECT (SELECT COUNT(*) FROM t1) AS n_view,
 """
 
 
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over Spark 4's VARIANT type:
+    ``parse_json`` once, ``try_variant_get`` typed paths — the
+    shred-on-read shape that replaces string JSON re-parsing per
+    expression. Malformed/missing paths yield NULL (try_ semantics)
+    and drop out of the aggregates, mirroring SQL NULL discipline."""
+    events = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+ORACLE_VARIANT = """
+SELECT event_type,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 / Spark 4 surface):
+    top-3 orders per customer. Catalyst decorrelates the per-row
+    subquery into a ranked join — no nested-loop re-execution per
+    customer — the property that makes LATERAL usable at fact scale."""
+    for name in ("orders", "customer"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"vl_{name}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM vl_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM vl_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+        """
+    )
+
+
+ORACLE_LATERAL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) o
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "continuous_aggregate": (q_continuous_aggregate, ORACLE_CONTINUOUS_AGG),
+    "variant_props_stats": (q_variant_props_stats, ORACLE_VARIANT),
+    "lateral_top_orders": (q_lateral_top_orders, ORACLE_LATERAL),
     "quantile_sketch_rollup": (q_quantile_sketch_rollup, ORACLE_QUANTILE_SKETCH),
     "cms_frequency": (q_cms_frequency, ORACLE_CMS),
     "funnel_conversion": (q_funnel_conversion, ORACLE_FUNNEL),

@@ -31,6 +31,8 @@ _PRIORITY: list[str] = [
     "quantile_sketch_rollup",
     "cms_frequency",
     "funnel_conversion",
+    "variant_props_stats",
+    "lateral_top_orders",
     "zorder_values",
     "key_skew_profile",
     "corpus_shuffle",

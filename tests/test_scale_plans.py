@@ -561,3 +561,16 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
             spark.conf.unset("spark.sql.parquet.aggregatePushdown")
         else:
             spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
+
+
+def test_lateral_subquery_decorrelates_to_ranked_join(spark, sf_dir):
+    """The LATERAL top-3-per-customer must decorrelate into a window
+    rank + join — a correlated nested-loop (re-running the subquery
+    per customer row) would be quadratic at scale."""
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_lateral_top_orders,
+    )
+
+    plan = _plan(q_lateral_top_orders(spark, sf_dir))
+    assert "Window" in plan  # the decorrelated per-key rank
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
