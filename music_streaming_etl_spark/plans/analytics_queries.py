@@ -1490,7 +1490,214 @@ FROM customer c, LATERAL (
 """
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization through Spark's BUILT-IN
+    ``session_window`` aggregation (the engine-native twin of
+    ``sessionize_events``' lag+cumsum form): one hash-aggregate over
+    (user, dynamic session window), no per-user window sort in user
+    code — the state merge is Catalyst's ``UpdatingSessionsExec``.
+
+    Boundary semantics differ from the lag form by design:
+    ``session_window`` closes a session when the gap is ``>=`` the
+    30-min timeout (windows are [start, end) with end = last_ts + gap),
+    while the lag form starts a new session only when the gap is
+    strictly ``>``. The oracle mirrors the ``>=`` rule in exact
+    microsecond integers.
+
+    Scale: one shuffle on user_id, session state bounded by per-user
+    event history — same argument as the streaming sessionizer.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSIONIZE_NATIVE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on daily revenue, flagged
+    with INTEGER-EXACT arithmetic so the boundary decision is
+    bit-identical across engines: a day is anomalous when its revenue
+    deviates from the trailing-7-day mean by more than 2 sigma —
+    ``(n*x - S)^2 > 4*(n*SS - S^2)`` over integer cents (the algebraic
+    form of ``(x-mu)^2 > (2*sigma)^2`` scaled by n^2), with n pinned
+    to a full 7-day history. No floating-point sigma ever computed.
+
+    Scale: the fact scan pre-aggregates to daily grain FIRST (one
+    shuffle, ~365 rows/year); the trailing window then runs over the
+    tiny daily frame — single-partition by design and bounded by
+    calendar days, the same boundedness argument as
+    ``rolling_7day_revenue``.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("stat_date")
+    ).agg(F.sum(cents).alias("rev_cents"))
+
+    w = Window.orderBy("stat_date").rowsBetween(-7, -1)
+    st = daily.select(
+        "stat_date",
+        "rev_cents",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum("rev_cents").over(w).alias("s"),
+        F.sum(
+            F.col("rev_cents").cast("decimal(15,0)") * F.col("rev_cents")
+        ).over(w).alias("ss"),
+    )
+    x = F.col("rev_cents").cast("decimal(15,0)")
+    s = F.col("s").cast("decimal(25,0)")
+    ss = F.col("ss")
+    diff = (x * 7 - s).cast("decimal(19,0)")
+    lhs = diff * diff
+    rhs = (ss * 7 - (s * s).cast("decimal(38,0)")) * 4
+    return st.select(
+        "stat_date",
+        "rev_cents",
+        F.col("n_prior").cast("bigint").alias("n_prior"),
+        ((F.col("n_prior") == 7) & (lhs > rhs)).alias("is_anomaly"),
+    )
+
+
+ORACLE_DAILY_ANOMALIES = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS stat_date,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev_cents
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT stat_date, rev_cents,
+         COUNT(*) OVER w AS n_prior,
+         SUM(CAST(rev_cents AS HUGEINT)) OVER w AS s,
+         SUM(CAST(rev_cents AS HUGEINT) * rev_cents) OVER w AS ss
+  FROM daily
+  WINDOW w AS (ORDER BY stat_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT stat_date, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       (n_prior = 7 AND
+        (7 * CAST(rev_cents AS HUGEINT) - s)
+          * (7 * CAST(rev_cents AS HUGEINT) - s)
+        > 4 * (7 * ss - s * s)) AS is_anomaly
+FROM st
+"""
+
+
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``time_bucket_gapfill`` parity: per-priority daily
+    order stats with EVERY calendar day present between each key's
+    first and last active day — missing days appear with a zero count
+    and the last known daily revenue carried forward (LOCF).
+
+    Spark shape: pre-aggregate to daily grain, per-key min/max bounds,
+    ``sequence() + explode`` builds the calendar spine distributed
+    (never a driver-side date loop), left join actuals back, then one
+    per-key ordered window for the carry-forward. The spine explode is
+    bounded by days-per-key, the joins share the (key) partitioning,
+    and nothing touches the driver — the same plan at any scale.
+    """
+    from ..operators.timeseries import locf
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("stat_date"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("rev_cents"),
+    )
+    spine = (
+        daily.groupBy("priority")
+        .agg(F.min("stat_date").alias("d0"), F.max("stat_date").alias("d1"))
+        .select(
+            "priority",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("stat_date"),
+        )
+    )
+    filled = spine.join(daily, ["priority", "stat_date"], "left")
+    return locf(
+        filled, ["priority"], ["stat_date"], ["rev_cents"]
+    ).select(
+        "priority",
+        "stat_date",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.col("rev_cents_filled").alias("rev_cents_locf"),
+    )
+
+
+ORACLE_GAPFILL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS stat_date,
+         COUNT(*) AS n_orders,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev_cents
+  FROM orders GROUP BY 1, 2
+), b AS (
+  SELECT priority, MIN(stat_date) AS d0, MAX(stat_date) AS d1
+  FROM daily GROUP BY 1
+), spine AS (
+  SELECT priority,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS stat_date
+  FROM b
+), j AS (
+  SELECT s.priority, s.stat_date,
+         COALESCE(d.n_orders, 0) AS n_orders, d.rev_cents
+  FROM spine s LEFT JOIN daily d
+    ON s.priority = d.priority AND s.stat_date = d.stat_date
+)
+SELECT priority, stat_date, n_orders,
+       CAST(last_value(rev_cents IGNORE NULLS) OVER (
+         PARTITION BY priority ORDER BY stat_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rev_cents_locf
+FROM j
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
+    "daily_anomalies": (q_daily_anomalies, ORACLE_DAILY_ANOMALIES),
+    "gapfill_daily": (q_gapfill_daily, ORACLE_GAPFILL),
     "continuous_aggregate": (q_continuous_aggregate, ORACLE_CONTINUOUS_AGG),
     "variant_props_stats": (q_variant_props_stats, ORACLE_VARIANT),
     "lateral_top_orders": (q_lateral_top_orders, ORACLE_LATERAL),

@@ -27,6 +27,19 @@ REGISTRY.update(REGISTRY_TPCH)
 # with the round's riskiest changes; BUILD_NOTES.md records which keys
 # the driver did not see.
 _PRIORITY: list[str] = [
+    # round 5: brand-new queries — first external check
+    "sessionize_native",
+    "daily_anomalies",
+    "gapfill_daily",
+    # VERDICT r01 action items — MUST be re-checked by the driver this
+    # round: the two oracle-cast hash-fail fixes and the four
+    # de-broadcast fact-scaled-join queries
+    "train_val_split",
+    "lang_distribution",
+    "revenue_by_region",
+    "tpch_q5_local_supplier",
+    "top_revenue_customers",
+    "revenue_percentiles",
     # round 4: brand-new queries — first external check
     "quantile_sketch_rollup",
     "cms_frequency",
@@ -83,13 +96,6 @@ _PRIORITY: list[str] = [
     "scan_binary_ingest",
     "domain_mixture",
     "tfidf_top_terms",
-    "train_val_split",
-    "lang_distribution",
-    # round 2: de-broadcast fact-scaled joins (stable two rounds)
-    "revenue_by_region",
-    "tpch_q5_local_supplier",
-    "top_revenue_customers",
-    "revenue_percentiles",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 REGISTRY = {
