@@ -1694,10 +1694,173 @@ FROM j
 """
 
 
+def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time-window aggregation through the engine's
+    ``F.window(ts, windowDuration, slideDuration)``: 1-hour windows
+    advancing every 15 minutes, so each event lands in exactly 4
+    overlapping windows — the load-monitoring / rate-limiting shape
+    streaming jobs use, here as its batch twin.
+
+    Oracle mirrors the epoch-aligned window math explicitly: the 4
+    window starts covering an event are ``bucket15(ts) − k·15min`` for
+    k = 0..3 (µs-exact integer arithmetic).
+
+    Scale: Catalyst expands each row to its 4 windows (an Expand,
+    fan-out fixed at window/slide = 4) then one hash-aggregate —
+    shuffle on (window), no window-function sort anywhere.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+ORACLE_HOPPING = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), x AS (
+  SELECT user_id,
+         (us - us % 900000000) - CAST(k AS BIGINT) * 900000000 AS start_us
+  FROM e, unnest([0, 1, 2, 3]) AS t(k)
+)
+SELECT make_timestamp(start_us) AS window_start,
+       make_timestamp(start_us + 3600000000) AS window_end,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM x GROUP BY start_us
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: customers grouped by first-order
+    month, counted as retained in every later month they order again —
+    the classic product-analytics cohort heatmap, exact distinct
+    counts per (cohort_month, month_offset).
+
+    Scale: first-order month is one aggregate over the fact keyed by
+    customer; the join back is on the same key (co-partitioned), and
+    the triangle aggregate is over (month × offset) — tiny output.
+    Distinct counts shuffle once on (cohort, offset, custkey).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    mon = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    first = orders.groupBy("o_custkey").agg(F.min(mon).alias("m0"))
+    return (
+        orders.select("o_custkey", mon.alias("m"))
+        .join(first, "o_custkey")
+        .groupBy(
+            F.make_date(
+                (F.col("m0") / 12).cast("int"),
+                F.col("m0") % 12 + 1,
+                F.lit(1),
+            ).alias("cohort_month"),
+            (F.col("m") - F.col("m0")).cast("bigint").alias("month_offset"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+ORACLE_COHORT = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+  FROM orders
+), f AS (
+  SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1
+)
+SELECT make_date(CAST(m0 // 12 AS INT), CAST(m0 % 12 + 1 AS INT), 1)
+         AS cohort_month,
+       CAST(o.m - f.m0 AS BIGINT) AS month_offset,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM o JOIN f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's ``value`` series
+    (TimescaleDB ``time_weight('locf', …)`` parity): each observation
+    holds until the next one, so the mean is
+    ``Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_N−t_0)`` — integration in EXACT integer
+    units (cents × microseconds; decimal accumulation), only the final
+    ratio leaves integers, and IEEE division of identical integers is
+    bit-identical across engines. Users with a single event carry no
+    interval and are excluded (standard time_weight semantics).
+
+    Scale: one shuffle on user_id for the lead() window, then a
+    per-user aggregate — the same bounded per-entity-history argument
+    as sessionization.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    stepped = ev.select(
+        "user_id",
+        cents.alias("v_cents"),
+        (F.lead(t_us, 1).over(w) - t_us).alias("dt_us"),
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("v_cents").cast("decimal(20,0)") * F.col("dt_us")
+            ).alias("num"),
+            F.sum("dt_us").alias("den"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("den").isNotNull() & (F.col("den") > 0))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.col("num").cast("double") / F.col("den").cast("double")
+            ).alias("twa_cents"),
+        )
+    )
+
+
+ORACLE_TIME_WEIGHTED = """
+WITH e AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+  FROM events
+), a AS (
+  SELECT user_id,
+         SUM(CAST(v_cents AS HUGEINT) * dt_us) AS num,
+         SUM(dt_us) AS den,
+         COUNT(*) AS n_events
+  FROM e GROUP BY 1
+)
+SELECT user_id, n_events,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twa_cents
+FROM a WHERE den IS NOT NULL AND den > 0
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
     "daily_anomalies": (q_daily_anomalies, ORACLE_DAILY_ANOMALIES),
     "gapfill_daily": (q_gapfill_daily, ORACLE_GAPFILL),
+    "hopping_windows": (q_hopping_windows, ORACLE_HOPPING),
+    "cohort_retention": (q_cohort_retention, ORACLE_COHORT),
+    "time_weighted_value": (q_time_weighted_value, ORACLE_TIME_WEIGHTED),
     "continuous_aggregate": (q_continuous_aggregate, ORACLE_CONTINUOUS_AGG),
     "variant_props_stats": (q_variant_props_stats, ORACLE_VARIANT),
     "lateral_top_orders": (q_lateral_top_orders, ORACLE_LATERAL),

@@ -31,6 +31,9 @@ _PRIORITY: list[str] = [
     "sessionize_native",
     "daily_anomalies",
     "gapfill_daily",
+    "hopping_windows",
+    "cohort_retention",
+    "time_weighted_value",
     # VERDICT r01 action items — MUST be re-checked by the driver this
     # round: the two oracle-cast hash-fail fixes and the four
     # de-broadcast fact-scaled-join queries
