@@ -1854,6 +1854,101 @@ FROM a WHERE den IS NOT NULL AND den > 0
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (the product-analytics "what do users do next"
+    matrix), with each source type's transition share as an exact
+    ratio of two bigint counts (single IEEE division — deterministic).
+
+    Scale: one shuffle on user_id for the lead() window (bounded
+    per-user history), then a tiny (type × type) aggregate; the share
+    join is on the grouped frame, not the fact.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type", 1).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = trans.groupBy("src").agg(F.sum("n_trans").alias("n_src"))
+    return trans.join(totals, "src").select(
+        "src",
+        "dst",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.col("n_src").cast("double"))
+        .alias("share"),
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type AS src,
+         lead(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst
+  FROM events
+), c AS (
+  SELECT src, dst, COUNT(*) AS n_trans
+  FROM t WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n_trans,
+       CAST(n_trans AS DOUBLE)
+         / CAST(SUM(n_trans) OVER (PARTITION BY src) AS DOUBLE) AS share
+FROM c
+"""
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase pairs (market-basket support counts):
+    parts appearing together in at least 2 orders, ordered pairs
+    ``part_a < part_b`` so each pair counts once.
+
+    Scale shape: distinct (order, part) FIRST (shrinks the self-join
+    input), then an equi-self-join on the order key — both sides share
+    the same partitioning, and fan-out is bounded by items-per-order
+    squared (TPC-H ≤ 7 lines ⇒ ≤ 21 pairs/order), never a cross
+    join. The support filter happens after one hash-aggregate on the
+    pair. This is exactly how A-Priori's candidate-pair count runs on
+    a cluster.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+ORACLE_COPURCHASE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
     "daily_anomalies": (q_daily_anomalies, ORACLE_DAILY_ANOMALIES),
@@ -1861,6 +1956,8 @@ REGISTRY_ANALYTICS: dict = {
     "hopping_windows": (q_hopping_windows, ORACLE_HOPPING),
     "cohort_retention": (q_cohort_retention, ORACLE_COHORT),
     "time_weighted_value": (q_time_weighted_value, ORACLE_TIME_WEIGHTED),
+    "event_transitions": (q_event_transitions, ORACLE_TRANSITIONS),
+    "copurchase_pairs": (q_copurchase_pairs, ORACLE_COPURCHASE),
     "continuous_aggregate": (q_continuous_aggregate, ORACLE_CONTINUOUS_AGG),
     "variant_props_stats": (q_variant_props_stats, ORACLE_VARIANT),
     "lateral_top_orders": (q_lateral_top_orders, ORACLE_LATERAL),

@@ -34,6 +34,8 @@ _PRIORITY: list[str] = [
     "hopping_windows",
     "cohort_retention",
     "time_weighted_value",
+    "event_transitions",
+    "copurchase_pairs",
     # VERDICT r01 action items — MUST be re-checked by the driver this
     # round: the two oracle-cast hash-fail fixes and the four
     # de-broadcast fact-scaled-join queries

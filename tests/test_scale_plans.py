@@ -574,3 +574,34 @@ def test_lateral_subquery_decorrelates_to_ranked_join(spark, sf_dir):
     plan = _plan(q_lateral_top_orders(spark, sf_dir))
     assert "Window" in plan  # the decorrelated per-key rank
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_round5_shapes_plan_scale_safe(spark, sf_dir):
+    """Round-5 additions plan with the engine primitives they claim:
+    hopping windows are an Expand + hash-agg (never a window sort);
+    native sessionization goes through the session-merge operators;
+    the market-basket self-join is an equi hash/merge join (never a
+    nested loop / cartesian); gap fill keeps its explode distributed
+    with an equi left join back."""
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_copurchase_pairs,
+        q_event_transitions,
+        q_gapfill_daily,
+        q_hopping_windows,
+        q_sessionize_native,
+    )
+
+    hop = _plan(q_hopping_windows(spark, sf_dir))
+    assert "Expand" in hop
+    assert "WindowExec" not in hop and "RunningWindow" not in hop
+
+    sess = _plan(q_sessionize_native(spark, sf_dir))
+    assert "Sessions" in sess  # MergingSessions / UpdatingSessions
+
+    for fn in (q_copurchase_pairs, q_event_transitions, q_gapfill_daily):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+    gap = _plan(q_gapfill_daily(spark, sf_dir))
+    assert "Generate" in gap  # the sequence()+explode calendar spine
