@@ -160,3 +160,43 @@ def validate(results: Sequence[CheckResult], raise_on_fail: bool = True) -> bool
         msg = "; ".join(f"{r.name}: {r.details}" for r in failures)
         raise ValidationError(f"validation failed — {msg}")
     return not failures
+
+
+def observed_quality_metrics(
+    df: DataFrame,
+    cols: Sequence[str],
+    name: str = "quality",
+) -> tuple[DataFrame, "Observation"]:
+    """Zero-extra-pass validation via Spark's ``observe()`` API: the
+    quality aggregates (row count + per-column null counts) ride ON
+    the frame's next action — write it, stream it, aggregate it — and
+    the metrics materialize as a side effect of that one job. At
+    100 TB this is the difference between validating for free and
+    paying a second full scan (every check_* above is its own action).
+
+    Returns ``(observed_df, observation)``; read
+    ``observation.get`` AFTER an action has run on ``observed_df``.
+    Pair with ``observation_result`` to turn the metric dict into the
+    same CheckResult the rest of the suite composes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("total_rows")] + [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}")
+        for c in cols
+    ]
+    return df.observe(obs, *metrics), obs
+
+
+def observation_result(
+    obs: "Observation", cols: Sequence[str], name: str = "quality"
+) -> CheckResult:
+    """CheckResult from a completed observation: non-empty and
+    fully non-null on ``cols`` (V1+V2 semantics, zero extra scans)."""
+    got = obs.get
+    nulls = {c: got[f"nulls_{c}"] for c in cols if got[f"nulls_{c}"] > 0}
+    passed = got["total_rows"] > 0 and not nulls
+    return CheckResult(
+        name, passed, {"total_rows": got["total_rows"], "null_counts": nulls}
+    )

@@ -1916,9 +1916,16 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The support filter happens after one hash-aggregate on the
     pair. This is exactly how A-Priori's candidate-pair count runs on
     a cluster.
+
+    The self-join carries an explicit MERGE hint: both sides are the
+    SAME frame, so a broadcast can never be right — yet Catalyst's
+    static estimate of the distinct's output undershoots and plans a
+    BroadcastHashJoin, which the 100× scale probe demonstrated dying
+    in ``notEnoughMemoryToBuildAndBroadcastTable``. Pinning sort-merge
+    keeps the identical (correct) shape at every scale.
     """
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    op = li.select("l_orderkey", "l_partkey").distinct().hint("merge")
     a = op.alias("a")
     b = op.alias("b")
     pairs = a.join(

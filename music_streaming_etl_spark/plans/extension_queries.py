@@ -10,7 +10,7 @@ query returns meaningful rows at sf0.01.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -1398,7 +1398,99 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", F.col("id").alias("vec_id"), "score")
 
 
+def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization (the privacy-preserving join key a
+    training pipeline ships instead of raw user ids): SHA-256 over
+    ``salt:id``, truncated to 16 hex chars — deterministic per
+    (salt, id) so re-runs and cross-table joins still line up, but
+    unlinkable to the raw id without the salt. Pure codegen
+    (``sha2``), zero shuffles beyond the final aggregate-free scan.
+    """
+    ev = _t(spark, sf_dir, "events")
+    salt = "corpus-v1"
+    pseud = F.substring(
+        F.sha2(
+            F.concat_ws(":", F.lit(salt), F.col("user_id").cast("string")),
+            256,
+        ),
+        1,
+        16,
+    )
+    return ev.select(
+        "event_id",
+        pseud.alias("user_pseud"),
+        "event_type",
+    )
+
+
+ORACLE_PSEUDONYMIZE = """
+SELECT event_id,
+       substr(sha256('corpus-v1' || ':' || CAST(user_id AS VARCHAR)),
+              1, 16) AS user_pseud,
+       event_type
+FROM events
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (segment, nation):
+    every equivalence class with its size and a below-k flag (k=25) —
+    the classes a release gate must suppress or generalize before the
+    table ships. One hash-aggregate on the quasi-identifier tuple;
+    output is bounded by the class count, never the fact size.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        (F.count(F.lit(1)) < 25).alias("below_k"),
+    )
+
+
+ORACLE_K_ANON = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size,
+       COUNT(*) < 25 AS below_k
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key sample: 2 documents per source, chosen by
+    md5-hash order (rerun-stable, append-stable for surviving rows —
+    the grouped twin of ``deterministic_sample``). Window ranks within
+    each source over (md5, doc_id) — a total order, so ties are
+    impossible and the sample is partitioning-independent.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id", "source", "lang", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
+ORACLE_SAMPLE_PER_KEY = """
+SELECT doc_id, source, lang
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 2
+"""
+
+
 REGISTRY_EXT: dict = {
+    "pseudonymize_users": (q_pseudonymize_users, ORACLE_PSEUDONYMIZE),
+    "k_anonymity": (q_k_anonymity, ORACLE_K_ANON),
+    "sample_per_key": (q_sample_per_key, ORACLE_SAMPLE_PER_KEY),
     "key_skew_profile": (q_key_skew_profile, ORACLE_KEY_SKEW),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "similarity_topk_pq": (q_similarity_topk_pq, None),

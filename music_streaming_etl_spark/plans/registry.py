@@ -36,6 +36,9 @@ _PRIORITY: list[str] = [
     "time_weighted_value",
     "event_transitions",
     "copurchase_pairs",
+    "pseudonymize_users",
+    "k_anonymity",
+    "sample_per_key",
     # VERDICT r01 action items — MUST be re-checked by the driver this
     # round: the two oracle-cast hash-fail fixes and the four
     # de-broadcast fact-scaled-join queries

@@ -132,3 +132,95 @@ def start_session_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+CLOSED_SCHEMA = T.StructType(
+    list(OUTPUT_SCHEMA.fields)
+    + [T.StructField("closed", T.BooleanType(), False)]
+)
+
+
+def make_finalizing_sessionizer(gap_seconds: int = 1800):
+    """Sessionizer that also FINALIZES: when the event-time watermark
+    passes ``last_ts + gap`` with no new events, the group times out,
+    the closed session is emitted once with ``closed=true``, and its
+    state is dropped. Open sessions stream as ``closed=false`` updates
+    exactly like ``make_sessionizer``.
+
+    This is the completeness half the NoTimeout form can't give:
+    downstream consumers get a definitive end-of-session record (and
+    state size tracks ACTIVE users only — timed-out state is freed,
+    the boundedness a 100 TB deployment needs for long-running
+    queries).
+    """
+
+    def sessionize(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_epoch, session_id, n_events = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_id": [session_id],
+                    "n_events": [n_events],
+                    "last_ts": [pd.Timestamp(last_epoch, unit="s")],
+                    "closed": [True],
+                }
+            )
+            return
+
+        if state.exists:
+            last_epoch, session_id, n_events = state.get
+        else:
+            last_epoch, session_id, n_events = None, 0, 0
+        last_ts = None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for ts in pdf["ts"]:
+                epoch = ts.timestamp()
+                if last_epoch is not None and epoch - last_epoch > gap_seconds:
+                    session_id += 1
+                    n_events = 0
+                n_events += 1
+                last_epoch = epoch
+                last_ts = ts
+        state.update((last_epoch, session_id, n_events))
+        # fire when the WATERMARK (not wall clock) passes the gap end
+        state.setTimeoutTimestamp(int((last_epoch + gap_seconds) * 1000))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_id": [session_id],
+                "n_events": [n_events],
+                "last_ts": [last_ts],
+                "closed": [False],
+            }
+        )
+
+    return sessionize
+
+
+def sessionize_stream_finalizing(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked variant of ``sessionize_stream`` that emits closed
+    sessions via event-time timeouts. ``events`` must carry ``ts``."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_finalizing_sessionizer(gap_seconds),
+            outputStructType=CLOSED_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

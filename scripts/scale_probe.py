@@ -139,9 +139,58 @@ def materialize_orders(spark, sf_dir: str, mult: int) -> str:
     return out
 
 
+def materialize_events(spark, sf_dir: str, mult: int) -> str:
+    """Multiplied events modeling MORE USERS (user_id and event_id
+    re-keyed per copy) — per-user history length stays constant, which
+    is the realistic growth axis for sessionization / per-user
+    windows: partitions multiply, partition size doesn't."""
+    out = os.path.join(SCRATCH, "scale_probe", f"ev_x{mult}")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        m = F.col("_m")
+        (
+            _t(spark, sf_dir, "events")
+            .crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
+            .withColumn("user_id", F.col("user_id") * mult + m)
+            .withColumn("event_id", F.col("event_id") * mult + m)
+            .drop("_m")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "events.parquet"))
+        )
+        open(os.path.join(out, "_done"), "w").close()
+    return out
+
+
+def materialize_baskets(spark, sf_dir: str, mult: int) -> str:
+    """Multiplied lineitem with re-keyed l_orderkey (more baskets,
+    same basket size — the realistic market-basket growth; an un-keyed
+    copy would collapse under the distinct and multiply support
+    counts instead)."""
+    out = os.path.join(SCRATCH, "scale_probe", f"bask_x{mult}")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        m = F.col("_m")
+        (
+            _t(spark, sf_dir, "lineitem")
+            .crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
+            .withColumn("l_orderkey", F.col("l_orderkey") * mult + m)
+            .drop("_m")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "lineitem.parquet"))
+        )
+        open(os.path.join(out, "_done"), "w").close()
+    return out
+
+
 def main() -> None:
     from music_streaming_etl_spark.plans.analytics_queries import (
+        q_copurchase_pairs,
+        q_hopping_windows,
         q_quantile_sketch_rollup,
+        q_sessionize_native,
+        q_time_weighted_value,
         q_zorder_values,
     )
     from music_streaming_etl_spark.plans.extension_queries import (
@@ -163,7 +212,15 @@ def main() -> None:
     spark = get_spark("scale-probe")
     base_docs = _t(spark, sf_dir, "documents").count()
     base_orders = _t(spark, sf_dir, "orders").count()
+    base_events = _t(spark, sf_dir, "events").count()
+    base_li = _t(spark, sf_dir, "lineitem").count()
     probes = {
+        "sessionize_native": (q_sessionize_native, materialize_events, base_events),
+        "hopping_windows": (q_hopping_windows, materialize_events, base_events),
+        "time_weighted_value": (
+            q_time_weighted_value, materialize_events, base_events,
+        ),
+        "copurchase_pairs": (q_copurchase_pairs, materialize_baskets, base_li),
         "genre_kpis": (q_genre_kpis, materialize, 600_000),
         "dedup_minhash": (q_dedup_minhash, materialize_llm, base_docs),
         "similarity_topk_ivf": (q_similarity_topk_ivf, materialize_llm, base_docs),

@@ -603,5 +603,12 @@ def test_round5_shapes_plan_scale_safe(spark, sf_dir):
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
+    # the market-basket SELF-join must never broadcast (both sides are
+    # the same frame; the 100x probe showed the static-estimate
+    # broadcast dying in notEnoughMemoryToBuildAndBroadcastTable)
+    basket = _plan(q_copurchase_pairs(spark, sf_dir))
+    assert "SortMergeJoin" in basket
+    assert "BroadcastHashJoin" not in basket
+
     gap = _plan(q_gapfill_daily(spark, sf_dir))
     assert "Generate" in gap  # the sequence()+explode calendar spine

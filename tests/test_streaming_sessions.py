@@ -59,3 +59,58 @@ def test_sessions_stitch_across_batches(spark, tmp_path):
     assert out2[1]["session_id"] == 1  # second session opened
     assert out2[1]["n_events"] == 1  # only the far event in it
     assert out2[2]["session_id"] == 0  # untouched user keeps state
+
+
+def test_finalizing_sessions_emit_closed_on_watermark(spark, tmp_path):
+    """EventTimeTimeout: a silent user's session closes (emitted once
+    with closed=true, state freed) when the watermark passes
+    last_ts + gap; active users keep streaming closed=false updates."""
+    from music_streaming_etl_spark.streaming.sessions import (
+        sessionize_stream_finalizing,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "rows")
+    ckpt = str(tmp_path / "ckpt")
+    t = dt.datetime(2024, 6, 25, 10, 0, 0)
+
+    def drain():
+        events = (
+            spark.readStream.schema(SCHEMA)
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(stream_dir)
+        )
+        sess = sessionize_stream_finalizing(
+            events, gap_seconds=1800, watermark_delay="10 minutes"
+        )
+
+        def sink(batch, _id):
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            sess.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: user 1 active; batch 2: only user 2, 3h later —
+    # watermark jumps past user 1's gap end; batch 3 fires the timeout
+    _write(spark, [(1, 1, t), (2, 1, t + dt.timedelta(minutes=5))], stream_dir)
+    drain()
+    _write(spark, [(3, 2, t + dt.timedelta(hours=3))], stream_dir)
+    drain()
+    _write(spark, [(4, 2, t + dt.timedelta(hours=3, minutes=1))], stream_dir)
+    drain()
+
+    rows = spark.read.parquet(out_dir).collect()
+    closed = [r for r in rows if r["closed"] and r["user_id"] == 1]
+    assert len(closed) == 1
+    assert closed[0]["session_id"] == 0 and closed[0]["n_events"] == 2
+    assert closed[0]["last_ts"] == t + dt.timedelta(minutes=5)
+    # user 2 still open — no closed row for them
+    assert not [r for r in rows if r["closed"] and r["user_id"] == 2]

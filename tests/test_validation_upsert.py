@@ -79,3 +79,38 @@ def test_upsert_parquet_roundtrip(spark, tmp_path):
     out2 = upsert_parquet(spark, s2, path, ["k"], ["ver"])
     got = {r["k"]: r["v"] for r in out2.collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_observed_metrics_ride_the_write(spark, tmp_path):
+    """observe(): quality metrics come from the SAME job as the sink
+    write — no second scan — and match a direct aggregation."""
+    from music_streaming_etl_spark.operators.validation import (
+        observation_result,
+        observed_quality_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    observed, obs = observed_quality_metrics(df, ["id", "v"])
+    observed.write.mode("overwrite").parquet(str(tmp_path / "sink"))
+
+    res = observation_result(obs, ["id", "v"])
+    assert not res.passed  # v has nulls
+    assert res.details["total_rows"] == 4
+    assert res.details["null_counts"] == {"v": 2}
+    # the sink got every row — metrics were a side effect, not a filter
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 4
+
+
+def test_observed_metrics_pass_on_clean_frame(spark, tmp_path):
+    from music_streaming_etl_spark.operators.validation import (
+        observation_result,
+        observed_quality_metrics,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    observed, obs = observed_quality_metrics(df, ["id", "v"])
+    observed.write.mode("overwrite").parquet(str(tmp_path / "sink2"))
+    res = observation_result(obs, ["id", "v"])
+    assert res.passed and res.details["total_rows"] == 2
