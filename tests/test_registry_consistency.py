@@ -40,6 +40,7 @@ def test_oracle_coverage_ratio():
         "agg_count_distinct_approx",    # HLL estimate
         "bpe_tokenize",                 # iterative learned tokenizer
         "hll_rollup_customers",         # DataSketches HLL (no DuckDB twin)
+        "hopping_windows_approx",       # HLL estimate (100 TB distinct path)
         "revenue_percentiles_approx",   # GK sketch
         "similarity_topk_ivf_kmeans",   # learned quantizer (iterative)
         "similarity_topk_ivfpq",        # two learned quantizers (iterative)
