@@ -83,6 +83,33 @@ COMMENT = {
         "Decorrelated scalar subquery: per-part decimal-exact averages "
         "join back to the fact; both sides shuffle on l_partkey once."
     ),
+    "sessionize_native": (
+        "Engine-native sessions: one exchange on user_id, then "
+        "MergingSessions does the gap merge inside the aggregate — no "
+        "user-side window sort, no lag/cumsum pipeline."
+    ),
+    "hopping_windows": (
+        "Sliding windows are an Expand (fixed fan-out window/slide = 4) "
+        "feeding paired hash aggregates — never a window function. The "
+        "exact countDistinct is the scale limiter (see SCALE.md); "
+        "hopping_windows_approx swaps in map-side HLL sketches."
+    ),
+    "daily_anomalies": (
+        "Fact pre-aggregates to daily grain FIRST (one shuffle), so the "
+        "trailing-window flag math runs over ~rows-per-day-of-history — "
+        "the single-partition window is calendar-bounded by design."
+    ),
+    "gapfill_daily": (
+        "Calendar spine via Generate (sequence+explode) stays distributed; "
+        "actuals left-join back on (key, day); LOCF is one ordered window "
+        "per key. No driver-side date loop anywhere."
+    ),
+    "copurchase_pairs": (
+        "Market-basket self-join: distinct (order, item) first, then a "
+        "PINNED SortMergeJoin — a self-join's sides are identical, so the "
+        "static-estimate broadcast (which OOM'd the 100x probe) can never "
+        "be right. Support filter after one pair hash-aggregate."
+    ),
 }
 
 
