@@ -1979,8 +1979,119 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares revenue trend per order priority (the
+    ``regr_slope``/``regr_intercept`` surface) computed EXACTLY:
+    x = day index (int), y = daily revenue cents (int), so every
+    regression sum (Σx, Σy, Σxy, Σx²) is an exact integer and
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is one IEEE division of
+    two exact integers — bit-identical across engines, unlike the
+    builtin regr_* aggregates whose double sums are order-dependent.
+
+    Scale: daily pre-aggregate first (one shuffle); the regression
+    sums are a second tiny aggregate per priority — a 5-row output
+    regardless of fact size. Decimal(38,0) accumulators cannot
+    overflow before ~1e38 cent-days.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("stat_date"),
+    ).agg(F.sum(cents).alias("y"))
+    xy = daily.select(
+        "priority",
+        F.datediff("stat_date", F.lit("1992-01-01")).cast("long").alias("x"),
+        "y",
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = xy.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * F.col("y")).alias("sxy"),
+        F.sum(d("x") * F.col("x")).alias("sxx"),
+    )
+    num = sums["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = sums["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return sums.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )
+
+
+ORACLE_REVENUE_TREND = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS stat_date,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS y
+  FROM orders GROUP BY 1, 2
+), xy AS (
+  SELECT priority,
+         datediff('day', DATE '1992-01-01', stat_date) AS x, y
+  FROM daily
+), s AS (
+  SELECT priority,
+         COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT priority, CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept_cents
+FROM s
+"""
+
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PageRank over the co-purchase graph (edges =
+    parts bought together, both directions): the "centrality" ranking
+    a recommender seeds with. Iterative power iteration in FIXED-POINT
+    integers (``operators/graph.py``) — rows-only checked like the
+    other iterative ops, but the rank values themselves are
+    deterministic bit-for-bit across partitionings (property-tested).
+    """
+    from ..operators.graph import pagerank
+    from ..operators.ranking import global_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().hint("merge")
+    a, b = op.alias("a"), op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    scores = pagerank(pairs, iterations=5).select(
+        "node", F.col("rank").alias("score")
+    )
+    return global_topk(
+        scores, [F.col("score").desc(), F.col("node").asc()], 20
+    ).select("rank", F.col("node").alias("part"), "score")
+
+
 REGISTRY_ANALYTICS: dict = {
     "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
+    "revenue_trend": (q_revenue_trend, ORACLE_REVENUE_TREND),
+    "pagerank_copurchase": (q_pagerank_copurchase, None),
     "daily_anomalies": (q_daily_anomalies, ORACLE_DAILY_ANOMALIES),
     "gapfill_daily": (q_gapfill_daily, ORACLE_GAPFILL),
     "hopping_windows": (q_hopping_windows, ORACLE_HOPPING),

@@ -39,6 +39,8 @@ _PRIORITY: list[str] = [
     "pseudonymize_users",
     "k_anonymity",
     "sample_per_key",
+    "revenue_trend",
+    "pagerank_copurchase",
     # VERDICT r01 action items — MUST be re-checked by the driver this
     # round: the two oracle-cast hash-fail fixes and the four
     # de-broadcast fact-scaled-join queries
