@@ -111,3 +111,47 @@ def start_attribution_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribute_plays_outer(
+    impressions: DataFrame,
+    plays: DataFrame,
+    attribution_minutes: int = 30,
+    imp_lateness: str = "20 minutes",
+    play_lateness: str = "10 minutes",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream variant: every impression emits — with
+    its attributed play when one lands inside the window, or with NULL
+    play columns once the watermark proves no play can still arrive.
+    The null rows are the "unattributed spend" report an inner join
+    silently drops.
+
+    Semantics note (Structured Streaming contract): the null-padded
+    row for an unmatched impression is emitted only AFTER the
+    watermark passes the end of its attribution window — correctness
+    requires the engine to know no counterexample can arrive. State
+    stays bounded exactly as in the inner form.
+    """
+    imp = impressions
+    pl = plays
+    if imp.isStreaming:
+        imp = imp.withWatermark("imp_ts", imp_lateness)
+    if pl.isStreaming:
+        pl = pl.withWatermark("play_ts", play_lateness)
+    cond = (
+        (imp["user_id"] == pl["user_id"])
+        & (imp["track_id"] == pl["track_id"])
+        & (pl["play_ts"] >= imp["imp_ts"])
+        & (
+            pl["play_ts"]
+            <= imp["imp_ts"] + F.expr(f"INTERVAL {attribution_minutes} MINUTES")
+        )
+    )
+    return imp.join(pl, cond, "leftOuter").select(
+        imp["imp_id"],
+        imp["user_id"],
+        imp["track_id"],
+        imp["imp_ts"],
+        pl["play_id"],
+        pl["play_ts"],
+    )
