@@ -2088,10 +2088,73 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", F.col("node").alias("part"), "score")
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over customer names, composed
+    entirely from existing operators: pigeonhole-blocked fuzzy match
+    (`fuzzy_pairs`, levenshtein ≤ 1, never a cross join) → connected
+    components (`dedup_clusters`, iterative min-label) → one canonical
+    record per entity (`dedup_keep_canonical`, a semi-join). The
+    output is the resolved entity registry a downstream join uses
+    instead of raw records.
+
+    Output is the full member → entity mapping (every record labeled
+    with its entity id and the entity's canonical name) — the lookup
+    table a downstream join actually consumes. The oracle recomputes
+    the same composition in SQL: levenshtein candidate pairs,
+    recursive-CTE closure, min-root labels. (TPC-H names are
+    equal-length, so distance-1 is always a substitution — the regime
+    where the slice blocking has exact recall; same argument as
+    `fuzzy_name_pairs`. The synthetic digit-substitution name space is
+    densely connected — small diameter, so the min-label iteration
+    converges in a handful of rounds.)
+    """
+    from ..operators.dedup import dedup_clusters, fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    clusters = dedup_clusters(
+        cust.select("c_custkey"), pairs, "c_custkey"
+    )
+    canon = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+    )
+    # canon is customer-scaled — shuffle-join on the entity key (no
+    # forced broadcast; AQE may demote when the root set truly fits)
+    return (
+        clusters.withColumnRenamed("cluster_id", "entity_id")
+        .join(canon, "entity_id")
+        .select("c_custkey", "entity_id", "entity_name")
+    )
+
+
+ORACLE_ENTITY_RESOLUTION = """
+WITH RECURSIVE p AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 1
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+), reach(root, id) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.id = e.src
+), cc AS (
+  SELECT id AS c_custkey, MIN(root) AS entity_id FROM reach GROUP BY 1
+)
+SELECT cc.c_custkey, cc.entity_id, c.c_name AS entity_name
+FROM cc JOIN customer c ON cc.entity_id = c.c_custkey
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
     "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
     "revenue_trend": (q_revenue_trend, ORACLE_REVENUE_TREND),
     "pagerank_copurchase": (q_pagerank_copurchase, None),
+    "entity_resolution": (q_entity_resolution, ORACLE_ENTITY_RESOLUTION),
     "daily_anomalies": (q_daily_anomalies, ORACLE_DAILY_ANOMALIES),
     "gapfill_daily": (q_gapfill_daily, ORACLE_GAPFILL),
     "hopping_windows": (q_hopping_windows, ORACLE_HOPPING),

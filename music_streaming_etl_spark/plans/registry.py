@@ -41,6 +41,7 @@ _PRIORITY: list[str] = [
     "sample_per_key",
     "revenue_trend",
     "pagerank_copurchase",
+    "entity_resolution",
     # VERDICT r01 action items — MUST be re-checked by the driver this
     # round: the two oracle-cast hash-fail fixes and the four
     # de-broadcast fact-scaled-join queries
