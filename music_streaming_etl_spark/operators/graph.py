@@ -58,6 +58,10 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
+    if n == 0:  # empty graph → empty ranks (not a divide-by-zero)
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     base = _ONE // n                      # teleport mass per node (units)

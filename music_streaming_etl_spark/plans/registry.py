@@ -32,6 +32,7 @@ _PRIORITY: list[str] = [
     "daily_anomalies",
     "gapfill_daily",
     "hopping_windows",
+    "hopping_windows_approx",
     "cohort_retention",
     "time_weighted_value",
     "event_transitions",

@@ -102,3 +102,28 @@ def test_round4_ops_handle_empty_input(spark):
     # zorder: the span aggregate yields one all-null row; the cross
     # join against zero data rows must still be empty
     assert zorder_values(empty_kv.select(F.col("k").alias("a"), F.col("k").alias("b")), ["a", "b"]).count() == 0
+
+
+def test_round5_ops_handle_empty_input(spark):
+    """Round-5 operators on empty input: empty output, no crash."""
+    from music_streaming_etl_spark.operators.graph import pagerank
+    from music_streaming_etl_spark.operators.timeseries import locf
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty_edges, iterations=2).count() == 0
+
+    empty_ts = spark.createDataFrame([], "k long, d date, v long")
+    assert locf(empty_ts, ["k"], ["d"], ["v"]).count() == 0
+
+    # observe() on an empty frame still yields a 0-count metrics row
+    from music_streaming_etl_spark.operators.validation import (
+        observation_result,
+        observed_quality_metrics,
+    )
+
+    empty = spark.createDataFrame([], "id long, v string")
+    observed, obs = observed_quality_metrics(empty, ["id", "v"])
+    observed.write.format("noop").mode("overwrite").save()
+    res = observation_result(obs, ["id", "v"])
+    assert not res.passed  # nonempty check fails on 0 rows
+    assert res.details["total_rows"] == 0

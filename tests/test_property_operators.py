@@ -198,3 +198,37 @@ def test_funnel_counts_match_bruteforce(spark, events):
     out = funnel_counts(df, "user_id", "ts", "event_type", steps).collect()[0]
     got = [out[f"n_{s}"] for s in steps]
     assert got == want, (got, want, rows)
+
+
+# ---------------------------------------------------------------------------
+# daily_anomalies flag algebra: the integer inequality
+# (n·x − S)² > 4(n·SS − S²) must agree with |x − μ| > 2σ computed in
+# floating point — pure-python check of the algebraic identity the
+# Spark/DuckDB twins both implement over integer cents.
+# ---------------------------------------------------------------------------
+
+int_windows = st.lists(
+    st.integers(0, 10**12), min_size=7, max_size=7  # trailing-7 history
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(win=int_windows, x=st.integers(0, 10**12))
+def test_anomaly_integer_algebra_matches_float_sigma(win, x):
+    n = len(win)
+    s = sum(win)
+    ss = sum(v * v for v in win)
+    lhs = (n * x - s) ** 2
+    rhs = 4 * (n * ss - s * s)
+    mu = s / n
+    var = ss / n - mu * mu
+    # only assert where floats are decisively on one side — RELATIVE
+    # separation (values reach ~1e24 where float64 ulp is ~1e8, so an
+    # absolute band would be meaningless); the boundary band itself is
+    # legitimately decided by the exact integer comparison
+    dev2 = (x - mu) ** 2
+    band = 1e-9 * max(1.0, dev2 + 4 * var)
+    if dev2 > 4 * var + band:
+        assert lhs > rhs
+    if dev2 < 4 * var - band:
+        assert not lhs > rhs
