@@ -67,3 +67,44 @@ def zscore_per_group(
         return pdf.assign(**{alias: z})
 
     return df.groupBy(*keys).applyInPandas(norm, schema)
+
+
+def make_token_spans_udtf():
+    """Python UDTF (Spark 4 table function) — the third leg of the
+    §2.8 escape-hatch triad (scalar pandas_udf / grouped-agg UDAF /
+    UDTF): whitespace tokens WITH character offsets, one output row
+    per token. Span offsets are the piece native SQL can't express
+    cleanly (``split``+``posexplode`` loses positions); annotation
+    pipelines need them for span labeling.
+
+    Built lazily inside a factory (same session-resolution rule as the
+    pandas_udf builders above) and registered for LATERAL use:
+
+        spark.udtf.register("token_spans", make_token_spans_udtf())
+        spark.sql("SELECT d.doc_id, t.* FROM docs d, "
+                  "LATERAL token_spans(d.text) t")
+
+    Row-at-a-time Python — escape-hatch path only, never the hot path
+    (the native ``tokens()`` column covers counting/shingling).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, start int, end int")
+    class TokenSpans:
+        def eval(self, text: str):
+            if text is None:
+                return
+            i = 0
+            n = len(text)
+            while i < n:
+                while i < n and text[i].isspace():
+                    i += 1
+                if i >= n:
+                    break
+                j = i
+                while j < n and not text[j].isspace():
+                    j += 1
+                yield (text[i:j], i, j)
+                i = j
+
+    return TokenSpans

@@ -46,3 +46,28 @@ def test_zscore_per_group(spark):
     assert za == [pytest.approx(-1.0), pytest.approx(1.0)]
     zb = [r["z"] for r in rows if r["g"] == "b"]
     assert zb == [0.0]  # single-row group → 0, not NaN
+
+
+def test_token_spans_udtf_offsets_reconstruct(spark):
+    """UDTF surface (§2.8): every emitted span must slice back to its
+    token, and token counts must agree with the native tokens()."""
+    from music_streaming_etl_spark.operators.pandas_udfs import (
+        make_token_spans_udtf,
+    )
+
+    spark.udtf.register("token_spans", make_token_spans_udtf())
+    docs = spark.createDataFrame(
+        [(1, "hello  world"), (2, " pad left"), (3, None), (4, "one")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, d.text, t.token, t.start, t.end "
+        "FROM udtf_docs d, LATERAL token_spans(d.text) t"
+    ).collect()
+
+    assert {(r["doc_id"], r["token"]) for r in rows} == {
+        (1, "hello"), (1, "world"), (2, "pad"), (2, "left"), (4, "one"),
+    }
+    for r in rows:  # offsets are real: slicing reproduces the token
+        assert r["text"][r["start"]:r["end"]] == r["token"]
