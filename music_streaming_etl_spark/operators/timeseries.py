@@ -85,3 +85,116 @@ def funnel_counts(
             for i, c in enumerate(step_cols)
         ]
     )
+
+
+def ewma_halflife_1d(
+    daily: DataFrame,
+    keys: Sequence[str],
+    date_col: str,
+    cents_col: str,
+    lookback_days: int = 15,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average over a daily
+    series with a ONE-DAY half-life, computed in EXACT integer
+    arithmetic: weight(lag) = 2^(lookback - lag), so
+
+        ewma = SUM(cents[d-lag] * 2^(lookback-lag)) / SUM(2^(lookback-lag))
+
+    — an integer-weighted sum divided by an integer normalizer in one
+    final IEEE division. No float accumulates, so the result is
+    bit-identical under any partitioning and reproducible by any
+    engine (the same design rule as daily_anomalies' sigma test).
+    Gap-aware: weights follow CALENDAR distance, not row distance —
+    missing days simply contribute nothing, and the normalizer only
+    counts days that exist (the standard ``ignore_na`` EWMA).
+
+    Scale shape: a self-join of the daily frame on (keys, date within
+    lookback) — fan-out bounded by ``lookback_days+1`` and both sides
+    share the (keys) shuffle partitioning; the base frame is already
+    aggregated to |keys|×|days| rows, so this is dim-sized work no
+    matter how large the fact scan underneath was. Overflow bound:
+    cents × 2^lookback × (lookback+1) must stay under 2^63 — at
+    lookback=15 that allows ~1.7e13 daily cents (≈ $170B/day/key).
+    """
+    a = daily.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col(date_col).alias("__d"),
+    )
+    b = daily.select(
+        *[F.col(k) for k in keys],
+        F.col(date_col).alias("__d2"),
+        F.col(cents_col).alias("__cents"),
+    )
+    lag = F.datediff(F.col("__d"), F.col("__d2"))
+    cond = [F.col(f"__k_{k}") == F.col(k) for k in keys] + [
+        lag >= 0,
+        lag <= lookback_days,
+    ]
+    # shiftleft's Python binding only takes a literal shift amount —
+    # go through the SQL form for a column-valued shift
+    weight = F.expr(
+        f"cast(shiftleft(cast(1 as bigint),"
+        f" {lookback_days} - datediff(__d, __d2)) as bigint)"
+    )
+    num = F.sum(F.col("__cents") * weight).alias("__num")
+    den = F.sum(weight).alias("__den")
+    joined = a.join(b, cond, "inner")
+    agg = joined.groupBy(
+        *[F.col(f"__k_{k}") for k in keys], F.col("__d")
+    ).agg(num, den)
+    return agg.select(
+        *[F.col(f"__k_{k}").alias(k) for k in keys],
+        F.col("__d").alias(date_col),
+        (F.col("__num").cast("double") / F.col("__den").cast("double")).alias(
+            "ewma_cents"
+        ),
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line maximum overlap per calendar day: how many
+    [start, end) intervals are simultaneously open, at the daily
+    grain (the ops-dashboard "peak concurrent sessions" metric).
+
+    Composition: clip every interval to the days it spans
+    (``sequence() + explode`` — distributed, bounded by days-per-
+    interval), emit +1/-1 boundary deltas, order each day's deltas by
+    (ts, delta DESC, all-column tiebreak) so an interval opening at
+    instant T counts as concurrent with one closing at T ([start,end)
+    half-open semantics resolved deterministically), then a per-day
+    running sum and max. Every window partitions by day — no global
+    sort, state O(1); the explode fan-out is |days spanned| per row.
+    """
+    days = F.sequence(
+        F.to_date(start_col), F.to_date(end_col)
+    ).alias("__days")
+    clipped = intervals.select(
+        F.col(start_col).alias("__s"), F.col(end_col).alias("__e"), days
+    ).select(
+        F.explode("__days").alias("day"), "__s", "__e"
+    ).select(
+        "day",
+        F.greatest(F.col("__s"), F.col("day").cast("timestamp")).alias("cs"),
+        F.least(
+            F.col("__e"),
+            F.date_add(F.col("day"), 1).cast("timestamp"),
+        ).alias("ce"),
+    )
+    deltas = clipped.select(
+        "day", F.col("cs").alias("at"), F.lit(1).alias("delta")
+    ).unionAll(
+        clipped.select("day", F.col("ce").alias("at"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("at").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = deltas.select("day", F.sum("delta").over(w).alias("open"))
+    return running.groupBy("day").agg(
+        F.max("open").cast("bigint").alias("peak_concurrent")
+    )

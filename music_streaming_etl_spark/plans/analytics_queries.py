@@ -331,6 +331,54 @@ FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND b.ts <= a.ts
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — time-to-convert: each signup enriched with
+    the user's FIRST purchase at-or-after it, plus the conversion lag
+    in whole seconds (integer floor — engine-agnostic). Same
+    union+window composition as the backward form, traversed in the
+    opposite direction (operators/asof.py ``direction="forward"``);
+    DuckDB verifies with a native ``ASOF`` join on ``>=``."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        signups,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["ts", "event_id"],
+        suffix="_purchase",
+        direction="forward",
+    )
+    lag = F.floor(
+        F.unix_timestamp("ts_purchase") - F.unix_timestamp("ts")
+    ).cast("bigint")
+    return out.select(
+        "event_id", "user_id", "ts", "ts_purchase", "event_id_purchase",
+        lag.alias("seconds_to_convert"),
+    )
+
+
+ORACLE_ASOF_FWD = """
+WITH a AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'signup'),
+     b AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase')
+SELECT a.event_id, a.user_id, a.ts,
+       b.ts AS ts_purchase, b.event_id AS event_id_purchase,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT)
+         AS seconds_to_convert
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND b.ts >= a.ts
+"""
+
+
 def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency table via explode — the unnest/flatten
     op (top-50 with a total order)."""
@@ -2150,7 +2198,271 @@ FROM cc JOIN customer c ON cc.entity_id = c.c_custkey
 """
 
 
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per
+    order priority (1-day half-life, 15-day truncated lookback) in
+    EXACT integer arithmetic — see operators/timeseries.py
+    ``ewma_halflife_1d`` for the weight algebra and the overflow
+    bound. The fact scan collapses to daily grain first (one shuffle);
+    the EWMA itself is a ≤16-fan-out self-join of that dim-sized
+    frame, co-partitioned on the key — identical cost profile at any
+    fact scale."""
+    from ..operators.timeseries import ewma_halflife_1d
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("stat_date"),
+    ).agg(F.sum(cents).alias("cents"))
+    out = ewma_halflife_1d(
+        daily, ["priority"], "stat_date", "cents", lookback_days=15
+    )
+    return out.select("priority", "stat_date", "ewma_cents")
+
+
+ORACLE_EWMA = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS stat_date,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.priority, a.stat_date,
+       CAST(SUM(b.cents * (CAST(1 AS BIGINT)
+              << (15 - date_diff('day', b.stat_date, a.stat_date)))) AS DOUBLE)
+       / CAST(SUM(CAST(1 AS BIGINT)
+              << (15 - date_diff('day', b.stat_date, a.stat_date))) AS DOUBLE)
+         AS ewma_cents
+FROM daily a JOIN daily b
+  ON a.priority = b.priority
+ AND date_diff('day', b.stat_date, a.stat_date) BETWEEN 0 AND 15
+GROUP BY 1, 2
+"""
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrent sessions per calendar day: sessions
+    come from the engine-native ``session_window`` aggregation (same
+    30-min gap/[start, last+gap) bounds as ``sessionize_native``),
+    then operators/timeseries.py ``peak_concurrency`` clips each
+    session to its days, emits ±1 boundary deltas, and takes the max
+    per-day running sum. All windows partition by day — never a
+    global sort — and the session build is one shuffle on user_id."""
+    from ..operators.timeseries import peak_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+        )
+    )
+    return peak_concurrency(sessions, "session_start", "session_end")
+
+
+ORACLE_PEAK_CONCURRENCY = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+), sess AS (
+  SELECT CAST(MIN(ts) AS TIMESTAMP) AS s,
+         CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+  FROM s GROUP BY user_id, session_id
+), clipped AS (
+  SELECT CAST(d.day AS DATE) AS day,
+         greatest(s, CAST(CAST(d.day AS DATE) AS TIMESTAMP)) AS cs,
+         least(e, CAST(CAST(d.day AS DATE) + 1 AS TIMESTAMP)) AS ce
+  FROM sess,
+       UNNEST(generate_series(CAST(s AS DATE), CAST(e AS DATE),
+                              INTERVAL 1 DAY)) AS d(day)
+), deltas AS (
+  SELECT day, cs AS at, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT day, ce AS at, -1 AS delta FROM clipped
+), running AS (
+  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY at ASC, delta DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+  FROM deltas
+)
+SELECT day, CAST(MAX(open) AS BIGINT) AS peak_concurrent
+FROM running GROUP BY day
+"""
+
+
+def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier flags on daily revenue per order
+    priority — the median/MAD twin of ``daily_anomalies``' mean/sigma
+    test, immune to the outliers it is hunting. INTEGER-EXACT
+    boundary: a day is anomalous when
+
+        |cents - median| * 10000 > 44478 * MAD
+
+    (3 × 1.4826 scaled by 10⁴ — no float ever computed). Medians are
+    lower-medians selected by row_number under a total order, the
+    same engine-agnostic rule as ``median_by_group``.
+
+    Scale: daily grain first (one shuffle); two per-priority window
+    passes over the dim-sized daily frame; the 5-row median/MAD
+    frames broadcast back — bounded by |priority|, not by data."""
+    orders = _t(spark, sf_dir, "orders")
+    cents_expr = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("stat_date"),
+    ).agg(F.sum(cents_expr).alias("cents"))
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("priority").orderBy(val, "stat_date")
+        cw = Window.partitionBy("priority")
+        ranked = df.select(
+            "priority",
+            F.col(val),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(cw).alias("cnt"),
+        )
+        return ranked.filter(
+            F.col("rn") == F.floor((F.col("cnt") + 1) / 2).cast("int")
+        ).select("priority", F.col(val).alias(out))
+
+    med = lower_median(daily, "cents", "med")
+    devs = daily.join(F.broadcast(med), "priority").select(
+        "priority", "stat_date", "cents",
+        F.abs(F.col("cents") - F.col("med")).alias("dev"), "med",
+    )
+    mad = lower_median(
+        devs.select("priority", F.col("dev").alias("cents"), "stat_date"),
+        "cents", "mad",
+    )
+    return devs.join(F.broadcast(mad), "priority").select(
+        "priority", "stat_date", "cents", "med", "mad",
+        (F.col("dev") * 10000 > F.col("mad") * 44478).alias("is_anomaly"),
+    )
+
+
+ORACLE_ROBUST_ANOMALIES = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS stat_date,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+), medr AS (
+  SELECT priority, cents,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY cents, stat_date) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS cnt
+  FROM daily
+), med AS (
+  SELECT priority, cents AS med FROM medr
+  WHERE rn = CAST(floor((cnt + 1) / 2) AS INT)
+), devs AS (
+  SELECT d.priority, d.stat_date, d.cents, abs(d.cents - m.med) AS dev, m.med
+  FROM daily d JOIN med m USING (priority)
+), madr AS (
+  SELECT priority, dev,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY dev, stat_date) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS cnt
+  FROM devs
+), mad AS (
+  SELECT priority, dev AS mad FROM madr
+  WHERE rn = CAST(floor((cnt + 1) / 2) AS INT)
+)
+SELECT d.priority, d.stat_date, d.cents, d.med, m.mad,
+       (d.dev * 10000 > m.mad * 44478) AS is_anomaly
+FROM devs d JOIN mad m USING (priority)
+"""
+
+
+def q_ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 user split
+    (variant = user_id % 2; "conversion" = the user is an
+    above-average buyer, ≥14 purchase events — a mere ≥1-purchase
+    flag saturates on this synthetic corpus and degenerates the
+    pooled variance). The statistic is a handful of IEEE ops over
+    four exact integer counts — deterministic in any engine — rounded
+    to 6 decimals like every float score in this engine; a degenerate
+    pooled p ∈ {0, 1} yields NULL (the NULLIF contract), never a
+    divide error. Scale: one shuffle to user grain (map-side partial
+    agg), one to the 2-row variant grain; nothing else."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ) >= 14
+        ).cast("int").alias("converted")
+    )
+    per_variant = per_user.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = per_variant.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("x0")
+    )
+    b = per_variant.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("x1")
+    )
+    # 1-row × 1-row cross join — scalar combine, nothing fact-scaled
+    j = a.crossJoin(b)
+    n0, x0 = F.col("n0").cast("double"), F.col("x0").cast("double")
+    n1, x1 = F.col("n1").cast("double"), F.col("x1").cast("double")
+    p = (x0 + x1) / (n0 + n1)
+    se = F.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    # when() short-circuits per branch, so a degenerate se=0 (pooled
+    # p of exactly 0 or 1) yields NULL instead of an ANSI divide error
+    z = F.when(se != 0, (x1 / n1 - x0 / n0) / se)
+    return j.select(
+        "n0", "x0", "n1", "x1",
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.959964).alias("significant_95"),
+    )
+
+
+ORACLE_AB_TEST = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY 1
+), pv AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1
+), a AS (SELECT n_users AS n0, n_converted AS x0 FROM pv WHERE variant = 0),
+   b AS (SELECT n_users AS n1, n_converted AS x1 FROM pv WHERE variant = 1),
+z AS (
+  SELECT n0, x0, n1, x1,
+         (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+         / NULLIF(sqrt(((CAST(x0 AS DOUBLE) + x1) / (CAST(n0 AS DOUBLE) + n1))
+                  * (1 - (CAST(x0 AS DOUBLE) + x1) / (CAST(n0 AS DOUBLE) + n1))
+                  * (1.0 / n0 + 1.0 / n1)), 0) AS zval
+  FROM a, b
+)
+SELECT n0, x0, n1, x1,
+       ROUND(zval, 6) AS z_score,
+       abs(zval) > 1.959964 AS significant_95
+FROM z
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "ewma_daily_revenue": (q_ewma_daily_revenue, ORACLE_EWMA),
+    "peak_concurrency": (q_peak_concurrency, ORACLE_PEAK_CONCURRENCY),
+    "robust_anomalies": (q_robust_anomalies, ORACLE_ROBUST_ANOMALIES),
+    "ab_test_zscores": (q_ab_test_zscores, ORACLE_AB_TEST),
+    "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_FWD),
     "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
     "revenue_trend": (q_revenue_trend, ORACLE_REVENUE_TREND),
     "pagerank_copurchase": (q_pagerank_copurchase, None),

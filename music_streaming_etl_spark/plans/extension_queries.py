@@ -797,6 +797,64 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@10 of the IVF index against the
+    exact brute-force top-10 for the same query vector, computed as a
+    join of the two result sets (the standard index-quality harness a
+    production ANN deployment runs per index build). Both sides are
+    10-row frames regardless of corpus size, so the evaluation cost
+    is the two searches themselves; fully oracle-checked because both
+    searches are."""
+    exact = q_similarity_topk(spark, sf_dir).select("vec_id")
+    approx = q_similarity_topk_ivf(spark, sf_dir).select("vec_id")
+    hits = exact.join(approx, "vec_id", "inner")
+    return hits.agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_k"),
+    )
+
+
+ORACLE_ANN_RECALL = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS score
+  FROM v, q),
+exact AS (
+  SELECT vec_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) <= 10),
+pos AS (
+  SELECT label, t.pos AS pos,
+         CAST(SUM(CAST(e[t.pos] AS DECIMAL(28,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS cd
+  FROM v, UNNEST(range(1, 65)) AS t(pos)
+  GROUP BY label, t.pos
+), cents AS (
+  SELECT label, list(cd ORDER BY pos) AS centroid FROM pos GROUP BY label
+), branks AS (
+  SELECT label,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_dot_product(centroid, qe)
+                    / (sqrt(list_dot_product(centroid, centroid))
+                       * sqrt(list_dot_product(qe, qe))), 6) DESC,
+                    label ASC) AS brank
+  FROM cents, q
+), probe AS (SELECT label FROM branks WHERE brank <= 3),
+approx AS (
+  SELECT vec_id FROM scored
+  WHERE vec_id IN (SELECT vec_id FROM v WHERE label IN (SELECT label FROM probe))
+  QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) <= 10)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_k
+FROM exact JOIN approx USING (vec_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal (X5)
 # --------------------------------------------------------------------------
@@ -1543,6 +1601,7 @@ REGISTRY_EXT: dict = {
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "similarity_topk": (q_similarity_topk, ORACLE_SIM_TOPK),
     "similarity_topk_ivf": (q_similarity_topk_ivf, ORACLE_SIM_TOPK_IVF),
+    "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
     "similarity_topk_ivf_kmeans": (q_similarity_topk_ivf_kmeans, None),
     "pii_redaction": (q_pii_redaction, ORACLE_PII),
     "quality_filter": (q_quality_filter, ORACLE_QUALITY),

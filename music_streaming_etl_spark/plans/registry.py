@@ -27,6 +27,13 @@ REGISTRY.update(REGISTRY_TPCH)
 # with the round's riskiest changes; BUILD_NOTES.md records which keys
 # the driver did not see.
 _PRIORITY: list[str] = [
+    # round 6: brand-new queries — first external check
+    "ewma_daily_revenue",
+    "peak_concurrency",
+    "robust_anomalies",
+    "ab_test_zscores",
+    "asof_join_forward",
+    "ann_recall",
     # round 5: brand-new queries — first external check
     "sessionize_native",
     "daily_anomalies",
