@@ -394,3 +394,86 @@ def pack_sequences(
         F.expr(f"__prefix DIV {budget}").alias("bin_id"),
         (F.col("__prefix") % budget).alias("bin_offset"),
     )
+
+
+def bm25_topk(
+    docs,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 retrieval over the corpus for a fixed bag of query
+    terms — the search-index scoring a training pipeline uses for
+    query-based decontamination and eval-set leakage checks.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)    (Robertson/Sparck-Jones)
+
+    Determinism: per-term contributions are rounded to 9 decimals and
+    accumulated as DECIMAL (exact, order-free — a raw double sum over
+    the terms would depend on shuffle order), then the total rounds to
+    6; ranking happens on the rounded score with an id tie-break, the
+    same rule as tfidf_top_terms. ln/÷ are single IEEE ops on exact
+    integer counts, reproducible by any engine at 9-decimal grain.
+
+    Scale shape: term frequencies for the QUERY TERMS only (the filter
+    lands before the groupBy, so the tf aggregate is |terms|-bounded),
+    doc lengths from one corpus-wide count, the |terms|-row df/idf
+    table and the 1-row (N, avgdl) aggregate broadcast — the only
+    fact-scaled shuffles are the two hash-aggregates on doc_id.
+    Top-k resolves via ``global_topk`` (per-partition heaps).
+    """
+    from .ranking import global_topk
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "avgdl",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("contrib"),
+        )
+    )
+    total = scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib").cast("double"), 6).alias("bm25")
+    )
+    return global_topk(total, [F.desc("bm25"), F.asc("doc_id")], k).select(
+        "rank", "doc_id", "bm25"
+    )

@@ -2457,7 +2457,162 @@ FROM z
 """
 
 
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the finance-closing query shape:
+    daily order revenue vs daily purchase-event counts joined full
+    outer on the date, each day tagged 'both' / 'orders_only' /
+    'events_only'. Both sides are daily-grain aggregates (dim-sized
+    however large the facts), so the full-outer shuffle is trivially
+    bounded; the interesting part is the join type itself — the one
+    core join kind the registry didn't yet exercise."""
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    o = orders.groupBy(F.to_date("o_orderdate").alias("stat_date")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    e = ev.filter(F.col("event_type") == "purchase").groupBy(
+        F.to_date("ts").alias("stat_date")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    j = o.join(e, "stat_date", "full_outer")
+    status = (
+        F.when(F.col("rev_cents").isNotNull() & F.col("n_purchases").isNotNull(), "both")
+        .when(F.col("rev_cents").isNull(), "events_only")
+        .otherwise("orders_only")
+    )
+    return j.select("stat_date", "rev_cents", "n_purchases", status.alias("status"))
+
+
+ORACLE_FULL_OUTER = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS stat_date,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+), e AS (
+  SELECT CAST(ts AS DATE) AS stat_date, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT stat_date, CAST(rev_cents AS BIGINT) AS rev_cents, n_purchases,
+       CASE WHEN rev_cents IS NOT NULL AND n_purchases IS NOT NULL THEN 'both'
+            WHEN rev_cents IS NULL THEN 'events_only'
+            ELSE 'orders_only' END AS status
+FROM o FULL JOIN e USING (stat_date)
+"""
+
+
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram ($5,000 bins) of order value per
+    priority — the ``width_bucket`` surface, computed with explicit
+    ``floor()`` so the bin boundary is the one semantics every engine
+    agrees on (the engine's int-division rule). One hash-aggregate;
+    output bounded by |priority| × |bins|."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    binned = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(cents / F.lit(500000.0)).cast("bigint").alias("bin"),
+    )
+    return (
+        binned.groupBy("priority", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            "priority", "bin",
+            (F.col("bin") * 5000).cast("bigint").alias("bin_lo_dollars"),
+            "n_orders",
+        )
+    )
+
+
+ORACLE_HISTOGRAM = """
+WITH binned AS (
+  SELECT o_orderpriority AS priority,
+         CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    / 500000.0) AS BIGINT) AS bin
+  FROM orders
+)
+SELECT priority, bin, CAST(bin * 5000 AS BIGINT) AS bin_lo_dollars,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM binned GROUP BY 1, 2
+"""
+
+
+def q_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth graph traversal: min hop distance (≤ 3) from a
+    deterministic source part over the undirected co-purchase edge
+    graph (edges = ``copurchase_pairs`` with support ≥ 2; source =
+    lowest part id carrying an edge). Depth-3 BFS unrolls to three
+    frontier⋈edges joins + one min-distance aggregate — no recursion
+    primitive needed, and each join is frontier-sized, shuffled on
+    the node key (the distributed-BFS building block the iterative
+    PageRank/connected-components operators generalize).
+
+    The DuckDB twin replays the same three expansions in plain SQL —
+    the depth bound is what keeps the query engine-portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().hint("merge")
+    a, bb = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.cache()  # three frontier expansions consume it
+    src = edges.agg(F.min("u").alias("node"))
+    n0 = src.select("node", F.lit(0).alias("dist"))
+    n1 = edges.join(src.withColumnRenamed("node", "u"), "u").select(
+        F.col("v").alias("node"), F.lit(1).alias("dist")
+    ).distinct()
+    n2 = edges.join(
+        n1.select(F.col("node").alias("u")).distinct(), "u"
+    ).select(F.col("v").alias("node"), F.lit(2).alias("dist")).distinct()
+    n3 = edges.join(
+        n2.select(F.col("node").alias("u")).distinct(), "u"
+    ).select(F.col("v").alias("node"), F.lit(3).alias("dist")).distinct()
+    return (
+        n0.unionAll(n1).unionAll(n2).unionAll(n3)
+        .groupBy("node")
+        .agg(F.min("dist").cast("bigint").alias("hops"))
+    )
+
+
+ORACLE_COPURCHASE_REACH = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+src AS (SELECT MIN(u) AS node FROM edges),
+n1 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN src s ON e.u = s.node),
+n2 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN n1 ON e.u = n1.node),
+n3 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN n2 ON e.u = n2.node),
+hops AS (
+  SELECT node, 0 AS dist FROM src
+  UNION ALL SELECT node, 1 FROM n1
+  UNION ALL SELECT node, 2 FROM n2
+  UNION ALL SELECT node, 3 FROM n3
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS hops FROM hops GROUP BY node
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "full_outer_reconciliation": (
+        q_full_outer_reconciliation, ORACLE_FULL_OUTER,
+    ),
+    "histogram_bins": (q_histogram_bins, ORACLE_HISTOGRAM),
+    "copurchase_reach": (q_copurchase_reach, ORACLE_COPURCHASE_REACH),
     "ewma_daily_revenue": (q_ewma_daily_revenue, ORACLE_EWMA),
     "peak_concurrency": (q_peak_concurrency, ORACLE_PEAK_CONCURRENCY),
     "robust_anomalies": (q_robust_anomalies, ORACLE_ROBUST_ANOMALIES),

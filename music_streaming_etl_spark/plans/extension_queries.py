@@ -797,6 +797,48 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query bag {spark, merge, vector} —
+    the retrieval scorer behind query-based decontamination / leakage
+    checks on a training corpus (operators/text.py ``bm25_topk`` for
+    the determinism + scale argument: decimal-accumulated per-term
+    contributions, |terms|-bounded broadcasts, per-partition top-k
+    heaps)."""
+    from ..operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", ["spark", "merge", "vector"], k=10)
+
+
+ORACLE_BM25 = f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(28,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf, avgdl
+        FROM dfreq, stats),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(i.idf * (t.tf * 2.2)
+                    / (t.tf + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / i.avgdl)),
+                    9) AS DECIMAL(18,9)) AS contrib
+  FROM tf t JOIN idf i USING (term) JOIN dl d USING (doc_id)
+),
+total AS (SELECT doc_id, ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+          FROM scored GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, bm25
+FROM total QUALIFY rank <= 10
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@10 of the IVF index against the
     exact brute-force top-10 for the same query vector, computed as a
@@ -1602,6 +1644,7 @@ REGISTRY_EXT: dict = {
     "similarity_topk": (q_similarity_topk, ORACLE_SIM_TOPK),
     "similarity_topk_ivf": (q_similarity_topk_ivf, ORACLE_SIM_TOPK_IVF),
     "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
+    "bm25_search": (q_bm25_search, ORACLE_BM25),
     "similarity_topk_ivf_kmeans": (q_similarity_topk_ivf_kmeans, None),
     "pii_redaction": (q_pii_redaction, ORACLE_PII),
     "quality_filter": (q_quality_filter, ORACLE_QUALITY),

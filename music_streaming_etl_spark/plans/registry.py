@@ -28,6 +28,10 @@ REGISTRY.update(REGISTRY_TPCH)
 # the driver did not see.
 _PRIORITY: list[str] = [
     # round 6: brand-new queries — first external check
+    "bm25_search",
+    "full_outer_reconciliation",
+    "histogram_bins",
+    "copurchase_reach",
     "ewma_daily_revenue",
     "peak_concurrency",
     "robust_anomalies",
