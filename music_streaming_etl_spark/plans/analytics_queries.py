@@ -2607,7 +2607,216 @@ SELECT node, CAST(MIN(dist) AS BIGINT) AS hops FROM hops GROUP BY node
 """
 
 
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query SCD2 history exists
+    FOR: every purchase event enriched with the user's browsing state
+    (last view/click/signup version) valid at the purchase instant.
+    Composed as ``scd2_history`` over the state-change feed +
+    ``asof_join`` on the version start: a version's validity interval
+    [valid_from, valid_to) is exactly "latest valid_from at-or-before
+    ts" because versions partition each user's timeline — so the
+    lookup is one per-user window pass, never an inequality join.
+    DuckDB verifies with a native ASOF join against the same history."""
+    from ..operators.asof import asof_join
+    from ..operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    state_feed = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "event_type", "ts", "event_id")
+    hist = scd2_history(
+        state_feed, ["user_id"], ["event_type"], "ts", tiebreak=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        hist,
+        key="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["state", "valid_from"],
+        suffix="_at",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("state_at").alias("state"),
+        F.col("valid_from_at").alias("state_since"),
+    )
+
+
+ORACLE_SCD2_ASOF = """
+WITH feed AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+), ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM feed
+), versions AS (
+  SELECT user_id, event_type AS state, ts AS valid_from FROM ordered
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, v.state, v.valid_from AS state_since
+FROM p ASOF LEFT JOIN versions v
+  ON p.user_id = v.user_id AND v.valid_from <= p.ts
+"""
+
+
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session opening paths: per 30-min-gap session, the first
+    5 event types joined 'view>click>…', counted across all sessions
+    (the product-analytics "common user journeys" query). Sessions
+    come from the lag+cumsum form (same ``>`` boundary as
+    ``sessionize_events``); within-session order is total
+    (ts, event_id) and the path is built by ``sort_array`` over
+    per-session structs — bounded at 5 elements, so the collect is
+    O(1) per session however long the session. One shuffle to
+    (user, session), one to the path counts, heap top-k."""
+    ev = _t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    sessioned = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(
+            F.when(gap > 1800, 1).otherwise(0)
+        ).over(w_user).alias("session_id"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first5 = sessioned.withColumn(
+        "step", F.row_number().over(w_sess)
+    ).filter(F.col("step") <= 5)
+    paths = first5.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("step", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    agg = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return global_topk(agg, [F.desc("n_sessions"), F.asc("path")], 10).select(
+        "rank", "path", "n_sessions"
+    )
+
+
+ORACLE_TOP_PATHS = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                   - epoch(LAG(CAST(ts AS TIMESTAMP)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+), first5 AS (
+  SELECT user_id, session_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS step
+  FROM s QUALIFY step <= 5
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM first5 GROUP BY 1, 2
+), agg AS (
+  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS BIGINT)
+         AS rank,
+       path, n_sessions
+FROM agg QUALIFY rank <= 10
+"""
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of variant (user_id % 2) ×
+    event_type over the event counts — the categorical sibling of
+    ``ab_test_zscores``. Observed/expected counts are exact integers/
+    rationals; each cell's (O−E)²/E contribution is rounded to 9
+    decimals and accumulated as DECIMAL (order-free — a raw double
+    sum over shuffled cells would be partitioning-dependent), then
+    the statistic rounds to 6. Cells are bounded (2 × |event types|),
+    so every frame after the first aggregate is tiny."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("variant"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    row_tot = cells.groupBy("variant").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("event_type").agg(F.sum("o").alias("ct"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    contrib = (
+        cells.join(F.broadcast(row_tot), "variant")
+        .join(F.broadcast(col_tot), "event_type")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "variant",
+            "event_type",
+            # d*d, never pow(d, 2): multiplication is IEEE-identical
+            # everywhere, libm pow need not be
+            F.round(d * d / e, 9).cast("decimal(18,9)").alias("cell"),
+        )
+    )
+    return contrib.agg(
+        F.round(F.sum("cell").cast("double"), 6).alias("chi2"),
+        (
+            (F.count_distinct("variant") - 1)
+            * (F.count_distinct("event_type") - 1)
+        ).cast("bigint").alias("dof"),
+    )
+
+
+ORACLE_CHI2 = """
+WITH cells AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS variant, event_type,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT variant, SUM(o) AS rt FROM cells GROUP BY 1),
+   ct AS (SELECT event_type, SUM(o) AS ct FROM cells GROUP BY 1),
+   nt AS (SELECT SUM(o) AS n FROM cells),
+contrib AS (
+  SELECT variant, event_type,
+         CAST(ROUND(
+           (CAST(o AS DOUBLE)
+              - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+              - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE))
+           / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE)),
+           9) AS DECIMAL(18,9)) AS cell
+  FROM cells JOIN rt USING (variant) JOIN ct USING (event_type), nt
+)
+SELECT ROUND(CAST(SUM(cell) AS DOUBLE), 6) AS chi2,
+       CAST((COUNT(DISTINCT variant) - 1)
+            * (COUNT(DISTINCT event_type) - 1) AS BIGINT) AS dof
+FROM contrib
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "scd2_asof_lookup": (q_scd2_asof_lookup, ORACLE_SCD2_ASOF),
+    "top_event_paths": (q_top_event_paths, ORACLE_TOP_PATHS),
+    "chi_square_independence": (q_chi_square_independence, ORACLE_CHI2),
     "full_outer_reconciliation": (
         q_full_outer_reconciliation, ORACLE_FULL_OUTER,
     ),

@@ -28,6 +28,9 @@ REGISTRY.update(REGISTRY_TPCH)
 # the driver did not see.
 _PRIORITY: list[str] = [
     # round 6: brand-new queries — first external check
+    "scd2_asof_lookup",
+    "top_event_paths",
+    "chi_square_independence",
     "bm25_search",
     "full_outer_reconciliation",
     "histogram_bins",

@@ -187,13 +187,17 @@ def materialize_baskets(spark, sf_dir: str, mult: int) -> str:
 def main() -> None:
     from music_streaming_etl_spark.plans.analytics_queries import (
         q_copurchase_pairs,
+        q_copurchase_reach,
+        q_ewma_daily_revenue,
         q_hopping_windows,
+        q_peak_concurrency,
         q_quantile_sketch_rollup,
         q_sessionize_native,
         q_time_weighted_value,
         q_zorder_values,
     )
     from music_streaming_etl_spark.plans.extension_queries import (
+        q_bm25_search,
         q_corpus_shuffle,
         q_dedup_minhash,
         q_similarity_topk_ivf,
@@ -229,6 +233,10 @@ def main() -> None:
         "quantile_sketch_rollup": (
             q_quantile_sketch_rollup, materialize_orders, base_orders,
         ),
+        "ewma_daily_revenue": (q_ewma_daily_revenue, materialize_orders, base_orders),
+        "peak_concurrency": (q_peak_concurrency, materialize_events, base_events),
+        "bm25_search": (q_bm25_search, materialize_llm, base_docs),
+        "copurchase_reach": (q_copurchase_reach, materialize_baskets, base_li),
     }
     out = {"sf_dir": sf_dir, "ops": {}}
     for op in ops:

@@ -205,9 +205,15 @@ def test_no_forced_broadcast_on_fact_scaled_sides(spark, sf_dir):
     true dims (nation/region) and provably tiny derived sets may
     remain."""
     from music_streaming_etl_spark.plans.analytics_queries import (
+        q_ewma_daily_revenue,
+        q_full_outer_reconciliation,
         q_revenue_by_region,
         q_revenue_percentiles,
+        q_robust_anomalies,
         q_tpch_q5_local_supplier,
+    )
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_bm25_search,
     )
     from music_streaming_etl_spark.plans.testdata_queries import (
         q_top_revenue_customers,
@@ -225,6 +231,16 @@ def test_no_forced_broadcast_on_fact_scaled_sides(spark, sf_dir):
         (q_top_revenue_customers, 2, 0),
         (q_tpch_q10_returns, 2, 0),
         (q_tpch_q18_large_orders, 2, 0),
+        # daily-grain self-join: both sides are post-agg dim-sized,
+        # but neither may be FORCED — AQE decides at runtime
+        (q_ewma_daily_revenue, 1, 0),
+        (q_full_outer_reconciliation, 1, 0),
+        # bounded-by-construction hinted broadcasts only: the 1-row
+        # (N, avgdl) stats frame + the |query-terms|-row idf table …
+        (q_bm25_search, 1, 2),
+        # … and the |priority|-row median/MAD frames (3: the med
+        # broadcast is rebuilt for each of devs' two consumers)
+        (q_robust_anomalies, 0, 3),
     ]
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
