@@ -2813,7 +2813,108 @@ FROM contrib
 """
 
 
+def q_recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:1999 ``WITH RECURSIVE`` surface (new in Spark 4): the same
+    3-hop min-distance BFS as ``copurchase_reach``, expressed with the
+    recursion primitive instead of unrolled joins — and checked
+    against the SAME oracle, so the two forms are proven equivalent.
+
+    Scale note: recursive UNION ALL enumerates *paths* (bounded here
+    by the depth-3 guard); the unrolled ``copurchase_reach`` with
+    per-level DISTINCT frontiers is the 100 TB path — this query
+    exists to cover the language surface and to pin the equivalence."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().hint("merge")
+    a, bb = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # cache: each recursion step re-reads the edge view — without this
+    # the whole distinct+self-join pipeline replays once per iteration
+    edges.cache().createOrReplaceTempView("vr_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, dist) AS (
+          SELECT MIN(u), 0 FROM vr_edges
+          UNION ALL
+          SELECT e.v, r.dist + 1
+          FROM reach r JOIN vr_edges e ON e.u = r.node
+          WHERE r.dist < 3
+        )
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS hops
+        FROM reach GROUP BY node
+        """
+    )
+
+
+def q_multi_band_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: eight time-band counts from ONE scan via
+    conditional aggregation — the pattern that replaces eight
+    self-joined subqueries (the spec's formulation) with a single
+    pass. All-integer; output is one row however large the fact."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.hour("ts")
+
+    def band(lo: int, hi: int, name: str):
+        return F.sum(
+            F.when((h >= lo) & (h < hi) & (F.col("event_type") == "view"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias(name)
+
+    return ev.agg(
+        *[
+            band(lo, lo + 3, f"views_h{lo}_{lo + 3}")
+            for lo in (0, 3, 6, 9, 12, 15, 18, 21)
+        ]
+    )
+
+
+ORACLE_MULTI_BAND = """
+SELECT
+  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 0 AND hour(CAST(ts AS TIMESTAMP)) < 3 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_h0_3,
+  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 3 AND hour(CAST(ts AS TIMESTAMP)) < 6 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_h3_6,
+  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 6 AND hour(CAST(ts AS TIMESTAMP)) < 9 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_h6_9,
+  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 9 AND hour(CAST(ts AS TIMESTAMP)) < 12 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_h9_12,
+  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 12 AND hour(CAST(ts AS TIMESTAMP)) < 15 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_h12_15,
+  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 15 AND hour(CAST(ts AS TIMESTAMP)) < 18 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_h15_18,
+  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 18 AND hour(CAST(ts AS TIMESTAMP)) < 21 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_h18_21,
+  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 21 AND hour(CAST(ts AS TIMESTAMP)) < 24 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_h21_24
+FROM events
+"""
+
+
+def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters via Spark 4's ``approx_top_k`` —
+    the mergeable-summary twin of the exact ``token_frequencies``:
+    per-partition sketches partial-aggregate map-side, the shuffle
+    carries one sketch per partition instead of one row per distinct
+    token (the 100 TB shape when the token vocabulary explodes).
+    Rows-only by nature (sketch contents are partitioning-dependent in
+    principle); ``tests/test_approx_topk.py`` pins exact agreement
+    with true counts on this corpus's skew."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    out = tok.agg(F.expr("approx_top_k(token, 10)").alias("tk"))
+    return out.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("token"), F.col("e.count").cast("bigint").alias("n")
+    )
+
+
 REGISTRY_ANALYTICS: dict = {
+    "recursive_cte_reach": (q_recursive_cte_reach, ORACLE_COPURCHASE_REACH),
+    "multi_band_single_scan": (q_multi_band_single_scan, ORACLE_MULTI_BAND),
+    "approx_topk_tokens": (q_approx_topk_tokens, None),
     "scd2_asof_lookup": (q_scd2_asof_lookup, ORACLE_SCD2_ASOF),
     "top_event_paths": (q_top_event_paths, ORACLE_TOP_PATHS),
     "chi_square_independence": (q_chi_square_independence, ORACLE_CHI2),

@@ -38,6 +38,7 @@ def test_oracle_coverage_ratio():
     # new oracle-less query fails loudly instead of riding the count
     assert rows_only == [
         "agg_count_distinct_approx",    # HLL estimate
+        "approx_topk_tokens",           # heavy-hitter sketch (exact-agreement pytest)
         "bpe_tokenize",                 # iterative learned tokenizer
         "hll_rollup_customers",         # DataSketches HLL (no DuckDB twin)
         "hopping_windows_approx",       # HLL estimate (100 TB distinct path)
