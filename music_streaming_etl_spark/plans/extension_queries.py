@@ -797,6 +797,70 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API: scan a pure-Python custom source
+    (``sources/python_datasource.py`` — partition-parallel generator
+    with doc_id/lang filter pushdown) and aggregate per-lang doc
+    counts, char volume, and an order-free md5 fingerprint sum.
+
+    Every generated field is an md5-pure function of doc_id, so the
+    DuckDB oracle REGENERATES the identical corpus in SQL and checks
+    the aggregate cell-exact — a custom source verified end-to-end by
+    an engine that has never seen the Python class."""
+    from ..sources.python_datasource import register_all
+
+    register_all(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("n", 2000)
+        .option("parts", 8)
+        .load()
+    )
+    fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(fp).alias("fp_sum"),
+    )
+
+
+_ORACLE_PYDS_VOCAB = (
+    "['key','agg','row','scan','slow','fast','table','value',"
+    "'part','hash','merge','batch','spark','query','sort','window']"
+)
+
+ORACLE_PYDS = f"""
+WITH ids AS (SELECT unnest(range(2000)) AS doc_id),
+base AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+  FROM ids
+),
+docs AS (
+  SELECT doc_id,
+         ['en','de','es','fr','zh'][CAST(h1 % 5 AS INT) + 1] AS lang,
+         5 + CAST(h2 % 20 AS INT) AS n_words
+  FROM base
+),
+words AS (
+  SELECT d.doc_id, d.lang, t.j,
+         {_ORACLE_PYDS_VOCAB}[
+           CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS INT) + 1
+         ] AS w
+  FROM docs d, UNNEST(range(d.n_words)) AS t(j)
+),
+texts AS (
+  SELECT doc_id, lang, string_agg(w, ' ' ORDER BY j) AS text
+  FROM words GROUP BY 1, 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT) AS fp_sum
+FROM texts GROUP BY 1
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for the query bag {spark, merge, vector} —
     the retrieval scorer behind query-based decontamination / leakage
@@ -1645,6 +1709,7 @@ REGISTRY_EXT: dict = {
     "similarity_topk_ivf": (q_similarity_topk_ivf, ORACLE_SIM_TOPK_IVF),
     "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
     "bm25_search": (q_bm25_search, ORACLE_BM25),
+    "scan_python_datasource": (q_scan_python_datasource, ORACLE_PYDS),
     "similarity_topk_ivf_kmeans": (q_similarity_topk_ivf_kmeans, None),
     "pii_redaction": (q_pii_redaction, ORACLE_PII),
     "quality_filter": (q_quality_filter, ORACLE_QUALITY),

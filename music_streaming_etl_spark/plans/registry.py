@@ -28,6 +28,7 @@ REGISTRY.update(REGISTRY_TPCH)
 # the driver did not see.
 _PRIORITY: list[str] = [
     # round 6: brand-new queries — first external check
+    "scan_python_datasource",
     "recursive_cte_reach",
     "multi_band_single_scan",
     "scd2_asof_lookup",
