@@ -2911,7 +2911,123 @@ def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: case-insensitive grouping via
+    ``COLLATE UTF8_LCASE`` on the comparison itself — no lower()
+    normalization in the grouping expression. Input case is
+    deterministically mixed first (upper for even part keys) so the
+    collation actually has work to do. The emitted key is lowercased
+    because the collated group's representative is
+    partitioning-dependent (first row wins); DuckDB verifies with the
+    lower() twin — same groups, same counts."""
+    part = _t(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_type")
+    ).otherwise(F.lower("p_type"))
+    return (
+        part.select(mixed.alias("t"))
+        .groupBy(F.collate("t", "UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .select(F.lower("k").alias("part_type"), "n_parts")
+    )
+
+
+ORACLE_COLLATION = """
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+              ELSE lower(p_type) END AS t
+  FROM part
+)
+SELECT lower(t) AS part_type, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM mixed GROUP BY lower(t)
+"""
+
+
+def q_null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): the join
+    kind where NULL keys MATCH each other instead of vanishing.
+    Orders with the urgent priority nulled out join a 6-row key dim
+    (5 priorities + NULL) — the NULL row picks up every nulled order,
+    which a plain ``=`` join would silently drop. Null-safe equality
+    still hash-partitions both sides (NULL hashes like a value), so
+    the plan is an ordinary shuffle/broadcast hash join — not the
+    cross-join degeneration a ``coalesce()``-wrapped key would risk
+    reviewers assuming."""
+    orders = _t(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("k"),
+        "o_orderkey",
+    )
+    dim = (
+        orders.select(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("k")
+        )
+        .distinct()
+        .select("k", F.coalesce(F.col("k"), F.lit("(was urgent)")).alias("label"))
+    )
+    j = fact.join(F.broadcast(dim), fact["k"].eqNullSafe(dim["k"]), "inner")
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+ORACLE_NULL_SAFE = """
+WITH fact AS (
+  SELECT NULLIF(o_orderpriority, '1-URGENT') AS k, o_orderkey FROM orders
+), dim AS (
+  SELECT k, COALESCE(k, '(was urgent)') AS label
+  FROM (SELECT DISTINCT NULLIF(o_orderpriority, '1-URGENT') AS k FROM orders)
+)
+SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM fact f JOIN dim d ON f.k IS NOT DISTINCT FROM d.k
+GROUP BY d.label
+"""
+
+
+def q_second_highest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` window surface: per month, the second-highest
+    daily revenue (the runner-up day) attached to every day's row via
+    an unbounded frame — with total order (revenue DESC, date) so the
+    runner-up is unique. Windows partition by month (bounded ≤31
+    rows after the daily pre-aggregation)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("stat_date")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy(F.trunc("stat_date", "month"))
+        .orderBy(F.desc("rev_cents"), F.asc("stat_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return daily.select(
+        "stat_date",
+        "rev_cents",
+        F.nth_value("rev_cents", 2).over(w).alias("runner_up_cents"),
+        F.nth_value("stat_date", 2).over(w).alias("runner_up_date"),
+    )
+
+
+ORACLE_NTH_VALUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS stat_date,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT stat_date, rev_cents,
+       nth_value(rev_cents, 2) OVER w AS runner_up_cents,
+       nth_value(stat_date, 2) OVER w AS runner_up_date
+FROM daily
+WINDOW w AS (PARTITION BY date_trunc('month', stat_date)
+             ORDER BY rev_cents DESC, stat_date ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "collation_group": (q_collation_group, ORACLE_COLLATION),
+    "null_safe_join_counts": (q_null_safe_join_counts, ORACLE_NULL_SAFE),
+    "second_highest_daily": (q_second_highest_daily, ORACLE_NTH_VALUE),
     "recursive_cte_reach": (q_recursive_cte_reach, ORACLE_COPURCHASE_REACH),
     "multi_band_single_scan": (q_multi_band_single_scan, ORACLE_MULTI_BAND),
     "approx_topk_tokens": (q_approx_topk_tokens, None),

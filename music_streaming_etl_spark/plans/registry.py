@@ -28,6 +28,9 @@ REGISTRY.update(REGISTRY_TPCH)
 # the driver did not see.
 _PRIORITY: list[str] = [
     # round 6: brand-new queries — first external check
+    "collation_group",
+    "null_safe_join_counts",
+    "second_highest_daily",
     "scan_python_datasource",
     "recursive_cte_reach",
     "multi_band_single_scan",
