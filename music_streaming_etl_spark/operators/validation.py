@@ -96,6 +96,41 @@ def check_referential(
     return CheckResult(name, orphans == 0, {"orphans": orphans})
 
 
+def check_unique(
+    df: DataFrame, keys: Sequence[str], name: str = "unique"
+) -> CheckResult:
+    """Primary-key uniqueness in ONE aggregation: total rows vs
+    distinct keys (and how many key groups collide) — never a
+    self-join. NULL keys are counted separately rather than silently
+    collapsing into one distinct group (a NULL PK is its own
+    violation class). Scale: a two-level hash aggregate on the key —
+    the same shuffle any groupBy costs, output one row."""
+    grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    row = grouped.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count(F.when(F.col("__n") > 1, 1)).alias("dup_keys"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0)).alias(
+            "dup_rows"
+        ),
+    ).collect()[0]
+    null_keys = df.filter(
+        F.greatest(*[F.col(k).isNull() for k in keys])
+        if len(keys) > 1
+        else F.col(keys[0]).isNull()
+    ).count()
+    passed = row["dup_keys"] == 0 and null_keys == 0
+    return CheckResult(
+        name,
+        passed,
+        {
+            "distinct_keys": row["n_keys"],
+            "duplicate_keys": row["dup_keys"],
+            "rows_in_duplicate_keys": int(row["dup_rows"] or 0),
+            "null_key_rows": null_keys,
+        },
+    )
+
+
 def check_no_nulls_pushdown(
     spark,
     url: str,

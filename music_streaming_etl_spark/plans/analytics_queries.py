@@ -3024,7 +3024,104 @@ WINDOW w AS (PARTITION BY date_trunc('month', stat_date)
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the co-purchase graph — the
+    classic graph-benchmark op: edges canonicalized u < v, wedges by
+    joining edges on the shared middle vertex, each wedge closed by an
+    existence join against the edge set. Every triangle (u<v<w) is
+    produced exactly once (u<v from e1, v<w from e2, closing edge
+    (u,w) checked), so the count needs no /3 correction.
+
+    Scale shape: two shuffled equi-joins on vertex keys over the
+    support-filtered edge list; wedge fan-out is Σ deg(v)² — the
+    standard bound, and exactly why triangle counting is run on the
+    FILTERED (support ≥ 2) graph rather than raw pairs. Output: one
+    row."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().hint("merge")
+    a, bb = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            bb,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    edges = edges.cache()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("wu"), F.col("e1.v").alias("wv"), F.col("e2.v").alias("ww")
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("wu") == F.col("e3.u")) & (F.col("ww") == F.col("e3.v")),
+        "left_semi",
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+ORACLE_TRIANGLES = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.v = e2.u
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+def q_check_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness report (``operators/validation.py::
+    check_unique`` as a 1-row query): lineitem's true PK
+    (l_orderkey, l_linenumber) must be collision-free while
+    l_orderkey alone collides by design — both audited in one result
+    so the oracle checks the violating AND the clean case."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def report(keys: list[str], prefix: str):
+        g = li.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        return g.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{prefix}_distinct"),
+            F.count(F.when(F.col("n") > 1, 1)).cast("bigint").alias(
+                f"{prefix}_dup_keys"
+            ),
+        )
+
+    pk = report(["l_orderkey", "l_linenumber"], "pk")
+    ok = report(["l_orderkey"], "orderkey")
+    return pk.crossJoin(ok)
+
+
+ORACLE_CHECK_UNIQUE = """
+WITH pk AS (
+  SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber
+), ok AS (
+  SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+), pkr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pk_distinct,
+         CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS pk_dup_keys
+  FROM pk
+), okr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orderkey_distinct,
+         CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS orderkey_dup_keys
+  FROM ok
+)
+SELECT * FROM pkr, okr
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "triangle_count": (q_triangle_count, ORACLE_TRIANGLES),
+    "check_unique": (q_check_unique, ORACLE_CHECK_UNIQUE),
     "collation_group": (q_collation_group, ORACLE_COLLATION),
     "null_safe_join_counts": (q_null_safe_join_counts, ORACLE_NULL_SAFE),
     "second_highest_daily": (q_second_highest_daily, ORACLE_NTH_VALUE),

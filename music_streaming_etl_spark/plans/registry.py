@@ -28,6 +28,8 @@ REGISTRY.update(REGISTRY_TPCH)
 # the driver did not see.
 _PRIORITY: list[str] = [
     # round 6: brand-new queries — first external check
+    "triangle_count",
+    "check_unique",
     "collation_group",
     "null_safe_join_counts",
     "second_highest_daily",

@@ -114,3 +114,27 @@ def test_observed_metrics_pass_on_clean_frame(spark, tmp_path):
     observed.write.mode("overwrite").parquet(str(tmp_path / "sink2"))
     res = observation_result(obs, ["id", "v"])
     assert res.passed and res.details["total_rows"] == 2
+
+
+def test_check_unique_clean_dup_and_null_keys(spark):
+    from music_streaming_etl_spark.operators.validation import check_unique
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    r = check_unique(clean, ["k"])
+    assert r.passed and r.details["duplicate_keys"] == 0
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d")], "k long, v string"
+    )
+    r = check_unique(dup, ["k"])
+    assert not r.passed
+    assert r.details["duplicate_keys"] == 1
+    assert r.details["rows_in_duplicate_keys"] == 2
+    assert r.details["null_key_rows"] == 1
+
+    # composite key: (1,x)+(1,y) unique, (2,x) twice is not
+    comp = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "x")], "a long, b string"
+    )
+    r = check_unique(comp, ["a", "b"])
+    assert not r.passed and r.details["duplicate_keys"] == 1
