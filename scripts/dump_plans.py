@@ -110,6 +110,33 @@ COMMENT = {
         "static-estimate broadcast (which OOM'd the 100x probe) can never "
         "be right. Support filter after one pair hash-aggregate."
     ),
+    "ewma_daily_revenue": (
+        "Integer-exact EWMA: the fact scan collapses to daily grain FIRST "
+        "(one shuffle), then a <=16-fan-out range self-join of the tiny "
+        "daily frame, co-partitioned on the key. No forced broadcast — "
+        "AQE decides; the weighted sum stays BIGINT until one final "
+        "division."
+    ),
+    "peak_concurrency": (
+        "Sweep line: session_window aggregation (one shuffle on user), "
+        "day-clip explode, then running sum + max with windows partitioned "
+        "BY DAY — the global-sort trap never appears."
+    ),
+    "bm25_search": (
+        "Retrieval scorer: the term filter lands BEFORE the tf aggregate, "
+        "so only query-term rows shuffle; the 1-row stats and |terms|-row "
+        "idf frames broadcast; top-k is TakeOrderedAndProject."
+    ),
+    "scd2_asof_lookup": (
+        "Point-in-time lookup as ONE window pass: versions partition each "
+        "user's timeline, so the union+last(ignoreNulls) carry replaces an "
+        "inequality join — no BroadcastNestedLoop anywhere."
+    ),
+    "triangle_count": (
+        "Graph benchmark: canonical u<v edges (cached), wedge equi-join on "
+        "the middle vertex, LeftSemi closure. Both joins shuffle on vertex "
+        "keys; the semi-join never materializes triangle rows."
+    ),
 }
 
 
