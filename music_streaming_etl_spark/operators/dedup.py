@@ -860,3 +860,72 @@ def duplicate_span_stats(
             ),
         )
     )
+
+
+def lsh_candidate_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """LSH index-quality harness — the dedup sibling of the ANN
+    ``ann_recall`` evaluation: every band-collision candidate pair is
+    verified with exact (hashed-shingle) Jaccard and summarized as
+
+        (n_candidates, n_true_pairs, precision_at_threshold)
+
+    Low precision means the banding is promoting too many false
+    candidates (wasting the verify joins at 100 TB); this one-row
+    report is the number to watch when retuning bands/rows per band.
+    Candidates with an EMPTY intersection still count (coalesce 0) —
+    dropping them would overstate precision.
+
+    Same exploded/codegen pipeline as ``dedup_minhash_pairs``; the
+    extra cost over a dedup run is nil because the verify join already
+    computes every candidate's Jaccard."""
+    hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
+    hsd = hsd.cache()
+    bands = _band_frame(mins, num_hashes, num_bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(hsd.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(hsd.select(F.col("id").alias("id_b"), F.col("h").alias("h_b")), "id_b")
+        .filter(F.col("h") == F.col("h_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(cnts.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(cnts.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (
+                    F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0))
+                ).cast("double")
+            ).alias("jac")
+        )
+    )
+    true_pair = F.count(F.when(F.col("jac") >= threshold, 1))
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        true_pair.cast("bigint").alias("n_true_pairs"),
+        F.round(
+            true_pair.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("precision_at_threshold"),
+    )

@@ -3119,7 +3119,49 @@ SELECT * FROM pkr, okr
 """
 
 
+def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operators (INTERSECT ALL / EXCEPT ALL —
+    SQL:1999, multiplicity-preserving): order priorities of even vs
+    odd order keys compared as MULTISETS. ``INTERSECT ALL`` keeps
+    min(m_a, m_b) copies per value and ``EXCEPT ALL`` max(0, m_a−m_b)
+    — the row-level dedup the plain INTERSECT/EXCEPT pair can't
+    express. Results aggregate to counts per priority so the output
+    is order-free."""
+    orders = _t(spark, sf_dir, "orders")
+    for half, pred in (("even", "o_orderkey % 2 = 0"), ("odd", "o_orderkey % 2 = 1")):
+        orders.filter(pred).select("o_orderpriority").createOrReplaceTempView(
+            f"vb_{half}"
+        )
+    return spark.sql(
+        """
+        SELECT 'intersect_all' AS op, o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT * FROM vb_even INTERSECT ALL SELECT * FROM vb_odd)
+        GROUP BY 2
+        UNION ALL
+        SELECT 'except_all', o_orderpriority, CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT * FROM vb_even EXCEPT ALL SELECT * FROM vb_odd)
+        GROUP BY 2
+        """
+    )
+
+
+ORACLE_BAG_SET_OPS = """
+WITH even AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+     odd  AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 1)
+SELECT 'intersect_all' AS op, o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT * FROM even INTERSECT ALL SELECT * FROM odd)
+GROUP BY 2
+UNION ALL
+SELECT 'except_all', o_orderpriority, CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM even EXCEPT ALL SELECT * FROM odd)
+GROUP BY 2
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "bag_set_ops": (q_bag_set_ops, ORACLE_BAG_SET_OPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLES),
     "check_unique": (q_check_unique, ORACLE_CHECK_UNIQUE),
     "collation_group": (q_collation_group, ORACLE_COLLATION),

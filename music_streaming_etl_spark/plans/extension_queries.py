@@ -797,6 +797,128 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality report — candidate count, exact-Jaccard
+    true pairs, and precision@0.8 for the same MinHash(16)/4-band/
+    3-gram configuration ``dedup_minhash`` runs (see
+    ``operators/dedup.py::lsh_candidate_quality``). The number that
+    says whether the banding wastes verify-join work at scale."""
+    from ..operators.dedup import lsh_candidate_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_candidate_quality(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=16, num_bands=4,
+        shingle_n=3,
+    )
+
+
+def _oracle_lsh_quality() -> str:
+    return f"""
+WITH {_minhash_ctes()},
+j AS (
+  SELECT CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+         / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE) AS jac
+  FROM cand c JOIN hd x ON c.id_a = x.doc_id JOIN hd y ON c.id_b = y.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(CASE WHEN jac >= 0.8 THEN 1 END) AS BIGINT) AS n_true_pairs,
+       ROUND(CAST(COUNT(CASE WHEN jac >= 0.8 THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS precision_at_threshold
+FROM j
+"""
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each doc survives with
+    probability equal to its quality score (mean-word-length capped at
+    8 chars → score in (0, 1]) — the rebalancing that keeps more of
+    the higher-quality corpus without any RNG: the coin is the doc's
+    own md5 bucket, so the decision is rerun- and append-stable (same
+    contract as ``deterministic_sample``). Returns per-lang kept
+    counts; both the score and the coin are exact integer/ratio
+    arithmetic mirrored in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    # chars excluding spaces / token count — mean word length
+    awl = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / n_toks.cast("double")
+    )
+    score = F.least(F.lit(1.0), awl / F.lit(8.0))
+    coin = (
+        F.conv(F.substring(F.md5(F.concat_ws("-", F.lit("qw"), "doc_id")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = docs.filter(coin < score)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
+ORACLE_QUALITY_WEIGHTED = """
+WITH scored AS (
+  SELECT lang, n_chars,
+         least(1.0, (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE)) / 8.0) AS score,
+         CAST(CAST('0x' || substr(md5('qw' || '-' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+           / 4294967296.0 AS coin
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM scored WHERE coin < score GROUP BY lang
+"""
+
+
+def q_domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened sampling weights (α = 0.5): w_d ∝ √p_d —
+    the standard multilingual/multi-domain rebalancing that upweights
+    small sources. √ is a correctly-rounded IEEE op on an exact ratio;
+    the normalizer sums the per-source √p after rounding to 9 decimals
+    as DECIMAL (order-free), the same rule as every cross-row float
+    sum in this engine."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    sq = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("n_docs").cast("double") / F.col("n_total").cast("double")).alias("p"),
+        F.round(
+            F.sqrt(F.col("n_docs").cast("double") / F.col("n_total").cast("double")), 9
+        ).cast("decimal(18,9)").alias("sqp"),
+    )
+    norm = sq.agg(F.sum("sqp").alias("z"))
+    return sq.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        F.round("p", 6).alias("p"),
+        F.round(
+            F.col("sqp").cast("double") / F.col("z").cast("double"), 6
+        ).alias("w_temperature"),
+    )
+
+
+ORACLE_MIXTURE_TEMP = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+), total AS (SELECT SUM(n_docs) AS n_total FROM counts),
+sq AS (
+  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+         CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS sqp
+  FROM counts, total
+), norm AS (SELECT SUM(sqp) AS z FROM sq)
+SELECT source, n_docs, ROUND(p, 6) AS p,
+       ROUND(CAST(sqp AS DOUBLE) / CAST(z AS DOUBLE), 6) AS w_temperature
+FROM sq, norm
+"""
+
+
 def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python DataSource API: scan a pure-Python custom source
     (``sources/python_datasource.py`` — partition-parallel generator
@@ -1710,6 +1832,11 @@ REGISTRY_EXT: dict = {
     "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
     "bm25_search": (q_bm25_search, ORACLE_BM25),
     "scan_python_datasource": (q_scan_python_datasource, ORACLE_PYDS),
+    "lsh_quality": (q_lsh_quality, _oracle_lsh_quality()),
+    "quality_weighted_sample": (q_quality_weighted_sample, ORACLE_QUALITY_WEIGHTED),
+    "domain_mixture_temperature": (
+        q_domain_mixture_temperature, ORACLE_MIXTURE_TEMP,
+    ),
     "similarity_topk_ivf_kmeans": (q_similarity_topk_ivf_kmeans, None),
     "pii_redaction": (q_pii_redaction, ORACLE_PII),
     "quality_filter": (q_quality_filter, ORACLE_QUALITY),

@@ -28,6 +28,10 @@ REGISTRY.update(REGISTRY_TPCH)
 # the driver did not see.
 _PRIORITY: list[str] = [
     # round 6: brand-new queries — first external check
+    "lsh_quality",
+    "quality_weighted_sample",
+    "domain_mixture_temperature",
+    "bag_set_ops",
     "triangle_count",
     "check_unique",
     "collation_group",
