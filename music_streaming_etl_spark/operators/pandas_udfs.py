@@ -108,3 +108,27 @@ def make_token_spans_udtf():
                 i = j
 
     return TokenSpans
+
+
+def arrow_python_udf_fingerprint():
+    """Spark 4 Arrow-optimized Python UDF (``useArrow=True``): the
+    row-at-a-time programming model with Arrow-batched transport —
+    the middle rung the ladder above gained in Spark 4 between (2)
+    and (4). Same serde win as a pandas_udf without rewriting row
+    logic into Series ops. Still NOT for the hot path: the per-row
+    Python call remains; only the (de)serialization is vectorized.
+
+    Returns a deterministic 64-bit doc fingerprint (FNV-1a over the
+    UTF-8 bytes) — row logic that would be awkward as Series ops but
+    is trivial per-row."""
+
+    @F.udf("bigint", useArrow=True)
+    def fnv1a64(text: str) -> int | None:
+        if text is None:
+            return None
+        h = 0xCBF29CE484222325
+        for b in text.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h - 0x8000000000000000  # shift into signed-64 range
+
+    return fnv1a64

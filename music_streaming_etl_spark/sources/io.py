@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -345,3 +346,44 @@ def optimize_table(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def scan_csv_permissive(
+    spark: SparkSession,
+    paths: Sequence[str] | str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-input-tolerant CSV ingestion: PERMISSIVE parse mode
+    with the raw line of every unparseable row captured in
+    ``corrupt_col``, split into (clean, quarantine) frames — the
+    ingestion-hardening the reference lacks entirely (pandas
+    ``read_csv`` aborts the whole hourly run on one bad line,
+    ref ``dags/music_streaming_etl_dags.py:118``).
+
+    The returned frames share one scan each (the corrupt column is
+    only materialized for rows that fail the parse); quarantined rows
+    keep the ORIGINAL line so they can be repaired and replayed.
+    Spark requires the corrupt column declared in the schema —
+    handled here, callers pass only the data schema."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    if isinstance(paths, str):
+        paths = [paths]
+    df = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(list(paths))
+        # Spark's lazy corrupt-column rule: the frame must be
+        # materialized-stable before filtering on the corrupt col
+        .cache()
+    )
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, quarantine

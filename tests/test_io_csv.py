@@ -130,3 +130,31 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     }
     # day 1 untouched, day 2 fully replaced by the backfill
     assert got == {(1, "2024-01-01"), (2, "2024-01-01"), (9, "2024-01-02")}
+
+
+def test_permissive_scan_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from music_streaming_etl_spark.sources.io import scan_csv_permissive
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "user_id,amount\n"
+        "1,10.5\n"
+        "not_a_number,oops,extra\n"   # wrong arity + uncastable
+        "2,20.0\n"
+        "3,bad_amount\n"              # uncastable amount
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    clean, quarantine = scan_csv_permissive(spark, str(p), schema)
+    got = sorted((r["user_id"], r["amount"]) for r in clean.collect())
+    assert got == [(1, 10.5), (2, 20.0)]
+    bad = sorted(r["raw_line"] for r in quarantine.collect())
+    assert bad == ["3,bad_amount", "not_a_number,oops,extra"]
+    # quarantine keeps the ORIGINAL line — repair-and-replay ready
+    assert all("," in line for line in bad)

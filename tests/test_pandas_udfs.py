@@ -71,3 +71,27 @@ def test_token_spans_udtf_offsets_reconstruct(spark):
     }
     for r in rows:  # offsets are real: slicing reproduces the token
         assert r["text"][r["start"]:r["end"]] == r["token"]
+
+
+def test_arrow_python_udf_matches_plain_python(spark):
+    """The Arrow-optimized UDF must compute byte-identically to the
+    same function run as plain Python — transport change only."""
+    from music_streaming_etl_spark.operators.pandas_udfs import (
+        arrow_python_udf_fingerprint,
+    )
+
+    def ref_fnv(text):
+        h = 0xCBF29CE484222325
+        for b in text.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h - 0x8000000000000000
+
+    df = spark.createDataFrame(
+        [("hello",), ("wörld",), (None,), ("",)], "t string"
+    )
+    fp = arrow_python_udf_fingerprint()
+    got = {r["t"]: r["fp"] for r in df.select("t", fp("t").alias("fp")).collect()}
+    assert got["hello"] == ref_fnv("hello")
+    assert got["wörld"] == ref_fnv("wörld")
+    assert got[""] == ref_fnv("")
+    assert got[None] is None
