@@ -3160,7 +3160,136 @@ GROUP BY 2
 """
 
 
+def q_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's active DAYS into
+    contiguous [streak_start, streak_end] runs (the classic
+    ``day − row_number()`` grouping — consecutive days share one
+    anchor). Per-user windows over the distinct-day frame (bounded by
+    calendar days), one shuffle on user_id; the canonical streak /
+    uptime / coverage-range operator."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    return anchored.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).select("user_id", "streak_start", "streak_end", "n_days")
+
+
+ORACLE_GAPS_ISLANDS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), anchored AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+           AS anchor
+  FROM days
+)
+SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM anchored GROUP BY user_id, anchor
+"""
+
+
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT a running
+    countDistinct: each user contributes on their FIRST-SEEN day only
+    (one per-user min), then a daily count + running sum over the
+    daily frame. The running-distinct that naively needs
+    O(users) window state becomes two dim-sized aggregates — the
+    standard growth-curve trick. The final window orders the ≤|days|
+    daily rows — bounded by calendar, not data."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+), per_day AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM first_seen GROUP BY 1
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+"""
+
+
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT parity (Oracle/Teradata's window idiom): each
+    nation's revenue share of its region, as a window sum over the
+    nation-grain aggregate — the share computes WITHOUT a second
+    aggregate+join. Integer cents to the very last division; the
+    window partitions by region over ≤25 nation rows."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return per_nation.select(
+        F.col("n_regionkey").cast("bigint").alias("region_key"),
+        F.col("n_name").alias("nation"),
+        "rev_cents",
+        F.round(
+            F.col("rev_cents").cast("double")
+            / F.sum("rev_cents").over(w).cast("double"),
+            6,
+        ).alias("share_of_region"),
+    )
+
+
+ORACLE_RATIO_TO_REPORT = """
+WITH per_nation AS (
+  SELECT n.n_regionkey, n.n_name,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT CAST(n_regionkey AS BIGINT) AS region_key, n_name AS nation,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       ROUND(CAST(rev_cents AS DOUBLE)
+             / CAST(SUM(rev_cents) OVER (PARTITION BY n_regionkey) AS DOUBLE),
+             6) AS share_of_region
+FROM per_nation
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "gaps_and_islands": (q_gaps_and_islands, ORACLE_GAPS_ISLANDS),
+    "cumulative_unique_users": (
+        q_cumulative_unique_users, ORACLE_CUMULATIVE_USERS,
+    ),
+    "ratio_to_report": (q_ratio_to_report, ORACLE_RATIO_TO_REPORT),
     "bag_set_ops": (q_bag_set_ops, ORACLE_BAG_SET_OPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLES),
     "check_unique": (q_check_unique, ORACLE_CHECK_UNIQUE),
