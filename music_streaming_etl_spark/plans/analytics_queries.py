@@ -3284,7 +3284,215 @@ FROM per_nation
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the ML-ops drift gate: order-value
+    distribution of 1998+ orders vs the 1995-97 baseline over ten
+    $50k bins, PSI = Σ (p−q)·ln(p/q). Zero-count bins get the
+    standard ε = 1e-6 floor so the log stays finite. Per-bin
+    contributions round to 9 decimals and sum as DECIMAL (order-free);
+    p and q are exact integer-count ratios. One scan builds both
+    distributions (conditional counts), the rest is 10-row math.
+    PSI > 0.2 is the conventional retrain trigger."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    is_new = F.to_date("o_orderdate") >= F.lit("1998-01-01")
+    binned = orders.select(
+        F.least(F.lit(9), F.floor(cents / F.lit(5000000.0)).cast("int")).alias("bin"),
+        is_new.alias("is_new"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.when(~F.col("is_new"), 1)).alias("n_base"),
+        F.count(F.when(F.col("is_new"), 1)).alias("n_new"),
+    )
+    tot = cells.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_new").alias("t_new")
+    )
+    eps = F.lit(1e-6)
+    withp = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_new",
+        F.greatest(eps, F.col("n_base").cast("double") / F.col("t_base").cast("double")).alias("q"),
+        F.greatest(eps, F.col("n_new").cast("double") / F.col("t_new").cast("double")).alias("p"),
+    )
+    contrib = withp.select(
+        "bin", "n_base", "n_new",
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9)
+        .cast("decimal(18,9)")
+        .alias("cell"),
+    )
+    return contrib.agg(
+        F.round(F.sum("cell").cast("double"), 6).alias("psi"),
+        (F.round(F.sum("cell").cast("double"), 6) > 0.2).alias("drifted"),
+    )
+
+
+ORACLE_PSI = """
+WITH binned AS (
+  SELECT least(9, CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                             / 5000000.0) AS INT)) AS bin,
+         CAST(o_orderdate AS DATE) >= DATE '1998-01-01' AS is_new
+  FROM orders
+), cells AS (
+  SELECT bin,
+         COUNT(CASE WHEN NOT is_new THEN 1 END) AS n_base,
+         COUNT(CASE WHEN is_new THEN 1 END) AS n_new
+  FROM binned GROUP BY 1
+), tot AS (SELECT SUM(n_base) AS t_base, SUM(n_new) AS t_new FROM cells),
+withp AS (
+  SELECT bin,
+         greatest(1e-6, CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE)) AS q,
+         greatest(1e-6, CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE)) AS p
+  FROM cells, tot
+), contrib AS (
+  SELECT CAST(ROUND((p - q) * ln(p / q), 9) AS DECIMAL(18,9)) AS cell FROM withp
+)
+SELECT ROUND(CAST(SUM(cell) AS DOUBLE), 6) AS psi,
+       ROUND(CAST(SUM(cell) AS DOUBLE), 6) > 0.2 AS drifted
+FROM contrib
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per return flag: prices clipped to
+    the group's exact [p05, p95] (nearest-rank-lower percentiles by
+    row_number under a total order — the engine's deterministic
+    percentile rule), then integer-cent sums → the outlier-insensitive
+    mean every reporting stack wants next to the raw one. Two window
+    passes + the usual broadcast of the |flags|-row bounds frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = li.select(
+        "l_returnflag", cents.alias("cents"), "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    cw = Window.partitionBy("l_returnflag")
+    ranked = base.select(
+        "l_returnflag", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    lo_rank = F.greatest(F.lit(1), F.floor(F.col("cnt") * 0.05).cast("int"))
+    hi_rank = F.greatest(F.lit(1), F.floor(F.col("cnt") * 0.95).cast("int"))
+    bounds = (
+        ranked.filter((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").alias("p05"), F.max("cents").alias("p95"))
+    )
+    clipped = base.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.least(F.col("p95"), F.greatest(F.col("p05"), F.col("cents"))).alias("c"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("c").cast("bigint").alias("winsorized_cents"),
+        (
+            F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("winsorized_mean_cents"),
+    )
+
+
+ORACLE_WINSORIZED = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM base
+), bounds AS (
+  SELECT l_returnflag, MIN(cents) AS p05, MAX(cents) AS p95
+  FROM ranked
+  WHERE rn = greatest(1, CAST(floor(cnt * 0.05) AS INT))
+     OR rn = greatest(1, CAST(floor(cnt * 0.95) AS INT))
+  GROUP BY 1
+), clipped AS (
+  SELECT b.l_returnflag, least(p95, greatest(p05, cents)) AS c
+  FROM base b JOIN bounds USING (l_returnflag)
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(c) AS BIGINT) AS winsorized_cents,
+       CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean_cents
+FROM clipped GROUP BY 1
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic fraud
+    screen: observed first-significant-digit shares vs log10(1+1/d)
+    expectations, with the absolute deviation per digit. Digit
+    extraction is pure string ops on the decimal rendering (no float
+    log on the data path); expected shares are 9 double constants.
+    Synthetic TPC-H prices are uniform-ish, so the audit FLAGS them —
+    which is the point: the query detects non-Benford data."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    import math
+
+    expected = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(round(math.log10(1 + 1 / d), 9)))
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias(
+                "observed_share"
+            ),
+            expected[F.col("digit")].alias("benford_share"),
+        )
+        .select(
+            "digit", "n", "observed_share", "benford_share",
+            F.round(
+                F.abs(F.col("observed_share") - F.col("benford_share")), 6
+            ).alias("abs_deviation"),
+        )
+    )
+
+
+def _oracle_benford() -> str:
+    import math
+
+    pairs = ", ".join(
+        f"({d}, {round(math.log10(1 + 1 / d), 9)})" for d in range(1, 10)
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT SUM(n) AS t FROM counts),
+expected(digit, benford_share) AS (VALUES {pairs})
+SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS observed_share,
+       e.benford_share,
+       ROUND(abs(ROUND(CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                 - e.benford_share), 6) AS abs_deviation
+FROM counts c JOIN expected e USING (digit), tot
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "psi_drift": (q_psi_drift, ORACLE_PSI),
+    "winsorized_stats": (q_winsorized_stats, ORACLE_WINSORIZED),
+    "benford_audit": (q_benford_audit, _oracle_benford()),
     "gaps_and_islands": (q_gaps_and_islands, ORACLE_GAPS_ISLANDS),
     "cumulative_unique_users": (
         q_cumulative_unique_users, ORACLE_CUMULATIVE_USERS,

@@ -28,6 +28,9 @@ REGISTRY.update(REGISTRY_TPCH)
 # the driver did not see.
 _PRIORITY: list[str] = [
     # round 6: brand-new queries — first external check
+    "psi_drift",
+    "winsorized_stats",
+    "benford_audit",
     "gaps_and_islands",
     "cumulative_unique_users",
     "ratio_to_report",
