@@ -3489,7 +3489,127 @@ FROM counts c JOIN expected e USING (digit), tot
 """
 
 
+def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signals (the golden-cross shape) on
+    daily revenue, INTEGER-EXACT: short (7-day) vs long (28-day)
+    trailing means compared as ``28·S_short·n_long > 7·S_long·n_short``
+    — cross-multiplied integer sums, no float mean ever. A signal
+    fires on days where the short side is above AND was not above the
+    previous day (the crossing, not the state). Windows run over the
+    daily-grain frame (bounded by calendar), counts pinned so partial
+    windows at the series head never fire."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(cents).alias("c")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    w28 = Window.orderBy("d").rowsBetween(-27, 0)
+    st = daily.select(
+        "d", "c",
+        F.sum("c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.sum("c").over(w28).alias("s28"),
+        F.count(F.lit(1)).over(w28).alias("n28"),
+    )
+    # above ⇔ s7/n7 > s28/n28 ⇔ s7·n28 > s28·n7 (all positive ints)
+    above = (F.col("n28") == 28) & (
+        F.col("s7") * F.col("n28") > F.col("s28") * F.col("n7")
+    )
+    w1 = Window.orderBy("d")
+    flagged = st.select(
+        "d", "c", above.alias("above"),
+        F.lag(above.cast("int"), 1, 0).over(w1).alias("prev_above"),
+    )
+    return flagged.select(
+        F.col("d").alias("stat_date"),
+        F.col("c").alias("rev_cents"),
+        "above",
+        (F.col("above") & (F.col("prev_above") == 0)).alias("golden_cross"),
+    )
+
+
+ORACLE_MA_CROSSOVER = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT d, c,
+         SUM(c) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7,
+         SUM(c) OVER (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS s28,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS n28
+  FROM daily
+), flagged AS (
+  SELECT d, c,
+         (n28 = 28 AND s7 * n28 > s28 * n7) AS above,
+         COALESCE(LAG(CAST(n28 = 28 AND s7 * n28 > s28 * n7 AS INT), 1)
+                  OVER (ORDER BY d), 0) AS prev_above
+  FROM st
+)
+SELECT d AS stat_date, CAST(c AS BIGINT) AS rev_cents, above,
+       (above AND prev_above = 0) AS golden_cross
+FROM flagged
+"""
+
+
+def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue concentration: the revenue share held by
+    the top 20% of customers — customers ranked by exact integer
+    revenue under a total order (revenue DESC, custkey), the cut at
+    ``floor(n/5)``, shares as one final division. The rank runs over
+    the customer-grain aggregate (dim-sized), so the only fact-scaled
+    work is the orders pre-aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("rn") <= F.floor(F.col("n") / 5), F.col("c"))).cast(
+            "bigint"
+        ).alias("top20_cents"),
+        F.sum("c").cast("bigint").alias("total_cents"),
+        F.round(
+            F.sum(
+                F.when(F.col("rn") <= F.floor(F.col("n") / 5), F.col("c")).otherwise(0)
+            ).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("top20_share"),
+    )
+
+
+ORACLE_PARETO = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, o_custkey ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM per_cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN rn <= floor(n / 5) THEN c END) AS BIGINT) AS top20_cents,
+       CAST(SUM(c) AS BIGINT) AS total_cents,
+       ROUND(CAST(SUM(CASE WHEN rn <= floor(n / 5) THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS top20_share
+FROM ranked
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "ma_crossover": (q_ma_crossover, ORACLE_MA_CROSSOVER),
+    "pareto_concentration": (q_pareto_concentration, ORACLE_PARETO),
     "psi_drift": (q_psi_drift, ORACLE_PSI),
     "winsorized_stats": (q_winsorized_stats, ORACLE_WINSORIZED),
     "benford_audit": (q_benford_audit, _oracle_benford()),

@@ -28,6 +28,8 @@ REGISTRY.update(REGISTRY_TPCH)
 # the driver did not see.
 _PRIORITY: list[str] = [
     # round 6: brand-new queries — first external check
+    "ma_crossover",
+    "pareto_concentration",
     "psi_drift",
     "winsorized_stats",
     "benford_audit",
