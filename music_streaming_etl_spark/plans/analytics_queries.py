@@ -13,7 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.ranking import global_ntile, global_topk
+from ..operators.ranking import global_ntile, global_rank, global_topk
 from .testdata_queries import _t, dec_sum
 
 
@@ -3558,29 +3558,26 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (80/20) revenue concentration: the revenue share held by
     the top 20% of customers — customers ranked by exact integer
     revenue under a total order (revenue DESC, custkey), the cut at
-    ``floor(n/5)``, shares as one final division. The rank runs over
-    the customer-grain aggregate (dim-sized), so the only fact-scaled
-    work is the orders pre-aggregation."""
+    ``floor(n/5)``, shares as one final division. The customer frame
+    grows with scale factor, so the rank uses ``global_rank``
+    (range-partition + broadcast offsets) — NEVER an unpartitioned
+    window — and ``n`` comes from a 1-row aggregate, not a full-frame
+    count window."""
     orders = _t(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("o_custkey"))
-    ranked = per_cust.select(
-        "c",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
-    )
-    return ranked.agg(
+    ranked = global_rank(per_cust, [F.desc("c"), F.asc("o_custkey")])
+    n_row = per_cust.agg(F.count(F.lit(1)).alias("n"))
+    joined = ranked.crossJoin(F.broadcast(n_row))
+    return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum(F.when(F.col("rn") <= F.floor(F.col("n") / 5), F.col("c"))).cast(
+        F.sum(F.when(F.col("rank") <= F.floor(F.col("n") / 5), F.col("c"))).cast(
             "bigint"
         ).alias("top20_cents"),
         F.sum("c").cast("bigint").alias("total_cents"),
         F.round(
             F.sum(
-                F.when(F.col("rn") <= F.floor(F.col("n") / 5), F.col("c")).otherwise(0)
+                F.when(F.col("rank") <= F.floor(F.col("n") / 5), F.col("c")).otherwise(0)
             ).cast("double")
             / F.sum("c").cast("double"),
             6,
