@@ -3359,7 +3359,14 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number under a total order — the engine's deterministic
     percentile rule), then integer-cent sums → the outlier-insensitive
     mean every reporting stack wants next to the raw one. Two window
-    passes + the usual broadcast of the |flags|-row bounds frame."""
+    passes + the usual broadcast of the |flags|-row bounds frame.
+
+    Scale note: the rank pass sorts the fact within |returnflag| = 3
+    partitions — the same parallelism ceiling as exact
+    ``revenue_percentiles``, accepted for the same reason (exact,
+    oracle-checkable bounds). The 100 TB path swaps the ranked bounds
+    for ``percentile_approx(cents, [0.05, 0.95])`` — one pass, no
+    per-group sort — mirroring ``revenue_percentiles_approx``."""
     li = _t(spark, sf_dir, "lineitem")
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     base = li.select(
@@ -3421,6 +3428,33 @@ SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean_cents
 FROM clipped GROUP BY 1
 """
+
+
+def q_winsorized_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``winsorized_stats``: clip bounds from
+    ``percentile_approx`` (GK sketch — one pass, partial-aggregated
+    map-side, no per-group fact sort), everything after the bounds
+    identical. Rows-only by nature (sketch merge order can shift a
+    bound by its ε); ``tests/test_winsorized_approx.py`` pins the
+    approx mean within tolerance of the exact one."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = li.select("l_returnflag", cents.alias("cents"))
+    bounds = base.groupBy("l_returnflag").agg(
+        F.percentile_approx("cents", 0.05, 10000).alias("p05"),
+        F.percentile_approx("cents", 0.95, 10000).alias("p95"),
+    )
+    clipped = base.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.least(F.col("p95"), F.greatest(F.col("p05"), F.col("cents"))).alias("c"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("c").cast("bigint").alias("winsorized_cents"),
+        (
+            F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("winsorized_mean_cents"),
+    )
 
 
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3609,6 +3643,7 @@ REGISTRY_ANALYTICS: dict = {
     "pareto_concentration": (q_pareto_concentration, ORACLE_PARETO),
     "psi_drift": (q_psi_drift, ORACLE_PSI),
     "winsorized_stats": (q_winsorized_stats, ORACLE_WINSORIZED),
+    "winsorized_stats_approx": (q_winsorized_stats_approx, None),
     "benford_audit": (q_benford_audit, _oracle_benford()),
     "gaps_and_islands": (q_gaps_and_islands, ORACLE_GAPS_ISLANDS),
     "cumulative_unique_users": (

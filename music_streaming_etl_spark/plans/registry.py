@@ -27,6 +27,15 @@ REGISTRY.update(REGISTRY_TPCH)
 # with the round's riskiest changes; BUILD_NOTES.md records which keys
 # the driver did not see.
 _PRIORITY: list[str] = [
+    # VERDICT r01 action items — MUST stay inside the driver's first-50
+    # window: the two oracle-cast hash-fail fixes and the four
+    # de-broadcast fact-scaled-join queries
+    "train_val_split",
+    "lang_distribution",
+    "revenue_by_region",
+    "tpch_q5_local_supplier",
+    "top_revenue_customers",
+    "revenue_percentiles",
     # round 6: brand-new queries — first external check
     "ma_crossover",
     "pareto_concentration",
@@ -77,15 +86,6 @@ _PRIORITY: list[str] = [
     "revenue_trend",
     "pagerank_copurchase",
     "entity_resolution",
-    # VERDICT r01 action items — MUST be re-checked by the driver this
-    # round: the two oracle-cast hash-fail fixes and the four
-    # de-broadcast fact-scaled-join queries
-    "train_val_split",
-    "lang_distribution",
-    "revenue_by_region",
-    "tpch_q5_local_supplier",
-    "top_revenue_customers",
-    "revenue_percentiles",
     # round 4: brand-new queries — first external check
     "quantile_sketch_rollup",
     "cms_frequency",

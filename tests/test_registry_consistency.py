@@ -47,4 +47,5 @@ def test_oracle_coverage_ratio():
         "similarity_topk_ivf_kmeans",   # learned quantizer (iterative)
         "similarity_topk_ivfpq",        # two learned quantizers (iterative)
         "similarity_topk_pq",           # learned PQ codebooks (iterative)
+        "winsorized_stats_approx",      # GK-sketch bounds (tolerance pytest)
     ], (total, rows_only)
