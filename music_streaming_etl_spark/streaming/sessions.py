@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -222,5 +223,32 @@ def sessionize_stream_finalizing(
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_stream_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ENGINE-NATIVE streaming sessionization: the same
+    ``session_window`` aggregation the batch ``sessionize_native``
+    query runs, under a watermark — Spark's ``UpdatingSessionsExec``
+    merges gap-adjacent state server-side and emits each session ONCE
+    when the watermark passes its close (append mode), with state
+    freed on emit. Contrast with the two custom sessionizers above:
+    zero user code holds state, at the price of fixed output columns
+    and the engine's ``[start, last+gap)`` close rule (documented on
+    the batch twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
         )
     )

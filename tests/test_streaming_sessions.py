@@ -114,3 +114,66 @@ def test_finalizing_sessions_emit_closed_on_watermark(spark, tmp_path):
     assert closed[0]["last_ts"] == t + dt.timedelta(minutes=5)
     # user 2 still open — no closed row for them
     assert not [r for r in rows if r["closed"] and r["user_id"] == 2]
+
+
+def test_native_session_window_emits_closed_sessions(spark, tmp_path):
+    """Engine-native session_window under a watermark: sessions merge
+    gap-adjacent events server-side and emit once closed; a session
+    still open at the watermark stays unemitted. Matches the batch
+    sessionize_native [start, last+gap) close rule."""
+    import time
+
+    from music_streaming_etl_spark.streaming.sessions import (
+        sessionize_stream_native,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    t0 = dt.datetime(2024, 6, 25, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # user 1: two events 10 min apart (one session), then a 40-min gap
+    # event (second session). The late high-watermark event at +300
+    # advances event time far enough to close everything.
+    _write(
+        spark,
+        [
+            (1, 1, ts(0)),
+            (2, 1, ts(10)),
+            (3, 1, ts(50)),
+            (4, 2, ts(0)),
+            (5, 99, ts(300)),  # watermark pusher
+        ],
+        stream_dir,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("header", True)
+        .csv(stream_dir)
+    )
+    out = sessionize_stream_native(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more empty-ish trigger so the advanced watermark finalizes
+        _write(spark, [(6, 99, ts(301))], stream_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM native_sessions").collect()
+    }
+    # user 1 session A: [10:00, 10:40) = last(10:10)+30min, 2 events
+    assert rows[(1, ts(0), ts(40))] == 2
+    # user 1 session B: [10:50, 11:20), 1 event
+    assert rows[(1, ts(50), ts(80))] == 1
+    # user 2: single-event session
+    assert rows[(2, ts(0), ts(30))] == 1
