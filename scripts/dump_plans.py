@@ -137,6 +137,16 @@ COMMENT = {
         "the middle vertex, LeftSemi closure. Both joins shuffle on vertex "
         "keys; the semi-join never materializes triangle rows."
     ),
+    "pareto_concentration": (
+        "Customer-grain ranking through global_rank: RangePartitioning + "
+        "per-partition row_number + broadcast offset add — no unpartitioned "
+        "window anywhere, though the frame is customer-sized."
+    ),
+    "psi_drift": (
+        "Drift gate: ONE fact scan builds both period distributions as "
+        "conditional counts; everything after is 10-row math on broadcast "
+        "totals."
+    ),
 }
 
 
