@@ -3638,7 +3638,96 @@ FROM ranked
 """
 
 
+def q_stickiness_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + the DAU/MAU stickiness ratio per day, EXACT:
+    the (day, user) distinct frame joins a day spine within the 7- and
+    28-day lookbacks (the same bounded-fan-out range-join shape as the
+    EWMA — never a running countDistinct, whose window state is
+    O(users)). Distinct counts are per-day aggregates over the joined
+    frame; windows bounded by calendar distance; the ratio is one
+    final division. Partial head windows report what's in range (the
+    standard dashboard semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct()
+    j = spine.alias("s").join(
+        du.alias("a"),
+        (F.datediff(F.col("s.day"), F.col("a.day")) >= 0)
+        & (F.datediff(F.col("s.day"), F.col("a.day")) <= 27),
+    )
+    lag = F.datediff(F.col("s.day"), F.col("a.day"))
+    per_day = j.groupBy(F.col("s.day").alias("day")).agg(
+        F.count_distinct(F.when(lag == 0, F.col("a.user_id"))).cast("bigint").alias("dau"),
+        F.count_distinct(F.when(lag <= 6, F.col("a.user_id"))).cast("bigint").alias("wau"),
+        F.count_distinct(F.col("a.user_id")).cast("bigint").alias("mau"),
+    )
+    return per_day.select(
+        "day", "dau", "wau", "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+ORACLE_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), spine AS (SELECT DISTINCT day FROM du),
+j AS (
+  SELECT s.day AS day, a.user_id,
+         date_diff('day', a.day, s.day) AS lag
+  FROM spine s JOIN du a
+    ON date_diff('day', a.day, s.day) BETWEEN 0 AND 27
+), per_day AS (
+  SELECT day,
+         CAST(COUNT(DISTINCT CASE WHEN lag = 0 THEN user_id END) AS BIGINT) AS dau,
+         CAST(COUNT(DISTINCT CASE WHEN lag <= 6 THEN user_id END) AS BIGINT) AS wau,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM j GROUP BY 1
+)
+SELECT day, dau, wau, mau,
+       ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+FROM per_day
+"""
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever activity today)
+    vs RETURNING — the acquisition-vs-retention read on every growth
+    dashboard. One per-user min (first_seen), joined back onto the
+    (day, user) distinct frame on the user key; all counts exact
+    integers."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = du.join(first_seen, "user_id")
+    return j.groupBy("day").agg(
+        F.count(F.when(F.col("day") == F.col("first_day"), 1)).cast("bigint").alias(
+            "new_users"
+        ),
+        F.count(F.when(F.col("day") != F.col("first_day"), 1)).cast("bigint").alias(
+            "returning_users"
+        ),
+    )
+
+
+ORACLE_NEW_VS_RETURNING = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), first_seen AS (
+  SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1
+)
+SELECT day,
+       CAST(COUNT(CASE WHEN day = first_day THEN 1 END) AS BIGINT) AS new_users,
+       CAST(COUNT(CASE WHEN day <> first_day THEN 1 END) AS BIGINT) AS returning_users
+FROM du JOIN first_seen USING (user_id)
+GROUP BY day
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "stickiness_ratios": (q_stickiness_ratios, ORACLE_STICKINESS),
+    "new_vs_returning": (q_new_vs_returning, ORACLE_NEW_VS_RETURNING),
     "ma_crossover": (q_ma_crossover, ORACLE_MA_CROSSOVER),
     "pareto_concentration": (q_pareto_concentration, ORACLE_PARETO),
     "psi_drift": (q_psi_drift, ORACLE_PSI),
