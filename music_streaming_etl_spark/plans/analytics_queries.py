@@ -3725,7 +3725,177 @@ GROUP BY day
 """
 
 
+def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase pairs: support,
+    confidence, and lift for each frequent pair —
+
+        lift(a,b) = (n_ab · N) / (n_a · n_b)
+
+    as ONE division of exact integer products (never chained float
+    probabilities). Pairs with lift > 1 co-occur more than chance —
+    the cross-sell shortlist. Builds on the same distinct-first
+    (order, part) self-join as ``copurchase_pairs``; the per-item
+    counts frame is item-grain and broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().hint("merge")
+    # total-basket count as a 1-row aggregate crossJoined in — never a
+    # driver-side .count() inside the plan build
+    tot = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_tot")
+    )
+    item_counts = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, bb = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(item_counts.select(F.col("l_partkey").alias("part_a"),
+                                           F.col("n_item").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("l_partkey").alias("part_b"),
+                                           F.col("n_item").alias("n_b"))),
+            "part_b",
+        )
+    )
+    return enriched.crossJoin(F.broadcast(tot)).select(
+        "part_a", "part_b",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.round(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6).alias(
+            "confidence_a_to_b"
+        ),
+        F.round(
+            (F.col("n_ab") * F.col("n_tot")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+ORACLE_BASKET_LIFT = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+items AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+         AS confidence_a_to_b,
+       ROUND(CAST(p.n_ab * tot.n AS DOUBLE)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN items ia ON p.part_a = ia.l_partkey
+JOIN items ib ON p.part_b = ib.l_partkey, tot
+"""
+
+
+def q_funnel_time_to_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per converting user, the time from earliest
+    view to the first click after it, and from that click to the
+    first purchase after it — summarized as the lower-median whole
+    seconds per transition (row_number total order, the engine's
+    deterministic median rule). Same one-shuffle stacked
+    conditional-min windows as ``funnel_conversion``; the medians run
+    over the converting-user frame.
+
+    Scale note: the two median ranks sort the converting-user frame
+    unpartitioned — the exact-percentile ceiling accepted (and
+    documented) on ``revenue_percentiles``/``winsorized_stats``; the
+    100 TB path is ``percentile_approx`` over the same deltas."""
+    ev = _t(spark, sf_dir, "events")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(Window.partitionBy("user_id"))
+    base = ev.select("user_id", "event_type", "ts", t_view.alias("t1"))
+    t_click = (
+        base.filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    t_buy = (
+        ev.select("user_id", "event_type", "ts")
+        .join(t_click, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.first("t1").alias("t1"), F.first("t2").alias("t2"))
+    )
+    deltas = t_buy.select(
+        "user_id",
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")).alias("view_to_click_s"),
+        (F.unix_timestamp("t3") - F.unix_timestamp("t2")).alias("click_to_buy_s"),
+    )
+
+    def lower_median(col: str):
+        w_rank = Window.orderBy(col, "user_id")
+        cw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ranked = deltas.select(
+            F.col(col).alias("v"),
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(cw).alias("cnt"),
+        )
+        return ranked.filter(
+            F.col("rn") == F.floor((F.col("cnt") + 1) / 2).cast("int")
+        ).select(F.col("v"))
+
+    m1 = lower_median("view_to_click_s").select(F.col("v").alias("median_view_to_click_s"))
+    m2 = lower_median("click_to_buy_s").select(F.col("v").alias("median_click_to_buy_s"))
+    n = deltas.agg(F.count(F.lit(1)).cast("bigint").alias("n_converting_users"))
+    return n.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2))
+
+
+ORACLE_FUNNEL_LATENCY = """
+WITH t1 AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2, MIN(t1.t1) AS t1
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t1
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3,
+         MIN(t2.t1) AS t1, MIN(t2.t2) AS t2
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t2
+  GROUP BY 1
+), deltas AS (
+  SELECT user_id,
+         floor(epoch(t2)) - floor(epoch(t1)) AS d1,
+         floor(epoch(t3)) - floor(epoch(t2)) AS d2
+  FROM t3
+), r1 AS (
+  SELECT d1, ROW_NUMBER() OVER (ORDER BY d1, user_id) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM deltas
+), r2 AS (
+  SELECT d2, ROW_NUMBER() OVER (ORDER BY d2, user_id) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM deltas
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deltas) AS n_converting_users,
+       (SELECT CAST(d1 AS BIGINT) FROM r1
+        WHERE rn = CAST(floor((cnt + 1) / 2) AS INT)) AS median_view_to_click_s,
+       (SELECT CAST(d2 AS BIGINT) FROM r2
+        WHERE rn = CAST(floor((cnt + 1) / 2) AS INT)) AS median_click_to_buy_s
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "basket_affinity_lift": (q_basket_affinity_lift, ORACLE_BASKET_LIFT),
+    "funnel_time_to_step": (q_funnel_time_to_step, ORACLE_FUNNEL_LATENCY),
     "stickiness_ratios": (q_stickiness_ratios, ORACLE_STICKINESS),
     "new_vs_returning": (q_new_vs_returning, ORACLE_NEW_VS_RETURNING),
     "ma_crossover": (q_ma_crossover, ORACLE_MA_CROSSOVER),

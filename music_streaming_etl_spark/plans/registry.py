@@ -37,6 +37,8 @@ _PRIORITY: list[str] = [
     "top_revenue_customers",
     "revenue_percentiles",
     # round 6: brand-new queries — first external check
+    "basket_affinity_lift",
+    "funnel_time_to_step",
     "stickiness_ratios",
     "new_vs_returning",
     "ma_crossover",
