@@ -3893,7 +3893,77 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deltas) AS n_converting_users,
 """
 
 
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the canonical CRM slice: each
+    customer scored 1-5 on Recency (days since last order — lower is
+    better), Frequency (order count), and Monetary (integer-cent
+    lifetime value), each via exact distributed NTILE(5)
+    (``global_ntile`` — range-partitioned ranks, never an
+    unpartitioned window over the customer frame), then rolled up to
+    per-(R,F,M)-cell customer counts with the champion cell
+    (5,5,5)-style label logic left to consumers. Every quintile uses a
+    total order (metric, custkey) so cell membership is deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    # recency in days against the corpus max date (1-row broadcast)
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("anchor"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+
+    def quintile(col_order, alias):
+        t = global_ntile(scored, col_order, 5).select(
+            "o_custkey", F.col("tile").alias(alias)
+        )
+        return t
+
+    r = quintile([F.asc("recency_days"), F.asc("o_custkey")], "r_score")
+    f = quintile([F.desc("frequency"), F.asc("o_custkey")], "f_score")
+    m = quintile([F.desc("monetary_cents"), F.asc("o_custkey")], "m_score")
+    rfm = r.join(f, "o_custkey").join(m, "o_custkey")
+    return rfm.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS monetary_cents
+  FROM orders GROUP BY 1
+), anchor AS (SELECT MAX(last_order) AS anchor FROM per_cust),
+scored AS (
+  SELECT o_custkey,
+         date_diff('day', last_order, anchor) AS recency_days,
+         frequency, monetary_cents
+  FROM per_cust, anchor
+), tiles AS (
+  SELECT o_custkey,
+         NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
+  FROM scored
+)
+SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM tiles GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY_ANALYTICS: dict = {
+    "rfm_segmentation": (q_rfm_segmentation, ORACLE_RFM),
     "basket_affinity_lift": (q_basket_affinity_lift, ORACLE_BASKET_LIFT),
     "funnel_time_to_step": (q_funnel_time_to_step, ORACLE_FUNNEL_LATENCY),
     "stickiness_ratios": (q_stickiness_ratios, ORACLE_STICKINESS),

@@ -186,11 +186,13 @@ def materialize_baskets(spark, sf_dir: str, mult: int) -> str:
 
 def main() -> None:
     from music_streaming_etl_spark.plans.analytics_queries import (
+        q_basket_affinity_lift,
         q_copurchase_pairs,
         q_copurchase_reach,
         q_ewma_daily_revenue,
         q_hopping_windows,
         q_peak_concurrency,
+        q_stickiness_ratios,
         q_quantile_sketch_rollup,
         q_sessionize_native,
         q_time_weighted_value,
@@ -237,6 +239,10 @@ def main() -> None:
         "peak_concurrency": (q_peak_concurrency, materialize_events, base_events),
         "bm25_search": (q_bm25_search, materialize_llm, base_docs),
         "copurchase_reach": (q_copurchase_reach, materialize_baskets, base_li),
+        "basket_affinity_lift": (
+            q_basket_affinity_lift, materialize_baskets, base_li,
+        ),
+        "stickiness_ratios": (q_stickiness_ratios, materialize_events, base_events),
     }
     out = {"sf_dir": sf_dir, "ops": {}}
     for op in ops:
