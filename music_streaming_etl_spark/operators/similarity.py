@@ -539,3 +539,80 @@ def similarity_topk_ivfpq(
     return global_topk(scored, [F.desc("score"), F.asc("id")], k).select(
         "rank", "id", "score"
     )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    dim: int,
+    index_dir: str,
+) -> None:
+    """Persist an IVF index as an on-disk artifact — the
+    build-once/search-many lifecycle ``minhash_index`` gives dedup,
+    for ANN:
+
+    - ``vectors.parquet`` **partitioned BY bucket**: a probe that
+      filters on bucket prunes whole partition DIRECTORIES at plan
+      time, so search I/O is bounded by the probed buckets however
+      large the corpus (`searched.inputFiles()` proves it in the
+      test);
+    - ``centroids.parquet``: the |buckets|-row codebook (decimal-
+      deterministic per ``centroids``).
+
+    Rebuild cost is one shuffle (the partitioned write); incremental
+    growth appends into existing bucket partitions.
+    """
+    import os
+
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        as_double_vec(F.col(vec_col)).alias("vec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    v.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "vectors.parquet")
+    )
+    centroids(vectors, bucket_col, vec_col, dim).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids.parquet")
+    )
+
+
+def search_ivf_index(
+    spark,
+    index_dir: str,
+    query: DataFrame,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Search a persisted IVF index: rank the stored centroids against
+    the query (tiny frame, broadcast), then scan ONLY the probed
+    bucket partitions — the bucket filter is a partition-pruning
+    predicate on the partitioned layout, so unprobed buckets never
+    produce a scan task. Returns (rank, id, score) like
+    ``similarity_topk``."""
+    import os
+
+    from .ranking import global_topk
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    q = query.select(as_double_vec(F.col(vec_col)).alias("qv"))
+    bucket_rank = global_topk(
+        cents.crossJoin(F.broadcast(q)).select(
+            "bucket",
+            F.round(cosine(F.col("centroid"), F.col("qv")), 6).alias("bscore"),
+        ),
+        [F.desc("bscore"), F.asc("bucket")],
+        n_probe,
+    ).select("bucket")
+    # n_probe scalar bucket ids to the driver — literal isin() is what
+    # makes the bucket filter a PLAN-TIME partition-pruning predicate
+    # (same class of scalar collect as the validation report ops)
+    probed = [r["bucket"] for r in bucket_rank.collect()]
+    stored = spark.read.parquet(os.path.join(index_dir, "vectors.parquet"))
+    pruned = stored.filter(F.col("bucket").isin(probed))
+    return similarity_topk(
+        pruned, query.select(F.col(vec_col).alias("vec")), "id", "vec", k
+    )
