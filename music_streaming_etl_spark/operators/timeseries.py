@@ -163,11 +163,15 @@ def peak_concurrency(
     Composition: clip every interval to the days it spans
     (``sequence() + explode`` — distributed, bounded by days-per-
     interval), emit +1/-1 boundary deltas, order each day's deltas by
-    (ts, delta DESC, all-column tiebreak) so an interval opening at
-    instant T counts as concurrent with one closing at T ([start,end)
-    half-open semantics resolved deterministically), then a per-day
-    running sum and max. Every window partitions by day — no global
-    sort, state O(1); the explode fan-out is |days spanned| per row.
+    (ts, delta ASC) so an interval CLOSING at instant T is processed
+    before one opening at T — true half-open ``[start, end)``
+    semantics: touching intervals are never concurrent, and a
+    zero-length clip ([T, T) is empty) never counts as open (the
+    property test's brute-force twin pinned this; the
+    starts-first tie order silently implemented closed intervals).
+    Then a per-day running sum and max. Every window partitions by
+    day — no global sort, state O(1); the explode fan-out is
+    |days spanned| per row.
     """
     days = F.sequence(
         F.to_date(start_col), F.to_date(end_col)
@@ -191,7 +195,7 @@ def peak_concurrency(
     )
     w = (
         Window.partitionBy("day")
-        .orderBy(F.col("at").asc(), F.col("delta").desc())
+        .orderBy(F.col("at").asc(), F.col("delta").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     running = deltas.select("day", F.sum("delta").over(w).alias("open"))

@@ -2292,7 +2292,7 @@ WITH g AS (
   UNION ALL
   SELECT day, ce AS at, -1 AS delta FROM clipped
 ), running AS (
-  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY at ASC, delta DESC
+  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY at ASC, delta ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
   FROM deltas
 )

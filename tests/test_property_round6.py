@@ -123,12 +123,20 @@ def test_peak_concurrency_matches_bruteforce(spark, ivs):
         r["day"]: r["peak_concurrent"]
         for r in peak_concurrency(df, "s", "e").collect()
     }
-    # brute force: evaluate concurrency at every boundary instant,
-    # clipped per day, with the operator's start-counts-before-end
-    # tie rule (count intervals where cs <= t < ce, plus the
-    # degenerate cs == ce == t touch)
-    days = sorted({(BASE + dt.timedelta(minutes=s + x)).date()
-                   for s, d in ivs for x in (0, d)})
+    # brute force: true half-open [start, end) concurrency evaluated
+    # at every clip-start instant (ends process before starts, so the
+    # maximum is attained at some start); a day whose only clips are
+    # empty ([T, T)) reports peak 0 — same as the operator
+    # every day each interval SPANS (interior days of multi-midnight
+    # intervals included), matching the operator's sequence() explode
+    days = sorted({
+        (BASE + dt.timedelta(minutes=s)).date() + dt.timedelta(days=k)
+        for s, d in ivs
+        for k in range(
+            ((BASE + dt.timedelta(minutes=s + d)).date()
+             - (BASE + dt.timedelta(minutes=s)).date()).days + 1
+        )
+    })
     expect = {}
     for day in days:
         d0 = dt.datetime.combine(day, dt.time())
@@ -142,7 +150,7 @@ def test_peak_concurrency_matches_bruteforce(spark, ivs):
             continue
         peak = 0
         for t in sorted({c for c, _ in clipped}):
-            cur = sum(1 for cs, ce in clipped if cs <= t and (t < ce or cs == ce == t))
+            cur = sum(1 for cs, ce in clipped if cs <= t < ce)
             peak = max(peak, cur)
         expect[day] = peak
     assert got == expect, (ivs, got, expect)

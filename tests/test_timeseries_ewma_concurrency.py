@@ -63,15 +63,16 @@ def test_peak_concurrency_overlap_and_touch(spark):
         [
             (_t(9), _t(11)),       # A
             (_t(10), _t(12)),      # B overlaps A → 2
-            (_t(11), _t(13)),      # C starts when A ends: start counts
-                                   # before end at 11:00 → momentary 3
+            (_t(11), _t(13)),      # C starts exactly when A ends:
+                                   # [start, end) — NOT concurrent
+                                   # with A, so the peak stays 2
             (_t(20), _t(21)),      # isolated
         ],
         "s timestamp, e timestamp",
     )
     (row,) = peak_concurrency(iv, "s", "e").collect()
     assert row["day"] == dt.date(2024, 6, 25)
-    assert row["peak_concurrent"] == 3
+    assert row["peak_concurrent"] == 2
 
 
 def test_peak_concurrency_multiday_clip(spark):
