@@ -3734,8 +3734,11 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ONE division of exact integer products (never chained float
     probabilities). Pairs with lift > 1 co-occur more than chance —
     the cross-sell shortlist. Builds on the same distinct-first
-    (order, part) self-join as ``copurchase_pairs``; the per-item
-    counts frame is item-grain and broadcast."""
+    (order, part) self-join as ``copurchase_pairs``. The per-item
+    counts frame is ITEM-grain — it grows with scale factor, so it is
+    NOT hinted into a broadcast (the engine's fact-scaled-side rule);
+    AQE demotes the shuffle join at runtime when it truly fits. Only
+    the 1-row basket total broadcasts."""
     li = _t(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct().hint("merge")
     # total-basket count as a 1-row aggregate crossJoined in — never a
@@ -3757,13 +3760,13 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = (
         pairs.join(
-            F.broadcast(item_counts.select(F.col("l_partkey").alias("part_a"),
-                                           F.col("n_item").alias("n_a"))),
+            item_counts.select(F.col("l_partkey").alias("part_a"),
+                               F.col("n_item").alias("n_a")),
             "part_a",
         )
         .join(
-            F.broadcast(item_counts.select(F.col("l_partkey").alias("part_b"),
-                                           F.col("n_item").alias("n_b"))),
+            item_counts.select(F.col("l_partkey").alias("part_b"),
+                               F.col("n_item").alias("n_b")),
             "part_b",
         )
     )

@@ -205,6 +205,7 @@ def test_no_forced_broadcast_on_fact_scaled_sides(spark, sf_dir):
     true dims (nation/region) and provably tiny derived sets may
     remain."""
     from music_streaming_etl_spark.plans.analytics_queries import (
+        q_basket_affinity_lift,
         q_ewma_daily_revenue,
         q_full_outer_reconciliation,
         q_revenue_by_region,
@@ -241,6 +242,9 @@ def test_no_forced_broadcast_on_fact_scaled_sides(spark, sf_dir):
         # … and the |priority|-row median/MAD frames (3: the med
         # broadcast is rebuilt for each of devs' two consumers)
         (q_robust_anomalies, 0, 3),
+        # item-grain counts grow with SF — the pair/count joins must
+        # stay shuffle joins; only the 1-row basket total may hint
+        (q_basket_affinity_lift, 3, 1),
     ]
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
