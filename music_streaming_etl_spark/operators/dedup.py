@@ -929,3 +929,71 @@ def lsh_candidate_quality(
             true_pair.cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("precision_at_threshold"),
     )
+
+
+def containment_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Containment near-duplication — the metric Jaccard MISSES: a
+    short doc fully embedded in a long one has
+
+        containment = |A∩B| / min(|A|, |B|) ≈ 1
+
+    while Jaccard ≈ |A|/|B| can sit far below any dedup threshold.
+    Training corpora need this to catch quote-expansion and
+    boilerplate-wrapping duplication. Same banded-LSH candidate
+    generation + hashed-shingle verify joins as
+    ``dedup_minhash_pairs`` (MinHash still collides contained pairs
+    whenever the small side dominates a band), only the verify
+    denominator changes — so the scale shape is identical.
+
+    Returns (id_a, id_b, containment, jaccard_sim), id_a < id_b, for
+    candidates with containment ≥ threshold.
+    """
+    hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
+    hsd = hsd.cache()
+    bands = _band_frame(mins, num_hashes, num_bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(hsd.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(hsd.select(F.col("id").alias("id_b"), F.col("h").alias("h_b")), "id_b")
+        .filter(F.col("h") == F.col("h_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(cnts.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(cnts.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / F.least(F.col("na"), F.col("nb")).cast("double"),
+                6,
+            ).alias("containment"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard_sim"),
+        )
+    )
+    return scored.filter(F.col("containment") >= threshold)

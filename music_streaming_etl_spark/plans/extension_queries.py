@@ -797,6 +797,37 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups over 3-gram shingles — |A∩B|/min(|A|,|B|)
+    ≥ 0.6: catches a short doc embedded in a long one, which Jaccard
+    structurally under-scores (see
+    ``operators/dedup.py::containment_neardup_pairs``). Same banding
+    config as ``dedup_minhash`` so the candidate set — and therefore
+    the scale argument — is shared."""
+    from ..operators.dedup import containment_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_neardup_pairs(
+        docs, "doc_id", "text", threshold=0.6, num_hashes=16, num_bands=4,
+        shingle_n=3,
+    )
+
+
+def _oracle_containment() -> str:
+    return f"""
+WITH {_minhash_ctes()}
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+             / CAST(least(len(x.h), len(y.h)) AS DOUBLE), 6) AS containment,
+       ROUND(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+             / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE), 6)
+         AS jaccard_sim
+FROM cand c JOIN hd x ON c.id_a = x.doc_id JOIN hd y ON c.id_b = y.doc_id
+WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+      / CAST(least(len(x.h), len(y.h)) AS DOUBLE) >= 0.6
+"""
+
+
 def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding quality report — candidate count, exact-Jaccard
     true pairs, and precision@0.8 for the same MinHash(16)/4-band/
@@ -1833,6 +1864,7 @@ REGISTRY_EXT: dict = {
     "bm25_search": (q_bm25_search, ORACLE_BM25),
     "scan_python_datasource": (q_scan_python_datasource, ORACLE_PYDS),
     "lsh_quality": (q_lsh_quality, _oracle_lsh_quality()),
+    "dedup_containment": (q_dedup_containment, _oracle_containment()),
     "quality_weighted_sample": (q_quality_weighted_sample, ORACLE_QUALITY_WEIGHTED),
     "domain_mixture_temperature": (
         q_domain_mixture_temperature, ORACLE_MIXTURE_TEMP,

@@ -37,6 +37,7 @@ _PRIORITY: list[str] = [
     "top_revenue_customers",
     "revenue_percentiles",
     # round 6: brand-new queries — first external check
+    "dedup_containment",
     "rfm_segmentation",
     "basket_affinity_lift",
     "funnel_time_to_step",
