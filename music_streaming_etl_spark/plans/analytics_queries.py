@@ -1271,7 +1271,7 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CONTINUOUS_AGG = """
-SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, o_orderstatus,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
   COUNT(*) AS n_orders
 FROM orders GROUP BY 1, 2
@@ -2354,7 +2354,7 @@ def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROBUST_ANOMALIES = """
 WITH daily AS (
   SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS stat_date,
-         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
   FROM orders GROUP BY 1, 2
 ), medr AS (
   SELECT priority, cents,
@@ -3011,7 +3011,7 @@ def q_second_highest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NTH_VALUE = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS stat_date,
-         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
   FROM orders GROUP BY 1
 )
 SELECT stat_date, rev_cents,
