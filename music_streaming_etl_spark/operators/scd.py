@@ -36,12 +36,16 @@ def scd2_history(
     state_cols: Sequence[str],
     ts_col: str,
     tiebreak: Sequence[str] = (),
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Build SCD2 validity intervals from a change-event feed.
 
-    Returns one row per *version*: ``keys + state_cols + valid_from +
-    valid_to + is_current``, where ``valid_to`` is the next version's
-    ``valid_from`` (NULL for the open current version).
+    Returns one row per *version*: ``keys + state_cols + keep_cols +
+    valid_from + valid_to + is_current``, where ``valid_to`` is the
+    next version's ``valid_from`` (NULL for the open current version).
+    ``keep_cols`` carries extra columns of the version-opening row
+    through (e.g. the tiebreak id, so downstream as-of lookups can
+    break equal-``valid_from`` ties deterministically).
     """
     w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
     changed: Column = F.lit(False)
@@ -57,5 +61,5 @@ def scd2_history(
         versions.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.lead("valid_from").over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .select(*keys, *state_cols, "valid_from", "valid_to", "is_current")
+        .select(*keys, *state_cols, *keep_cols, "valid_from", "valid_to", "is_current")
     )

@@ -299,7 +299,12 @@ def q_agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event enriched with the user's most
     recent signup event at-or-before it (union+window composition —
-    see operators/asof.py; DuckDB verifies with a native ASOF JOIN)."""
+    see operators/asof.py; DuckDB verifies with a native ASOF JOIN).
+    ``seq_col="event_id"`` breaks equal-``ts`` signup ties (backward:
+    highest id = latest record wins) so the match never depends on
+    partitioning or the data generator being collision-free; the
+    oracle mirrors the tiebreak by collapsing signups to
+    ``MAX(event_id)`` per (user, ts) before its ASOF join."""
     from ..operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -316,6 +321,7 @@ def q_asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         value_cols=["ts", "event_id"],
+        seq_col="event_id",
         suffix="_signup",
     )
 
@@ -323,8 +329,9 @@ def q_asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ASOF = """
 WITH a AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
            FROM events WHERE event_type = 'purchase'),
-     b AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-           FROM events WHERE event_type = 'signup')
+     b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  MAX(event_id) AS event_id
+           FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
 SELECT a.event_id, a.user_id, a.ts,
        b.ts AS ts_signup, b.event_id AS event_id_signup
 FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND b.ts <= a.ts
@@ -337,7 +344,11 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     in whole seconds (integer floor — engine-agnostic). Same
     union+window composition as the backward form, traversed in the
     opposite direction (operators/asof.py ``direction="forward"``);
-    DuckDB verifies with a native ``ASOF`` join on ``>=``."""
+    ``seq_col="event_id"`` makes equal-``ts`` purchase ties
+    deterministic (forward: lowest id = earliest record wins); the
+    oracle mirrors by collapsing purchases to ``MIN(event_id)`` per
+    (user, ts). DuckDB verifies with a native ``ASOF`` join on
+    ``>=``."""
     from ..operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -354,6 +365,7 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         value_cols=["ts", "event_id"],
+        seq_col="event_id",
         suffix="_purchase",
         direction="forward",
     )
@@ -369,8 +381,9 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ASOF_FWD = """
 WITH a AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
            FROM events WHERE event_type = 'signup'),
-     b AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-           FROM events WHERE event_type = 'purchase')
+     b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  MIN(event_id) AS event_id
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
 SELECT a.event_id, a.user_id, a.ts,
        b.ts AS ts_purchase, b.event_id AS event_id_purchase,
        CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT)
@@ -2616,7 +2629,12 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     [valid_from, valid_to) is exactly "latest valid_from at-or-before
     ts" because versions partition each user's timeline — so the
     lookup is one per-user window pass, never an inequality join.
-    DuckDB verifies with a native ASOF join against the same history."""
+    The version-opening ``event_id`` rides through the history as the
+    as-of ``seq_col`` (backward: highest id wins), so two versions
+    opening at the same instant resolve deterministically; the oracle
+    mirrors by keeping only the max-event_id version per (user,
+    valid_from). DuckDB verifies with a native ASOF join against the
+    same history."""
     from ..operators.asof import asof_join
     from ..operators.scd import scd2_history
 
@@ -2625,11 +2643,17 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("view", "click", "signup")
     ).select("user_id", "event_type", "ts", "event_id")
     hist = scd2_history(
-        state_feed, ["user_id"], ["event_type"], "ts", tiebreak=["event_id"]
+        state_feed,
+        ["user_id"],
+        ["event_type"],
+        "ts",
+        tiebreak=["event_id"],
+        keep_cols=["event_id"],
     ).select(
         "user_id",
         F.col("event_type").alias("state"),
         "valid_from",
+        "event_id",
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -2641,6 +2665,7 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="valid_from",
         value_cols=["state", "valid_from"],
+        seq_col="event_id",
         suffix="_at",
     ).select(
         "event_id", "user_id", "ts",
@@ -2659,14 +2684,21 @@ WITH feed AS (
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM feed
 ), versions AS (
-  SELECT user_id, event_type AS state, ts AS valid_from FROM ordered
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id FROM ordered
   WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+), vdedup AS (
+  SELECT user_id, state, valid_from FROM (
+    SELECT user_id, state, valid_from,
+           ROW_NUMBER() OVER (PARTITION BY user_id, valid_from
+                              ORDER BY event_id DESC) AS vrn
+    FROM versions)
+  WHERE vrn = 1
 ), p AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
   FROM events WHERE event_type = 'purchase'
 )
 SELECT p.event_id, p.user_id, p.ts, v.state, v.valid_from AS state_since
-FROM p ASOF LEFT JOIN versions v
+FROM p ASOF LEFT JOIN vdedup v
   ON p.user_id = v.user_id AND v.valid_from <= p.ts
 """
 
@@ -3640,26 +3672,31 @@ FROM ranked
 
 def q_stickiness_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / WAU / MAU + the DAU/MAU stickiness ratio per day, EXACT:
-    the (day, user) distinct frame joins a day spine within the 7- and
-    28-day lookbacks (the same bounded-fan-out range-join shape as the
-    EWMA — never a running countDistinct, whose window state is
-    O(users)). Distinct counts are per-day aggregates over the joined
-    frame; windows bounded by calendar distance; the ratio is one
-    final division. Partial head windows report what's in range (the
+    the (day, user) distinct frame explodes a bounded 0..27 lag
+    sequence (28x fan-out, same cardinality a range join would emit)
+    and hash-equi-joins the day spine on the landed day — never a
+    BroadcastNestedLoopJoin over range predicates, and never a running
+    countDistinct whose window state is O(users). Distinct counts are
+    per-day aggregates over the joined frame; the ratio is one final
+    division. Partial head windows report what's in range (the
     standard dashboard semantics)."""
     ev = _t(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     spine = du.select("day").distinct()
-    j = spine.alias("s").join(
-        du.alias("a"),
-        (F.datediff(F.col("s.day"), F.col("a.day")) >= 0)
-        & (F.datediff(F.col("s.day"), F.col("a.day")) <= 27),
-    )
-    lag = F.datediff(F.col("s.day"), F.col("a.day"))
-    per_day = j.groupBy(F.col("s.day").alias("day")).agg(
-        F.count_distinct(F.when(lag == 0, F.col("a.user_id"))).cast("bigint").alias("dau"),
-        F.count_distinct(F.when(lag <= 6, F.col("a.user_id"))).cast("bigint").alias("wau"),
-        F.count_distinct(F.col("a.user_id")).cast("bigint").alias("mau"),
+    fan = du.select(
+        "user_id",
+        F.col("day").alias("a_day"),
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("lag"),
+    ).withColumn("day", F.date_add(F.col("a_day"), F.col("lag")))
+    j = fan.join(spine, "day")
+    per_day = j.groupBy("day").agg(
+        F.count_distinct(F.when(F.col("lag") == 0, F.col("user_id")))
+        .cast("bigint")
+        .alias("dau"),
+        F.count_distinct(F.when(F.col("lag") <= 6, F.col("user_id")))
+        .cast("bigint")
+        .alias("wau"),
+        F.count_distinct("user_id").cast("bigint").alias("mau"),
     )
     return per_day.select(
         "day", "dau", "wau", "mau",

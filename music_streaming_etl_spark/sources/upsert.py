@@ -38,6 +38,7 @@ def merge_upsert(
     staging: DataFrame,
     keys: Sequence[str],
     order_by: Sequence[str] = (),
+    staging_unique: bool = False,
 ) -> DataFrame:
     """Pure MERGE: rows from ``staging`` replace target rows sharing
     the key; unmatched target rows survive; duplicate keys *within*
@@ -50,13 +51,17 @@ def merge_upsert(
     priority alone and ``row_number`` picks an arbitrary survivor that
     can change between runs/partitionings. Pass a version/timestamp
     column whenever staging may contain duplicate keys (the same
-    total-order rule the ranking/mode operators enforce)."""
-    if not order_by:
+    total-order rule the ranking/mode operators enforce) — OR declare
+    ``staging_unique=True`` when the staging frame is structurally
+    one-row-per-key (e.g. the output of a streaming groupBy in update
+    mode), in which case no tie can exist and no order is needed."""
+    if not order_by and not staging_unique:
         import warnings
 
         warnings.warn(
             "merge_upsert(order_by=()) is nondeterministic if staging "
-            "contains duplicate keys — pass a version/timestamp column",
+            "contains duplicate keys — pass a version/timestamp column "
+            "or declare staging_unique=True",
             stacklevel=2,
         )
     staged = staging.withColumn(_PRIORITY, F.lit(0))
@@ -79,6 +84,7 @@ def upsert_parquet(
     path: str,
     keys: Sequence[str],
     order_by: Sequence[str] = (),
+    staging_unique: bool = False,
 ) -> DataFrame:
     """Upsert ``staging`` into the parquet table at ``path`` (created
     if absent) and return the merged frame re-read from disk."""
@@ -87,7 +93,7 @@ def upsert_parquet(
         f.endswith(".parquet") for f in os.listdir(path)
     ):
         target = spark.read.parquet(path)
-    merged = merge_upsert(target, staging, keys, order_by)
+    merged = merge_upsert(target, staging, keys, order_by, staging_unique)
     tmp = path.rstrip("/") + "__staging_swap"
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(path):

@@ -138,6 +138,7 @@ def start_artist_count_stream(
             batch_df,
             counts_path,
             keys=["window_start", "artists"],
+            staging_unique=True,  # update-mode agg: one row per key per batch
         )
 
     counts = windowed_artist_counts(read_stream_csv(spark, stream_dir), songs)
@@ -178,6 +179,7 @@ def start_kpi_stream(
             batch_df,
             target_path,
             keys=["window_start", "track_genre"],
+            staging_unique=True,  # update-mode agg: one row per key per batch
         )
 
     kpis = windowed_kpis(read_stream_csv(spark, stream_dir), songs, watermark)

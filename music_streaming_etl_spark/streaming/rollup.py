@@ -67,7 +67,9 @@ def start_daily_rollup_sink(
     def sink(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        upsert_parquet(spark, batch, path, ["bucket", *keys])
+        upsert_parquet(
+            spark, batch, path, ["bucket", *keys], staging_unique=True
+        )  # update-mode agg: one row per key per batch
 
     return (
         daily.writeStream.outputMode("update")
@@ -126,7 +128,9 @@ def start_hist_rollup_sink(
     def sink(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        upsert_parquet(spark, batch, path, ["bucket", *keys, "bidx"])
+        upsert_parquet(
+            spark, batch, path, ["bucket", *keys, "bidx"], staging_unique=True
+        )  # update-mode agg: one row per key per batch
 
     return (
         hist.writeStream.outputMode("update")
@@ -197,7 +201,13 @@ def start_cms_rollup_sink(
     def sink(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        upsert_parquet(spark, batch, path, ["bucket", *keys, "row_i", "col_j"])
+        upsert_parquet(
+            spark,
+            batch,
+            path,
+            ["bucket", *keys, "row_i", "col_j"],
+            staging_unique=True,  # update-mode agg: one row per key per batch
+        )
 
     return (
         cms.writeStream.outputMode("update")

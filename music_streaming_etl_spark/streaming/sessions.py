@@ -122,7 +122,11 @@ def start_session_stream(
         if batch_df.isEmpty():
             return
         upsert_parquet(
-            batch_df.sparkSession, batch_df, target_path, keys=["user_id"]
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            keys=["user_id"],
+            staging_unique=True,  # update-mode session state: one row per user per batch
         )
 
     sessions = sessionize_stream(events, gap_seconds)

@@ -632,3 +632,18 @@ def test_round5_shapes_plan_scale_safe(spark, sf_dir):
 
     gap = _plan(q_gapfill_daily(spark, sf_dir))
     assert "Generate" in gap  # the sequence()+explode calendar spine
+
+
+def test_stickiness_no_nested_loop_join(spark, sf_dir):
+    """The DAU/WAU/MAU range lookback must be an exploded 0..27 lag
+    fan-out hash-joined to the day spine — a datediff-only predicate
+    would plan a BroadcastNestedLoopJoin with O(|days| x |day-user
+    rows|) predicate evaluations (the round-2 advisor finding)."""
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_stickiness_ratios,
+    )
+
+    plan = _plan(q_stickiness_ratios(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode(sequence(0,27)) fan-out

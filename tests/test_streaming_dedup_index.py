@@ -1,8 +1,9 @@
 """E2E: streaming near-dup filtering against the persisted MinHash
-index. Exercises the three rejection paths — near-dup of the
-bootstrap corpus, near-dup of a doc admitted in an EARLIER microbatch
-(index growth), exact dup inside one batch — plus admission of
-genuinely new docs."""
+index. Exercises the four rejection paths — near-dup of the bootstrap
+corpus, near-dup of a doc admitted in an EARLIER microbatch (index
+growth), exact dup inside one batch, NEAR-dup inside one batch — plus
+admission of genuinely new docs, and the foreachBatch retry contract
+(reapplying a batch_id is byte-idempotent)."""
 
 from __future__ import annotations
 
@@ -11,6 +12,7 @@ import os
 import time
 
 from music_streaming_etl_spark.streaming.dedup_index import (
+    apply_dedup_batch,
     bootstrap_index,
     start_dedup_stream_against_index,
 )
@@ -68,8 +70,9 @@ def test_stream_dedups_against_growing_index(spark, tmp_path):
     )
     try:
         # batch 1: a near-dup of the corpus doc (one word changed →
-        # high unigram Jaccard), an exact in-batch dup pair, and one
-        # genuinely new doc
+        # high unigram Jaccard), an exact in-batch dup pair, an
+        # in-batch NEAR-dup pair (105 vs 102: J≈0.82, collapsed to the
+        # lowest id BEFORE the corpus check), and one genuinely new doc
         _write_batch(
             str(src), "b1.json",
             [
@@ -77,6 +80,7 @@ def test_stream_dedups_against_growing_index(spark, tmp_path):
                 (102, NEW_DOC),
                 (103, NEW_DOC),                                # in-batch exact dup
                 (104, OTHER_DOC),
+                (105, NEW_DOC.replace("nine", "forty")),       # in-batch NEAR dup
             ],
         )
         q.processAllAvailable()  # blocks until the full foreachBatch
@@ -105,3 +109,55 @@ def test_stream_dedups_against_growing_index(spark, tmp_path):
     # the index grew by exactly the admitted docs
     mins = spark.read.parquet(os.path.join(index_dir, "mins.parquet"))
     assert sorted(r["id"] for r in mins.select("id").collect()) == [1, 102, 104, 202]
+
+
+def _snapshot(spark, out_dir, index_dir):
+    admitted = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    mins = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(index_dir, "mins.parquet")).collect()
+    )
+    sh = sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(index_dir, "shingles.parquet")).collect()
+    )
+    return admitted, mins, sh
+
+
+def test_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the SAME batch_id
+    (the retry after a failure between the admit write and the
+    checkpoint commit) must neither re-append output/index rows nor
+    change the admitted set by deduping against its own half-written
+    index rows."""
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "admitted")
+    corpus = spark.createDataFrame([(1, CORPUS_DOC)], "doc_id long, text string")
+    bootstrap_index(corpus, "doc_id", "text", index_dir)
+
+    batch = spark.createDataFrame(
+        [
+            (101, CORPUS_DOC.replace("kappa", "lambda")),  # vs corpus → reject
+            (102, NEW_DOC),
+            (104, OTHER_DOC),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(threshold=0.5, num_bands=8)
+    apply_dedup_batch(batch, 0, "doc_id", "text", index_dir, out_dir, **kw)
+    first = _snapshot(spark, out_dir, index_dir)
+    assert sorted(d for d, _ in first[0]) == [102, 104]
+    # the retry: same batch_id, index already contains batch-0 rows
+    apply_dedup_batch(batch, 0, "doc_id", "text", index_dir, out_dir, **kw)
+    assert _snapshot(spark, out_dir, index_dir) == first
+    # a LATER batch still dedups against batch 0's admissions
+    batch2 = spark.createDataFrame(
+        [(201, NEW_DOC.replace("ten", "eleven")), (202, "totally novel words")],
+        "doc_id long, text string",
+    )
+    apply_dedup_batch(batch2, 1, "doc_id", "text", index_dir, out_dir, **kw)
+    admitted, _, _ = _snapshot(spark, out_dir, index_dir)
+    assert sorted(d for d, _ in admitted) == [102, 104, 202]

@@ -30,7 +30,9 @@ def _drain(spark, stream_dir, out, ckpt):
     def sink(batch, _id):
         if batch.isEmpty():
             return
-        upsert_parquet(batch.sparkSession, batch, out, keys=["user_id"])
+        upsert_parquet(
+            batch.sparkSession, batch, out, keys=["user_id"], staging_unique=True
+        )
 
     q = (
         fun.writeStream.outputMode("update")
