@@ -158,3 +158,39 @@ def seeded_shuffle(df: DataFrame, key: str, seed: str) -> DataFrame:
         [F.col("__sk").asc(), F.col(key).asc()],
     )
     return ranked.withColumnRenamed("rank", "shuffle_pos").drop("__sk")
+
+
+def weighted_sample_topk(
+    df: DataFrame, key: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items — the
+    Efraimidis-Spirakis one-pass construction (each row draws key
+    u^(1/w); the k largest keys form an exact weighted sample), with
+    the engine's deterministic md5 coin instead of an RNG: the same
+    corpus yields the same sample on any partitioning, rerun, or
+    engine, which makes sampled eval sets reproducible artifacts
+    rather than run accidents.
+
+    Rank on ln(u)/w (monotone in u^(1/w), avoids pow underflow for
+    huge weights), rounded to 6 decimals with the row key as
+    tie-break — the playbook rule that keeps ulp-level libm ``ln``
+    differences from ever flipping a rank the oracle sees. Top-k via
+    ``global_topk`` → TakeOrderedAndProject (per-partition heaps),
+    never a single-partition window.
+
+    Weights must be > 0; rows with NULL/non-positive weight are
+    dropped (standard E-S domain)."""
+    from .ranking import global_topk
+
+    c = F.col(key)
+    u = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    score = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    scored = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es_key", score)
+    return global_topk(scored, [F.desc("__es_key"), c.asc()], k).drop("__es_key")

@@ -477,3 +477,96 @@ def bm25_topk(
     return global_topk(total, [F.desc("bm25"), F.asc("doc_id")], k).select(
         "rank", "doc_id", "bm25"
     )
+
+
+def sparse_cosine_pairs(
+    docs,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+):
+    """All-pairs document cosine similarity over TF-IDF vectors via an
+    inverted-index join — the sparse-vector sibling of the MinHash
+    family (near-dup by TOPICAL similarity rather than shingle
+    overlap), and the classic "similar documents" batch job.
+
+    Shape: per-(doc, term) tf (one shuffle) → per-term df → postings
+    self-join ON TERM with id_a < id_b (only docs sharing a term ever
+    meet — never a cross join) → decimal-exact dot products → one
+    normalization pass. ``max_df`` drops terms whose posting lists
+    exceed the cap BEFORE the pair join: stop-terms contribute little
+    cosine mass but quadratic join fan-out (Σ df² candidate pairs), so
+    the cap is the scale knob — the same df-bounding every production
+    similarity index applies (document it as part of the op's
+    semantics: cosine is computed in the capped term space, norms
+    included).
+
+    Determinism: idf is rounded to 6 decimals and every weight/product
+    is DECIMAL-exact, so partial sums commute identically in any
+    engine or partitioning; the single final division+round is IEEE.
+    Decimal sizing is load-bearing: tf is DECIMAL(5,0) (term count per
+    doc < 100k) and idf DECIMAL(12,6), so w = tf·idf is DECIMAL(18,6)
+    with NO rounding (scale-0 × scale-6 product), and w·w / wa·wb are
+    DECIMAL(37,12) — still inside precision 38. Wider operands would
+    push the squares past 38 digits, where Spark silently ROUNDS the
+    scale down (precision-loss mode) while DuckDB keeps exactness —
+    an engine-divergence this sizing makes impossible.
+    """
+    from pyspark.sql import functions as F
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    weights = (
+        tf.join(dfreq, "term")  # inner join applies the df cap to postings
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("decimal(5,0)")
+                * F.round(
+                    F.log(
+                        F.col("n_docs").cast("double") / F.col("df").cast("double")
+                    ),
+                    6,
+                ).cast("decimal(12,6)")
+            ).alias("w"),
+        )
+    )
+    weights = weights.cache()  # postings feed both the norms and the pair join
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
+    a = weights.select(
+        F.col("term"), F.col("doc_id").alias("id_a"), F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col("term"), F.col("doc_id").alias("id_b"), F.col("w").alias("wb")
+    )
+    num = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    return (
+        num.join(norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("na")), "id_a")
+        .join(norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

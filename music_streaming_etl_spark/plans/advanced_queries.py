@@ -1,0 +1,335 @@
+"""Round-3 advanced operator surface: skyline (Pareto frontier),
+sparse TF-IDF cosine all-pairs, Fellegi-Sunter record linkage, and
+Efraimidis-Spirakis weighted sampling — each an operator class the
+reference's pandas pipeline (and stock Spark) has no primitive for,
+re-expressed as compositions of shuffles/joins Catalyst plans, with
+cell-exact DuckDB oracles.
+
+Determinism notes are per-query; the shared rules are the engine
+playbook ones (decimal-exact accumulation, literal log-weights,
+round(libm, 6) before any ordering, md5 coins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.linkage import FieldSpec, agreement_pattern_counts, fs_classify, fs_score
+from ..operators.ranking import global_topk
+from ..operators.sampling import weighted_sample_topk
+from ..operators.skyline import skyline_2d
+from ..operators.text import sparse_cosine_pairs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .testdata_queries import _t as base_t
+
+    return base_t(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# --------------------------------------------------------------------------
+
+
+def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal customers on (total revenue, order count): no
+    other customer is ≥ on both axes and > on one — the multi-criteria
+    "best tradeoffs" query (operators/skyline.py, grid-pruned exact
+    2-D skyline: bucket window + two broadcast bounds, no global
+    window, no nested loop). DuckDB verifies with the NOT EXISTS
+    dominance definition directly."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents).alias("rev_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return skyline_2d(per_cust, "rev_cents", "n_orders").orderBy(
+        F.desc("rev_cents")
+    )
+
+
+ORACLE_SKYLINE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), pts AS (SELECT DISTINCT rev_cents, n_orders FROM per_cust)
+SELECT rev_cents, n_orders FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.rev_cents >= p.rev_cents AND q.n_orders >= p.n_orders
+    AND (q.rev_cents > p.rev_cents OR q.n_orders > p.n_orders)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Sparse TF-IDF cosine all-pairs
+# --------------------------------------------------------------------------
+
+
+def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most-similar document pairs by TF-IDF cosine via the
+    inverted-index join (operators/text.py::sparse_cosine_pairs) —
+    near-dup by topical similarity, the sparse-vector sibling of
+    MinHash. The synthetic corpus has a 31-word vocabulary, so no df
+    cap applies here (every term would exceed any useful cap); on a
+    real corpus ``max_df`` bounds the posting-list join fan-out — the
+    documented scale knob. Decimal-exact dot products, IEEE-stable
+    final round; total order (cosine desc, id_a, id_b)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = sparse_cosine_pairs(docs, "doc_id", "text", threshold=0.5)
+    return global_topk(
+        pairs, [F.desc("cosine"), F.asc("id_a"), F.asc("id_b")], 25
+    ).select("rank", "id_a", "id_b", "cosine")
+
+
+ORACLE_SPARSE_COSINE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, term,
+         CAST(tf AS DECIMAL(5,0))
+         * CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                AS DECIMAL(12,6)) AS w
+  FROM tf JOIN dfreq USING (term), nd
+), norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm
+  FROM w GROUP BY 1
+), num AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cos AS (
+  SELECT id_a, id_b, ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+  FROM num
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b
+), thr AS (SELECT * FROM cos WHERE cosine >= 0.5)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, id_a ASC, id_b ASC) AS BIGINT) AS rank,
+       id_a, id_b, cosine
+FROM thr ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter record linkage
+# --------------------------------------------------------------------------
+
+# (m, u) priors per field and the derived literal log2 weights —
+# FieldSpec computes them once in Python, and _FS_SQL_WEIGHTS injects
+# the IDENTICAL literals into the oracle, so no engine evaluates a
+# log per row.
+_FS_PARAMS = {
+    "name": (0.95, 0.002),
+    "nation": (0.90, 0.04),
+    "segment": (0.95, 0.20),
+    "balance": (0.85, 0.001),
+}
+
+
+def _fs_fields() -> list[FieldSpec]:
+    return [
+        FieldSpec(
+            "name",
+            F.levenshtein(F.col("a_name"), F.col("b_name")) <= 1,
+            *_FS_PARAMS["name"],
+        ),
+        FieldSpec(
+            "nation", F.col("a_nat") == F.col("b_nat"), *_FS_PARAMS["nation"]
+        ),
+        FieldSpec(
+            "segment", F.col("a_seg") == F.col("b_seg"), *_FS_PARAMS["segment"]
+        ),
+        FieldSpec(
+            "balance",
+            F.abs(F.col("a_bal") - F.col("b_bal")) < 0.5,
+            *_FS_PARAMS["balance"],
+        ),
+    ]
+
+
+def _fs_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean registry A (customers) × deterministically-corrupted
+    registry B (same customers re-keyed +10M; name/nation/balance
+    perturbed by custkey-derived rules so truth is known), blocked on
+    custkey DIV 50 — candidates are block-local equi-join pairs, never
+    the cross product. All corruption is integer/binary-exact
+    arithmetic, so the oracle rebuilds registry B bit-identically."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a = cust.select(
+        k.alias("a_id"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("a_nat"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_acctbal").alias("a_bal"),
+        (k - (k % 50)).alias("block"),
+    )
+    b = cust.select(
+        (k + 10_000_000).alias("b_id"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.when(k % 7 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("b_nat"),
+        F.col("c_mktsegment").alias("b_seg"),
+        # +0.25 steps: exact in binary, so the double compare is stable
+        (F.col("c_acctbal") + (k % 5).cast("double") * 0.25).alias("b_bal"),
+        (k - (k % 50)).alias("block"),
+    )
+    return a.join(b, "block")
+
+
+def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage over blocked candidate pairs: per-field
+    agreement → literal log2(m/u) weights → summed score → classify
+    against (0, 10) thresholds. Top-25 by (score desc, a_id, b_id).
+    Scoring is a pure projection over the candidates — the shuffles
+    are all in the blocking."""
+    pairs = _fs_candidate_pairs(spark, sf_dir)
+    score = fs_score(_fs_fields())
+    scored = pairs.select(
+        "a_id",
+        "b_id",
+        score.alias("score"),
+        fs_classify(score, 0.0, 10.0).alias("verdict"),
+    )
+    return global_topk(
+        scored, [F.desc("score"), F.asc("a_id"), F.asc("b_id")], 25
+    ).select("rank", "a_id", "b_id", "score", "verdict")
+
+
+def q_linkage_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement-pattern histogram over the same candidate pairs — the
+    2^|fields|-row sufficient statistic an EM fit of the FS m/u
+    parameters consumes. One groupBy over four booleans."""
+    pairs = _fs_candidate_pairs(spark, sf_dir)
+    return agreement_pattern_counts(pairs, _fs_fields())
+
+
+def _fs_sql_common() -> str:
+    import math
+
+    # identical literal weights to FieldSpec's (same formula, same
+    # round) — computed without Column objects so the oracle string
+    # can build at import time, before any SparkContext exists
+    w = {
+        name: (
+            round(math.log2(m / u), 6),
+            round(math.log2((1 - m) / (1 - u)), 6),
+        )
+        for name, (m, u) in _FS_PARAMS.items()
+    }
+    return f"""
+WITH a AS (
+  SELECT c_custkey AS a_id, c_name AS a_name, c_nationkey AS a_nat,
+         c_mktsegment AS a_seg, c_acctbal AS a_bal,
+         c_custkey - (c_custkey % 50) AS block
+  FROM customer
+), b AS (
+  SELECT c_custkey + 10000000 AS b_id,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substring(c_name, 1, length(c_name) - 1) || 'X'
+              ELSE c_name END AS b_name,
+         CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS b_nat,
+         c_mktsegment AS b_seg,
+         c_acctbal + CAST(c_custkey % 5 AS DOUBLE) * 0.25 AS b_bal,
+         c_custkey - (c_custkey % 50) AS block
+  FROM customer
+), pairs AS (
+  SELECT a.*, b.* EXCLUDE (block) FROM a JOIN b USING (block)
+), agreed AS (
+  SELECT a_id, b_id,
+         (levenshtein(a_name, b_name) <= 1) AS agree_name,
+         (a_nat = b_nat) AS agree_nation,
+         (a_seg = b_seg) AS agree_segment,
+         (abs(a_bal - b_bal) < 0.5) AS agree_balance
+  FROM pairs
+), scored AS (
+  SELECT a_id, b_id, agree_name, agree_nation, agree_segment, agree_balance,
+         CAST(
+           (CASE WHEN agree_name THEN {w['name'][0]} ELSE {w['name'][1]} END)
+         + (CASE WHEN agree_nation THEN {w['nation'][0]} ELSE {w['nation'][1]} END)
+         + (CASE WHEN agree_segment THEN {w['segment'][0]} ELSE {w['segment'][1]} END)
+         + (CASE WHEN agree_balance THEN {w['balance'][0]} ELSE {w['balance'][1]} END)
+         AS DOUBLE) AS score
+  FROM agreed
+)
+"""
+
+
+ORACLE_LINKAGE_SCORES = (
+    _fs_sql_common()
+    + """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, a_id ASC, b_id ASC) AS BIGINT) AS rank,
+       a_id, b_id, score,
+       CASE WHEN score >= 10.0 THEN 'match'
+            WHEN score > 0.0 THEN 'possible'
+            ELSE 'non_match' END AS verdict
+FROM scored ORDER BY score DESC, a_id ASC, b_id ASC LIMIT 25
+"""
+)
+
+ORACLE_LINKAGE_PATTERNS = (
+    _fs_sql_common()
+    + """
+SELECT agree_name, agree_nation, agree_segment, agree_balance,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored GROUP BY 1, 2, 3, 4
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# --------------------------------------------------------------------------
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-doc weighted sample without replacement, weight = n_chars
+    (longer docs proportionally likelier) — E-S keys on the md5 coin,
+    so the sample is a reproducible artifact of the corpus, not of a
+    seed or partitioning (operators/sampling.py::weighted_sample_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, "doc_id", "n_chars", 20).select(
+        "rank", "doc_id", "lang", "n_chars"
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(
+           ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0)
+              / 4294967296.0)
+           / CAST(n_chars AS DOUBLE), 6) AS es_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, lang, n_chars
+FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT 20
+"""
+
+
+REGISTRY_ADV: dict = {
+    "skyline_customers": (q_skyline_customers, ORACLE_SKYLINE),
+    "sparse_cosine_topk": (q_sparse_cosine_topk, ORACLE_SPARSE_COSINE),
+    "record_linkage_scores": (q_record_linkage_scores, ORACLE_LINKAGE_SCORES),
+    "linkage_pattern_counts": (q_linkage_pattern_counts, ORACLE_LINKAGE_PATTERNS),
+    "weighted_sample_docs": (q_weighted_sample_docs, ORACLE_WEIGHTED_SAMPLE),
+}

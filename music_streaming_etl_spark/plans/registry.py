@@ -8,6 +8,7 @@ helpers, and composition happens here.
 
 from __future__ import annotations
 
+from .advanced_queries import REGISTRY_ADV
 from .analytics_queries import REGISTRY_ANALYTICS
 from .extension_queries import REGISTRY_EXT
 from .testdata_queries import REGISTRY as REGISTRY_CORE
@@ -18,6 +19,7 @@ REGISTRY.update(REGISTRY_CORE)
 REGISTRY.update(REGISTRY_EXT)
 REGISTRY.update(REGISTRY_ANALYTICS)
 REGISTRY.update(REGISTRY_TPCH)
+REGISTRY.update(REGISTRY_ADV)
 
 # The driver's correctness gate checks the FIRST 50 registry keys, so
 # ordering is load-bearing. Round-3 rotation plan (VERDICT r2 item 4):
@@ -32,7 +34,11 @@ REGISTRY.update(REGISTRY_TPCH)
 # (cell-exact, all keys) regardless of position.
 _PRIORITY: list[str] = [
     # round 3 NEW queries — first external check (keep at the front)
-    # (appended as built this round)
+    "skyline_customers",
+    "sparse_cosine_topk",
+    "record_linkage_scores",
+    "linkage_pattern_counts",
+    "weighted_sample_docs",
     # VERDICT r2 action items 1+3: oracle result-TYPE fixes
     # (HUGEINT/DATE artifacts; values were already cell-exact) — must
     # sit inside the driver window to turn green externally

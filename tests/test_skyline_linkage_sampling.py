@@ -1,0 +1,162 @@
+"""Brute-force property twins for the round-3 operators — the DuckDB
+oracle can mirror a shared mistake; these tests re-derive the
+semantics independently (pure Python / numpy) on randomized inputs,
+plus partitioning-independence for the sampler."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.operators.sampling import weighted_sample_topk
+from music_streaming_etl_spark.operators.skyline import skyline_2d
+from music_streaming_etl_spark.operators.text import sparse_cosine_pairs
+
+
+def _brute_skyline(points):
+    pts = set(points)
+    out = set()
+    for p in pts:
+        dominated = any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in pts
+            if q != p
+        )
+        if not dominated:
+            out.add(p)
+    return out
+
+
+def test_skyline_matches_brute_force_random(spark):
+    rng = random.Random(7)
+    for trial, (n, xr, yr, buckets) in enumerate(
+        [(200, 1000, 1000, 64), (300, 20, 20, 8), (50, 5, 5, 64), (120, 10**9, 100, 16)]
+    ):
+        pts = [(rng.randrange(xr), rng.randrange(yr)) for _ in range(n)]
+        # duplicates on purpose: operator contract dedupes internally
+        pts += pts[: n // 10]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {
+            (r["x"], r["y"])
+            for r in skyline_2d(df, "x", "y", n_buckets=buckets).collect()
+        }
+        assert got == _brute_skyline(pts), f"trial {trial}"
+
+
+def test_skyline_degenerate_shapes(spark):
+    # single point; all-identical; perfectly anti-correlated chain
+    # (every point on the frontier); x-range smaller than bucket count
+    one = spark.createDataFrame([(5, 5)], "x long, y long")
+    assert [(r["x"], r["y"]) for r in skyline_2d(one, "x", "y").collect()] == [(5, 5)]
+    same = spark.createDataFrame([(3, 3)] * 8, "x long, y long")
+    assert [(r["x"], r["y"]) for r in skyline_2d(same, "x", "y").collect()] == [(3, 3)]
+    chain = [(i, 100 - i) for i in range(100)]
+    df = spark.createDataFrame(chain, "x long, y long")
+    got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y", n_buckets=7).collect()}
+    assert got == set(chain)
+
+
+def test_weighted_sample_is_partitioning_independent(spark):
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(500)]
+    a = spark.createDataFrame(rows, "id long, w double").repartition(1)
+    b = spark.createDataFrame(rows, "id long, w double").repartition(13)
+    ka = [(r["rank"], r["id"]) for r in weighted_sample_topk(a, "id", "w", 25).collect()]
+    kb = [(r["rank"], r["id"]) for r in weighted_sample_topk(b, "id", "w", 25).collect()]
+    assert ka == kb
+    assert len(ka) == 25 and len({i for _, i in ka}) == 25  # without replacement
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 10 rows of weight 1000 vs 490 rows of weight 1: the heavy rows
+    # should dominate the sample (E-S expectation; deterministic here
+    # because the coin is fixed by the md5 of the id)
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in weighted_sample_topk(df, "id", "w", 10).collect()}
+    assert len(got & set(range(10))) >= 8
+    # non-positive / null weights are excluded by contract
+    rows2 = [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)]
+    df2 = spark.createDataFrame(rows2, "id long, w double")
+    assert {r["id"] for r in weighted_sample_topk(df2, "id", "w", 10).collect()} == {4}
+
+
+def test_sparse_cosine_matches_numpy(spark):
+    import numpy as np
+
+    corpus = [
+        (1, "apple banana apple cherry"),
+        (2, "apple banana banana date"),
+        (3, "cherry date elder fig"),
+        (4, "apple apple apple apple"),
+        (5, "grape melon kiwi lime"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sparse_cosine_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    # independent reconstruction
+    docs = {i: t.split() for i, t in corpus}
+    vocab = sorted({t for ts in docs.values() for t in ts})
+    n = len(docs)
+    dfreq = {t: sum(t in set(ts) for ts in docs.values()) for t in vocab}
+    vecs = {}
+    for i, ts in docs.items():
+        vecs[i] = np.array(
+            [ts.count(t) * round(math.log(n / dfreq[t]), 6) for t in vocab]
+        )
+    for (a, b), cos in got.items():
+        va, vb = vecs[a], vecs[b]
+        na, nb = math.sqrt(float(va @ va)), math.sqrt(float(vb @ vb))
+        want = round(float(va @ vb) / (na * nb), 6)
+        assert abs(cos - want) <= 1e-6, (a, b, cos, want)
+    # zero-idf-only overlap (terms in every doc) never creates pairs
+    # beyond threshold semantics; pair set must be symmetric-free
+    assert all(a < b for a, b in got)
+
+
+def test_sparse_cosine_max_df_caps_postings(spark):
+    # a stop-term shared by ALL docs is excluded by the cap, so pairs
+    # connected only through it disappear
+    corpus = [
+        (1, "stop alpha"),
+        (2, "stop beta"),
+        (3, "stop alpha gamma"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    uncapped = sparse_cosine_pairs(df, "doc_id", "text", threshold=0.0)
+    capped = sparse_cosine_pairs(df, "doc_id", "text", threshold=0.0, max_df=2)
+    assert {(r["id_a"], r["id_b"]) for r in uncapped.collect()} == {
+        (1, 2), (1, 3), (2, 3),
+    }
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(1, 3)}
+
+
+def test_fs_score_weights_and_classes(spark):
+    from music_streaming_etl_spark.operators.linkage import (
+        FieldSpec,
+        fs_classify,
+        fs_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, True, True), (2, True, False), (3, False, False)],
+        "id long, a boolean, b boolean",
+    )
+    fields = [
+        FieldSpec("a", F.col("a"), 0.9, 0.1),   # agree +log2(9)=3.169925
+        FieldSpec("b", F.col("b"), 0.8, 0.2),   # agree +2.0, disagree -2.0
+    ]
+    score = fs_score(fields)
+    rows = {
+        r["id"]: (r["s"], r["v"])
+        for r in df.select(
+            "id", score.alias("s"), fs_classify(score, 0.0, 5.0).alias("v")
+        ).collect()
+    }
+    assert rows[1] == (round(math.log2(9) + 2.0, 6), "match")
+    assert rows[2] == (round(math.log2(9) - 2.0, 6), "possible")
+    w_dis_a = round(math.log2(0.1 / 0.9), 6)
+    assert rows[3] == (round(w_dis_a - 2.0, 6), "non_match")
