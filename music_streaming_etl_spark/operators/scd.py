@@ -63,3 +63,71 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(*keys, *state_cols, *keep_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def bitemporal_lookup(
+    facts: DataFrame,
+    states: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_ts: str,
+    tx_ts: str,
+    value_cols: Sequence[str],
+    seq_col: str,
+    suffix: str = "_at",
+) -> DataFrame:
+    """Bitemporal point-in-time lookup: for each fact row at time t,
+    the state version with the greatest VALID time among versions that
+    were both valid (valid_ts ≤ t) and already KNOWN (tx_ts ≤ t) —
+    the two-axis as-of every audited warehouse needs once corrections
+    arrive late (a correction with tx_ts > t must not rewrite what was
+    believed at t).
+
+    One window pass, same union trick as ``asof_join``: a state row
+    becomes *visible* at g = greatest(valid_ts, tx_ts); traversing
+    each key's timeline ordered by (g, side, seq), the carried value
+    is the running lexicographic MAX of struct(valid_ts, seq, values)
+    over visible states — i.e. the arg-max by (valid, seq) among
+    exactly the rows with g ≤ t. ``seq_col`` totally orders versions
+    within equal valid_ts (latest id wins), the engine determinism
+    rule. NULLs when nothing is visible yet.
+
+    Scale: one shuffle on the key; window state is one struct — the
+    same bound as the one-axis as-of join."""
+    val_t = {c: states.schema[c].dataType for c in value_cols}
+    g = F.greatest(F.col(valid_ts), F.col(tx_ts))
+    s_tagged = states.select(
+        F.col(key),
+        g.alias("__g"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(valid_ts).alias("__valid"),
+            F.col(seq_col).alias("__seq"),
+            *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        ).alias("__st"),
+    )
+    f_tagged = facts.withColumn("__g", F.col(fact_ts)).withColumn(
+        "__side", F.lit(1)
+    )
+    # align the struct column on the fact side (all-NULL)
+    f_tagged = f_tagged.withColumn(
+        "__st",
+        F.lit(None).cast(s_tagged.schema["__st"].dataType),
+    )
+    for c in facts.columns:
+        if c != key:
+            s_tagged = s_tagged.withColumn(
+                c, F.lit(None).cast(facts.schema[c].dataType)
+            )
+    unioned = f_tagged.unionByName(s_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__g").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("__best", F.max("__st").over(w))
+    out = [F.col(c) for c in facts.columns] + [
+        F.col(f"__best.__v_{c}").cast(val_t[c]).alias(f"{c}{suffix}")
+        for c in value_cols
+    ] + [F.col("__best.__valid").alias(f"valid_from{suffix}")]
+    return carried.filter(F.col("__side") == 1).select(*out)

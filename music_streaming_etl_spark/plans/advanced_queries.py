@@ -333,3 +333,261 @@ REGISTRY_ADV: dict = {
     "linkage_pattern_counts": (q_linkage_pattern_counts, ORACLE_LINKAGE_PATTERNS),
     "weighted_sample_docs": (q_weighted_sample_docs, ORACLE_WEIGHTED_SAMPLE),
 }
+
+
+# --------------------------------------------------------------------------
+# Attribution, correlation, interpolated percentiles, bitemporal
+# --------------------------------------------------------------------------
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credited to the
+    user's most recent CLICK within a 1-hour window — the as-of join
+    with ``tolerance_seconds`` (pandas merge_asof parity), so an
+    out-of-window click yields NULL credit rather than stale
+    attribution. seq tiebreak + max-collapsed oracle clicks keep
+    equal-timestamp behavior engine-identical."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "ts"],
+        seq_col="event_id",
+        suffix="_click",
+        tolerance_seconds=3600,
+    )
+    secs = F.floor(
+        F.unix_timestamp("ts") - F.unix_timestamp("ts_click")
+    ).cast("bigint")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_click").alias("click_id"),
+        secs.alias("secs_since_click"),
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  MAX(event_id) AS event_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+     m AS (
+       SELECT p.event_id, p.user_id, p.ts,
+              c.ts AS c_ts, c.event_id AS c_id
+       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+     )
+SELECT event_id, user_id, ts,
+       CASE WHEN c_ts IS NOT NULL
+                  AND epoch_us(ts) - epoch_us(c_ts) <= 3600000000
+            THEN c_id END AS click_id,
+       CASE WHEN c_ts IS NOT NULL
+                  AND epoch_us(ts) - epoch_us(c_ts) <= 3600000000
+            THEN CAST(floor(epoch(ts)) - floor(epoch(c_ts)) AS BIGINT)
+       END AS secs_since_click
+FROM m
+"""
+
+
+def q_pearson_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between customer revenue and order count
+    from EXACT decimal sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy² — all scale-0 decimals, so partial aggregation is exact and
+    order-free); r materializes with two sqrt and one division, IEEE-
+    identical in any engine. The one-pass sufficient-statistics shape
+    is THE distributed correlation pattern — never a centered
+    two-pass."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents).alias("x"), F.count(F.lit(1)).alias("y")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = per_cust.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+        F.sum(d("y") * d("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return stats.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("r_rev_orders"),
+    )
+
+
+ORACLE_PEARSON = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x,
+         COUNT(*) AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM per_cust
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r_rev_orders
+FROM s
+"""
+
+
+def q_percentile_cont_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT(0.5), (0.9) per order priority, the
+    linear-interpolation definition, distributed: rank within group
+    (value order — ties can rank either way, the k-th VALUE is
+    invariant), pick the two straddling ranks with integer arithmetic
+    (lo = (n−1)·p_num DIV p_den, exact), and interpolate in scaled
+    integers — vlo·den + (vhi−vlo)·rem stays BIGINT-exact; the single
+    division is the only IEEE op. DuckDB mirrors the construction
+    (and it equals quantile_cont by definition)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("priority"), cents.alias("v")
+    )
+    w = Window.partitionBy("priority").orderBy("v")
+    ranked = vals.withColumn("rn", F.row_number().over(w))
+    counts = vals.groupBy("priority").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(F.broadcast(counts), "priority")
+
+    def pct(pnum: int, pden: int, name: str):
+        lo = F.expr(f"(n - 1) * {pnum} DIV {pden}")
+        rem = ((F.col("n") - 1) * pnum) % pden
+        vlo = F.max(F.when(F.col("rn") == lo + 1, F.col("v")))
+        vhi = F.max(F.when(F.col("rn") == lo + 2, F.col("v")))
+        scaled = vlo * pden + (F.coalesce(vhi, vlo) - vlo) * F.max(rem)
+        return F.round(scaled.cast("double") / pden, 6).alias(name)
+
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            pct(1, 2, "p50_cents"),
+            pct(9, 10, "p90_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_PCTL_CONT = """
+WITH vals AS (
+  SELECT o_orderpriority AS priority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders
+), ranked AS (
+  SELECT priority, v,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM vals
+), agg AS (
+  SELECT priority, MAX(n) AS n,
+         MAX(CASE WHEN rn = ((n - 1) * 1 // 2) + 1 THEN v END) AS v50lo,
+         MAX(CASE WHEN rn = ((n - 1) * 1 // 2) + 2 THEN v END) AS v50hi,
+         MAX(((n - 1) * 1) % 2) AS rem50,
+         MAX(CASE WHEN rn = ((n - 1) * 9 // 10) + 1 THEN v END) AS v90lo,
+         MAX(CASE WHEN rn = ((n - 1) * 9 // 10) + 2 THEN v END) AS v90hi,
+         MAX(((n - 1) * 9) % 10) AS rem90
+  FROM ranked GROUP BY priority
+)
+SELECT priority, CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(v50lo * 2 + (COALESCE(v50hi, v50lo) - v50lo) * rem50 AS DOUBLE) / 2, 6) AS p50_cents,
+       ROUND(CAST(v90lo * 10 + (COALESCE(v90hi, v90lo) - v90lo) * rem90 AS DOUBLE) / 10, 6) AS p90_cents
+FROM agg ORDER BY priority
+"""
+
+
+def q_bitemporal_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of: each purchase enriched with the state version
+    with the greatest VALID time among versions already LOADED at the
+    purchase instant (tx_ts = valid_ts + (event_id % 3) hours — a
+    deterministic late-arrival model, so a correction landing after
+    the purchase is invisible to it, exactly the audited-warehouse
+    contract). One window pass over greatest(valid, tx) — see
+    operators/scd.py::bitemporal_lookup."""
+    from ..operators.scd import bitemporal_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    states = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_ts"),
+        (F.col("ts") + F.make_interval(hours=(F.col("event_id") % 3).cast("int"))).alias("tx_ts"),
+        "event_id",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return bitemporal_lookup(
+        purchases,
+        states,
+        key="user_id",
+        fact_ts="ts",
+        valid_ts="valid_ts",
+        tx_ts="tx_ts",
+        value_cols=["state"],
+        seq_col="event_id",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("state_at").alias("state"),
+        F.col("valid_from_at").alias("state_since"),
+    )
+
+
+ORACLE_BITEMPORAL = """
+WITH st AS (
+  SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS valid_ts,
+         CAST(ts AS TIMESTAMP) + to_hours(event_id % 3) AS tx_ts,
+         event_id
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), vis AS (
+  SELECT p.event_id, p.user_id, p.ts, s.state,
+         s.valid_ts AS state_since,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY s.valid_ts DESC NULLS LAST,
+                                     s.event_id DESC NULLS LAST) AS rn
+  FROM p LEFT JOIN st s
+    ON s.user_id = p.user_id
+   AND s.valid_ts <= p.ts AND s.tx_ts <= p.ts
+)
+SELECT event_id, user_id, ts, state, state_since FROM vis WHERE rn = 1
+"""
+
+
+REGISTRY_ADV.update(
+    {
+        "attribution_last_touch": (q_attribution_last_touch, ORACLE_ATTRIBUTION),
+        "pearson_correlation": (q_pearson_correlation, ORACLE_PEARSON),
+        "percentile_cont_by_group": (q_percentile_cont_by_group, ORACLE_PCTL_CONT),
+        "bitemporal_state_lookup": (q_bitemporal_state_lookup, ORACLE_BITEMPORAL),
+    }
+)

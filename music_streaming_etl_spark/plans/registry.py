@@ -39,6 +39,10 @@ _PRIORITY: list[str] = [
     "record_linkage_scores",
     "linkage_pattern_counts",
     "weighted_sample_docs",
+    "attribution_last_touch",
+    "pearson_correlation",
+    "percentile_cont_by_group",
+    "bitemporal_state_lookup",
     # VERDICT r2 action items 1+3: oracle result-TYPE fixes
     # (HUGEINT/DATE artifacts; values were already cell-exact) — must
     # sit inside the driver window to turn green externally

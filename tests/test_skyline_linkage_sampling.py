@@ -160,3 +160,78 @@ def test_fs_score_weights_and_classes(spark):
     assert rows[2] == (round(math.log2(9) - 2.0, 6), "possible")
     w_dis_a = round(math.log2(0.1 / 0.9), 6)
     assert rows[3] == (round(w_dis_a - 2.0, 6), "non_match")
+
+
+def test_bitemporal_lookup_matches_brute_force(spark):
+    import datetime as dt
+    import random
+
+    from music_streaming_etl_spark.operators.scd import bitemporal_lookup
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    states = []
+    sid = 0
+    for user in range(6):
+        for _ in range(25):
+            sid += 1
+            valid = base + dt.timedelta(minutes=rng.randrange(0, 5000))
+            # tx lag 0..180 min, including exact-0 (on-time) rows
+            tx = valid + dt.timedelta(minutes=rng.randrange(0, 180))
+            states.append((user, f"s{sid}", valid, tx, sid))
+    facts = []
+    for fid in range(80):
+        facts.append((1000 + fid, fid % 6, base + dt.timedelta(minutes=rng.randrange(0, 5200))))
+    sdf = spark.createDataFrame(
+        states, "user_id long, state string, valid_ts timestamp, tx_ts timestamp, sid long"
+    )
+    fdf = spark.createDataFrame(facts, "fact_id long, user_id long, ts timestamp")
+    got = {
+        r["fact_id"]: (r["state_at"], r["valid_from_at"])
+        for r in bitemporal_lookup(
+            fdf, sdf, "user_id", "ts", "valid_ts", "tx_ts", ["state"], "sid"
+        ).collect()
+    }
+    for fid, user, t in facts:
+        vis = [
+            (v, s_id, st)
+            for (u, st, v, tx, s_id) in states
+            if u == user and v <= t and tx <= t
+        ]
+        want = max(vis)[::] if vis else None
+        if want is None:
+            assert got[fid] == (None, None), fid
+        else:
+            v, _, st = max(vis, key=lambda r: (r[0], r[1]))
+            assert got[fid] == (st, v), fid
+
+
+def test_percentile_cont_matches_duckdb_quantile(spark, sf_dir):
+    """The explicit interpolation construction equals the engine-native
+    quantile_cont definition (DuckDB), not just our own oracle SQL."""
+    import duckdb
+
+    from music_streaming_etl_spark.plans.advanced_queries import (
+        q_percentile_cont_by_group,
+    )
+
+    got = {
+        r["priority"]: (r["p50_cents"], r["p90_cents"])
+        for r in q_percentile_cont_by_group(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    want = {
+        p: (round(a, 6), round(b, 6))
+        for p, a, b in con.execute(
+            """
+            SELECT o_orderpriority,
+                   quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5),
+                   quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9)
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
