@@ -591,3 +591,278 @@ REGISTRY_ADV.update(
         "bitemporal_state_lookup": (q_bitemporal_state_lookup, ORACLE_BITEMPORAL),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Capped running balance, rolling median, cohort LTV, frequent triples
+# --------------------------------------------------------------------------
+
+
+def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user loyalty-points balance floored at zero: purchases earn
+    value·100 cents, clicks spend the same, and the balance never goes
+    negative — the textbook "sequential" op (b_n = max(0, b_{n-1} +
+    d_n)) that looks like it needs a per-row loop. It doesn't: with
+    S_n the plain prefix sum, the one-sided floor has the closed form
+    b_n = S_n − least(0, min_{k≤n} S_k), so the whole thing is TWO
+    stacked per-user windows (running sum, running min) — exact
+    BIGINT arithmetic, fully declarative, no mapInPandas/recursion,
+    and the same two windows run in DuckDB. Per-user windows are
+    bounded by per-user history (the sessionization scale argument)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    flows = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = F.sum("delta_cents").over(w)
+    balanced = flows.select(
+        "user_id", "ts", "event_id", "delta_cents", s.alias("__s")
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return balanced.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "delta_cents",
+        (F.col("__s") - F.least(F.lit(0), F.min("__s").over(w2)))
+        .cast("bigint")
+        .alias("balance_cents"),
+    )
+
+
+ORACLE_CAPPED_BALANCE = """
+WITH flows AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta_cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+), s AS (
+  SELECT *, SUM(delta_cents) OVER w AS run_sum
+  FROM flows
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts, event_id, delta_cents,
+       CAST(run_sum - LEAST(0, MIN(run_sum) OVER w2) AS BIGINT) AS balance_cents
+FROM s
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling MEDIAN of daily revenue over the trailing 7
+    CALENDAR days per priority — rank windows can't express a moving
+    median, so the frame is materialized by the bounded 0..6 lag
+    fan-out (the EWMA/stickiness shape: explode + hash equi-join on
+    the landed day, never a range join) and each ≤7-value frame
+    collapses via sort_array + lower-median element_at — O(1) per
+    frame, engine-exact integers throughout."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(cents).alias("c"))
+    spine = daily.select("priority", "day").distinct()
+    fan = daily.select(
+        "priority",
+        F.col("c"),
+        F.col("day").alias("src_day"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("lag"),
+    ).withColumn("day", F.date_add(F.col("src_day"), F.col("lag")))
+    j = fan.join(spine, ["priority", "day"])
+    vals = F.sort_array(F.collect_list("c"))
+    n = F.size(vals)
+    return (
+        j.groupBy("priority", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.element_at(vals, ((n + 1) / 2).cast("int")).alias("med_cents"),
+        )
+    )
+
+
+ORACLE_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), fan AS (
+  SELECT d.priority, d.c, d.day + CAST(g.lag AS INT) AS day
+  FROM daily d, (SELECT unnest(range(0, 7)) AS lag) g
+), j AS (
+  SELECT f.priority, f.day, f.c
+  FROM fan f JOIN (SELECT DISTINCT priority, day FROM daily) s
+    ON f.priority = s.priority AND f.day = s.day
+)
+SELECT priority, day, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(list_sort(list(c))[CAST(floor((COUNT(*) + 1) / 2) AS INT)] AS BIGINT)
+         AS med_cents
+FROM j GROUP BY 1, 2
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-purchase month, each
+    cohort's CUMULATIVE revenue by cohort age in months — the growth
+    analysis behind every retention dashboard. Cohorting is one
+    per-customer min over ORDERS (multi-year span, unlike the
+    one-month event stream); the cumsum window runs over the
+    (cohort × age) aggregate — bounded by #months², never
+    customer-scaled."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    p = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_date("o_orderdate").alias("od"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    first = p.groupBy("user_id").agg(
+        F.min(F.trunc("od", "month")).alias("cohort_month")
+    )
+    j = p.join(first, "user_id").withColumn(
+        "age_months",
+        (
+            (F.year("od") - F.year("cohort_month")) * 12
+            + (F.month("od") - F.month("cohort_month"))
+        ).cast("bigint"),
+    )
+    grid = j.groupBy("cohort_month", "age_months").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+        F.count_distinct("user_id").cast("bigint").alias("active_users"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        "cohort_month",
+        "age_months",
+        "rev_cents",
+        "active_users",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH p AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS od,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT user_id, MIN(date_trunc('month', od)) AS cohort_month
+  FROM p GROUP BY 1
+), j AS (
+  SELECT p.user_id, p.cents,
+         CAST(f.cohort_month AS DATE) AS cohort_month,
+         CAST((year(p.od) - year(f.cohort_month)) * 12
+              + (month(p.od) - month(f.cohort_month)) AS BIGINT) AS age_months
+  FROM p JOIN first f USING (user_id)
+), grid AS (
+  SELECT cohort_month, age_months,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+  FROM j GROUP BY 1, 2
+)
+SELECT cohort_month, age_months, rev_cents, active_users,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month ORDER BY age_months
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_cents
+FROM grid
+"""
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (Apriori level 3): parts co-occurring in ≥2
+    orders as a TRIPLE, grown from the frequent-pair lattice — the
+    candidate triple (u,v,w) joins frequent pairs (u,v) and (v,w)
+    before ever touching the baskets (the Apriori prune: any frequent
+    triple's sub-pairs are frequent), so the basket-scaled work is one
+    semi-join per candidate edge, never Σk³ per basket. Output: the
+    triples with their support."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    ).cache()
+    # Apriori candidates: (u,v) + (v,w) with u < v < w, then require
+    # the closing pair (u,w) frequent too
+    uv, vw = pairs.alias("uv"), pairs.alias("vw")
+    uw = pairs.select(F.col("u").alias("cu"), F.col("v").alias("cw"))
+    cand = (
+        uv.join(vw, F.col("uv.v") == F.col("vw.u"))
+        .select(
+            F.col("uv.u").alias("u"), F.col("uv.v").alias("v"),
+            F.col("vw.v").alias("w"),
+        )
+        .join(
+            uw,
+            (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+            "left_semi",
+        )
+    )
+    # support: count orders containing all three (three semi-scans of
+    # the distinct (order, part) frame, hash-joined on part then order)
+    o1 = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    o2 = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    o3 = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("w"))
+    support = (
+        cand.join(o1, "u").join(o2, ["o", "v"]).join(o3, ["o", "w"])
+        .groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return support
+
+
+ORACLE_FREQ_TRIPLES = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS u, b.l_partkey AS v, c.l_partkey AS w,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM op a
+JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN op c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+"""
+
+
+REGISTRY_ADV.update(
+    {
+        "capped_running_balance": (q_capped_running_balance, ORACLE_CAPPED_BALANCE),
+        "rolling_median_7d": (q_rolling_median_7d, ORACLE_ROLLING_MEDIAN),
+        "cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
+        "frequent_triples": (q_frequent_triples, ORACLE_FREQ_TRIPLES),
+    }
+)

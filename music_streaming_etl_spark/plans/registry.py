@@ -43,6 +43,10 @@ _PRIORITY: list[str] = [
     "pearson_correlation",
     "percentile_cont_by_group",
     "bitemporal_state_lookup",
+    "capped_running_balance",
+    "rolling_median_7d",
+    "cohort_ltv",
+    "frequent_triples",
     # VERDICT r2 action items 1+3: oracle result-TYPE fixes
     # (HUGEINT/DATE artifacts; values were already cell-exact) — must
     # sit inside the driver window to turn green externally

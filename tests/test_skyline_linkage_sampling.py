@@ -235,3 +235,40 @@ def test_percentile_cont_matches_duckdb_quantile(spark, sf_dir):
         ).fetchall()
     }
     assert got == want
+
+
+def test_capped_balance_identity_matches_loop(spark):
+    """The closed form b_n = S_n - least(0, min prefix S) must equal
+    the sequential recurrence b_n = max(0, b_{n-1} + d_n) on random
+    walks, including deep-negative stretches."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(3)
+    rows = []
+    for user in range(5):
+        for i in range(200):
+            rows.append((user, i, rng.randrange(-50, 40)))
+    df = spark.createDataFrame(rows, "user_id long, seq long, delta long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = F.sum("delta").over(w)
+    got = {
+        (r["user_id"], r["seq"]): r["b"]
+        for r in df.select(
+            "user_id", "seq",
+            (s - F.least(F.lit(0), F.min(s).over(w))).alias("b"),
+        ).collect()
+    }
+    by_user = {}
+    for user, seq, delta in rows:
+        by_user.setdefault(user, []).append((seq, delta))
+    for user, items in by_user.items():
+        b = 0
+        for seq, delta in sorted(items):
+            b = max(0, b + delta)
+            assert got[(user, seq)] == b, (user, seq)
