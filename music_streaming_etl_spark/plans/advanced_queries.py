@@ -866,3 +866,232 @@ REGISTRY_ADV.update(
         "frequent_triples": (q_frequent_triples, ORACLE_FREQ_TRIPLES),
     }
 )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between early
+    (< 1998) and late (≥ 1998) order-value distributions — the
+    distribution-drift gate PSI approximates with bins, computed
+    bin-free: D = max_x |F1(x) − F2(x)|. The max runs over the
+    VALUE-grain aggregate with exact integer cross-products
+    (|cumA·nB − cumB·nA|, ties broken to the smallest value), so no
+    float ever orders anything; the single division happens once on
+    the winning row. Cumulatives come from ``global_prefix_sum`` —
+    range-partitioned, never a single-partition window over the
+    values."""
+    from ..operators.ranking import global_prefix_sum
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    early = F.year("o_orderdate") < 1998
+    grp = orders.groupBy(cents.alias("v")).agg(
+        F.sum(F.when(early, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(early, 0).otherwise(1)).alias("b"),
+    )
+    pref = global_prefix_sum(grp, [F.col("v").asc()], "a", alias="pa")
+    pref = global_prefix_sum(pref, [F.col("v").asc()], "b", alias="pb")
+    totals = grp.agg(
+        F.sum("a").cast("bigint").alias("na"), F.sum("b").cast("bigint").alias("nb")
+    )
+    d = pref.crossJoin(F.broadcast(totals)).select(
+        "v", "na", "nb",
+        F.abs(
+            (F.col("pa") + F.col("a")) * F.col("nb")
+            - (F.col("pb") + F.col("b")) * F.col("na")
+        ).alias("diff"),
+    )
+    best = d.groupBy("na", "nb").agg(
+        F.max(F.struct(F.col("diff"), (-F.col("v")).alias("negv"))).alias("m")
+    )
+    return best.select(
+        F.col("na").alias("n_early"),
+        F.col("nb").alias("n_late"),
+        F.round(
+            F.col("m.diff").cast("double")
+            / (F.col("na") * F.col("nb")).cast("double"),
+            6,
+        ).alias("ks_stat"),
+        (-F.col("m.negv")).cast("bigint").alias("at_cents"),
+    )
+
+
+ORACLE_KS = """
+WITH vals AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         (year(o_orderdate) < 1998) AS early
+  FROM orders
+), grp AS (
+  SELECT v,
+         SUM(CASE WHEN early THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS b
+  FROM vals GROUP BY 1
+), cum AS (
+  SELECT v,
+         SUM(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM grp
+), tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM grp),
+d AS (
+  SELECT v, na, nb, abs(ca * nb - cb * na) AS diff FROM cum, tot
+), best AS (
+  SELECT na, nb, diff, v,
+         ROW_NUMBER() OVER (ORDER BY diff DESC, v ASC) AS rn
+  FROM d
+)
+SELECT na AS n_early, nb AS n_late,
+       ROUND(CAST(diff AS DOUBLE) / CAST(na * nb AS DOUBLE), 6) AS ks_stat,
+       CAST(v AS BIGINT) AS at_cents
+FROM best WHERE rn = 1
+"""
+
+
+REGISTRY_ADV.update({"ks_drift": (q_ks_drift, ORACLE_KS)})
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting over ordering customers: each active
+    (month, customer) classified NEW (first-ever month), RETAINED
+    (also active the previous month) or RESURRECTED (active before,
+    but not last month) — the standard MAU decomposition. One per-key
+    lag window over the (month, customer) distinct frame (bounded by a
+    customer's active-month count), then a month-grain rollup."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    mu = (
+        orders.select(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+            F.col("o_custkey").alias("c"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("c").orderBy("month")
+    tagged = mu.select(
+        "month",
+        "c",
+        F.lag("month").over(w).alias("prev_month"),
+        F.row_number().over(w).alias("rn"),
+    )
+    cls = (
+        F.when(F.col("rn") == 1, F.lit("new"))
+        .when(
+            F.col("prev_month") == F.add_months(F.col("month"), -1),
+            F.lit("retained"),
+        )
+        .otherwise(F.lit("resurrected"))
+    )
+    return (
+        tagged.groupBy("month")
+        .agg(
+            F.count(F.when(cls == "new", 1)).cast("bigint").alias("new_users"),
+            F.count(F.when(cls == "retained", 1)).cast("bigint").alias("retained_users"),
+            F.count(F.when(cls == "resurrected", 1)).cast("bigint").alias("resurrected_users"),
+        )
+    )
+
+
+ORACLE_GROWTH = """
+WITH mu AS (
+  SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         o_custkey AS c
+  FROM orders
+), tagged AS (
+  SELECT month, c,
+         LAG(month) OVER (PARTITION BY c ORDER BY month) AS prev_month,
+         ROW_NUMBER() OVER (PARTITION BY c ORDER BY month) AS rn
+  FROM mu
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS new_users,
+       CAST(COUNT(CASE WHEN rn > 1 AND prev_month = month - INTERVAL 1 MONTH THEN 1 END) AS BIGINT) AS retained_users,
+       CAST(COUNT(CASE WHEN rn > 1 AND prev_month <> month - INTERVAL 1 MONTH THEN 1 END) AS BIGINT) AS resurrected_users
+FROM tagged GROUP BY 1
+"""
+
+
+def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lag-k autocorrelation (k = 1, 7) of the daily revenue
+    series — the seasonality diagnostic. Pairs come from the bounded
+    lag fan-out equi-join on the day spine (never a window shifting
+    the whole series through one partition); all sufficient statistics
+    are scale-0-decimal exact, one sqrt·sqrt division per lag.
+    Definition: r_k = corr(x_t, x_{t+k}) over the aligned pairs (the
+    Pearson form on the overlap, which every engine can reproduce
+    exactly — unlike the variance-normalized ACF whose mean subtraction
+    is float-order-sensitive)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents).alias("c")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lagged = daily.select(
+        F.col("day"), F.col("c").alias("x")
+    )
+    out = None
+    for k in (1, 7):
+        pair = (
+            lagged.alias("a")
+            .join(
+                lagged.select(
+                    F.date_add(F.col("day"), -k).alias("day"),
+                    F.col("x").alias("y"),
+                ).alias("b"),
+                "day",
+            )
+        )
+        stats = pair.agg(
+            F.lit(k).cast("bigint").alias("lag"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(d("x")).alias("sx"),
+            F.sum(d("y")).alias("sy"),
+            F.sum(d("x") * d("y")).alias("sxy"),
+            F.sum(d("x") * d("x")).alias("sxx"),
+            F.sum(d("y") * d("y")).alias("syy"),
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        row = stats.select(
+            "lag",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_ACF = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), lags AS (SELECT unnest([1, 7]) AS lag),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+), s AS (
+  SELECT lag, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+FROM s
+"""
+
+
+REGISTRY_ADV.update(
+    {
+        "growth_accounting": (q_growth_accounting, ORACLE_GROWTH),
+        "daily_autocorrelation": (q_daily_autocorrelation, ORACLE_ACF),
+    }
+)

@@ -47,6 +47,9 @@ _PRIORITY: list[str] = [
     "rolling_median_7d",
     "cohort_ltv",
     "frequent_triples",
+    "ks_drift",
+    "growth_accounting",
+    "daily_autocorrelation",
     # VERDICT r2 action items 1+3: oracle result-TYPE fixes
     # (HUGEINT/DATE artifacts; values were already cell-exact) — must
     # sit inside the driver window to turn green externally

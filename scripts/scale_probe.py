@@ -230,6 +230,17 @@ def main() -> None:
         q_similarity_topk_ivf,
     )
 
+    from music_streaming_etl_spark.plans.advanced_queries import (
+        q_attribution_last_touch,
+        q_ks_drift,
+        q_bitemporal_state_lookup,
+        q_capped_running_balance,
+        q_frequent_triples,
+        q_percentile_cont_by_group,
+        q_rolling_median_7d,
+        q_skyline_customers,
+    )
+
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     ops = args[1:] or [
@@ -265,6 +276,22 @@ def main() -> None:
         "bm25_search": (q_bm25_search, materialize_llm, base_docs),
         "dedup_containment": (q_dedup_containment, materialize_llm, base_docs),
         "ivf_index_search": (q_ivf_index_search_probe, materialize_llm, base_docs),
+        "skyline_customers": (q_skyline_customers, materialize_orders, base_orders),
+        "percentile_cont_by_group": (
+            q_percentile_cont_by_group, materialize_orders, base_orders,
+        ),
+        "rolling_median_7d": (q_rolling_median_7d, materialize_orders, base_orders),
+        "capped_running_balance": (
+            q_capped_running_balance, materialize_events, base_events,
+        ),
+        "bitemporal_state_lookup": (
+            q_bitemporal_state_lookup, materialize_events, base_events,
+        ),
+        "attribution_last_touch": (
+            q_attribution_last_touch, materialize_events, base_events,
+        ),
+        "frequent_triples": (q_frequent_triples, materialize_baskets, base_li),
+        "ks_drift": (q_ks_drift, materialize_orders, base_orders),
         "copurchase_reach": (q_copurchase_reach, materialize_baskets, base_li),
         "basket_affinity_lift": (
             q_basket_affinity_lift, materialize_baskets, base_li,

@@ -647,3 +647,46 @@ def test_stickiness_no_nested_loop_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the explode(sequence(0,27)) fan-out
+
+
+def test_round3_shapes_plan_scale_safe(spark, sf_dir):
+    """Round-3 additions never plan a cartesian/nested-loop join (the
+    only broadcast-nested-loop allowed anywhere is a 1-row bound
+    frame, which Catalyst plans as BroadcastHashJoin-free crossJoin of
+    a single row — assert the dangerous shapes instead), and the top-k
+    surfaces go through TakeOrderedAndProject."""
+    from music_streaming_etl_spark.plans.advanced_queries import (
+        q_capped_running_balance,
+        q_frequent_triples,
+        q_ks_drift,
+        q_record_linkage_scores,
+        q_rolling_median_7d,
+        q_skyline_customers,
+        q_sparse_cosine_topk,
+        q_weighted_sample_docs,
+    )
+
+    for fn in (
+        q_skyline_customers,
+        q_sparse_cosine_topk,
+        q_record_linkage_scores,
+        q_rolling_median_7d,
+        q_frequent_triples,
+        q_capped_running_balance,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        # 1-row broadcasts (counts/bounds/totals) legitimately plan as
+        # BroadcastNestedLoopJoin with no condition; anything joining
+        # two real frames must not
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line, (fn.__name__, line)
+
+    for fn in (q_sparse_cosine_topk, q_record_linkage_scores, q_weighted_sample_docs):
+        assert "TakeOrderedAndProject" in _plan(fn(spark, sf_dir)), fn.__name__
+
+    # ks_drift: the value-grain cumulative must be range-partitioned,
+    # never a single-partition global window
+    ks = _plan(q_ks_drift(spark, sf_dir))
+    assert "rangepartitioning" in ks.lower(), ks[:500]
