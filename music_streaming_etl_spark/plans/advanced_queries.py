@@ -801,9 +801,16 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ever touching the baskets (the Apriori prune: any frequent
     triple's sub-pairs are frequent), so the basket-scaled work is one
     semi-join per candidate edge, never Σk³ per basket. Output: the
-    triples with their support."""
+    triples with their support.
+
+    Every join that touches the basket-scaled (order, part) frame is
+    pinned MERGE: its sides are the same frame by construction, so a
+    broadcast can never be right — Catalyst's static estimate
+    undershoots the distinct output and dies in
+    notEnoughMemoryToBuildAndBroadcastTable at 100× (measured by the
+    scale probe; the same failure copurchase_pairs hit in round 2)."""
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    op = li.select("l_orderkey", "l_partkey").distinct().hint("merge")
     a, b = op.alias("a"), op.alias("b")
     pairs = (
         a.join(
@@ -815,6 +822,7 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")
+        .hint("merge")  # the pair lattice self-joins below: same rule
     ).cache()
     # Apriori candidates: (u,v) + (v,w) with u < v < w, then require
     # the closing pair (u,w) frequent too
@@ -834,9 +842,9 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # support: count orders containing all three (three semi-scans of
     # the distinct (order, part) frame, hash-joined on part then order)
-    o1 = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    o2 = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    o3 = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("w"))
+    o1 = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")).hint("merge")
+    o2 = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v")).hint("merge")
+    o3 = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("w")).hint("merge")
     support = (
         cand.join(o1, "u").join(o2, ["o", "v"]).join(o3, ["o", "w"])
         .groupBy("u", "v", "w")

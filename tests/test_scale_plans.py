@@ -690,3 +690,18 @@ def test_round3_shapes_plan_scale_safe(spark, sf_dir):
     # never a single-partition global window
     ks = _plan(q_ks_drift(spark, sf_dir))
     assert "rangepartitioning" in ks.lower(), ks[:500]
+
+
+def test_frequent_triples_never_broadcasts_basket_frames(spark, sf_dir):
+    """All joins touching the basket-scaled (order, part) frame (and
+    the pair-lattice self-joins) are pinned MERGE: the sides are the
+    same frame by construction, so a broadcast can never be right —
+    the unhinted plan died in notEnoughMemoryToBuildAndBroadcastTable
+    at the probe's 100x point."""
+    from music_streaming_etl_spark.plans.advanced_queries import (
+        q_frequent_triples,
+    )
+
+    plan = _plan(q_frequent_triples(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan, plan
