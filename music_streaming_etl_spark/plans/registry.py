@@ -11,6 +11,7 @@ from __future__ import annotations
 from .advanced_queries import REGISTRY_ADV
 from .analytics_queries import REGISTRY_ANALYTICS
 from .extension_queries import REGISTRY_EXT
+from .stats_queries import REGISTRY_STATS
 from .testdata_queries import REGISTRY as REGISTRY_CORE
 from .tpch_queries import REGISTRY_TPCH
 
@@ -20,6 +21,7 @@ REGISTRY.update(REGISTRY_EXT)
 REGISTRY.update(REGISTRY_ANALYTICS)
 REGISTRY.update(REGISTRY_TPCH)
 REGISTRY.update(REGISTRY_ADV)
+REGISTRY.update(REGISTRY_STATS)
 
 # The driver's correctness gate checks the FIRST 50 registry keys, so
 # ordering is load-bearing. Round-3 rotation plan (VERDICT r2 item 4):
@@ -34,6 +36,10 @@ REGISTRY.update(REGISTRY_ADV)
 # (cell-exact, all keys) regardless of position.
 _PRIORITY: list[str] = [
     # round 3 NEW queries — first external check (keep at the front)
+    "mann_whitney_u",
+    "auc_doc_length",
+    "distribution_moments",
+    "regression_slope_daily",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

@@ -1,0 +1,138 @@
+"""Brute-force property twins for the statistical-test operators —
+the DuckDB oracle can mirror a shared formula mistake; these re-derive
+Mann-Whitney U / AUC and the moment formulas independently (pure
+Python, pooled-rank definition) on randomized inputs, plus
+partitioning-independence for the distributed prefix-sum path."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from music_streaming_etl_spark.operators.stats import rank_sum_stats
+
+
+def _brute_mwu(pos, neg):
+    """Textbook pooled average-rank formulation."""
+    pooled = sorted(pos + neg)
+    # average rank per value (1-based)
+    ranks = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        ranks[pooled[i]] = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        i = j
+    n1, n2, n = len(pos), len(neg), len(pos) + len(neg)
+    r1 = sum(ranks[v] for v in pos)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    # tie correction
+    from collections import Counter
+
+    t3 = sum(t**3 - t for t in Counter(pooled).values())
+    var = n1 * n2 / 12.0 * ((n + 1) - t3 / (n * (n - 1))) if n > 1 else 0.0
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var) if var > 0 else None
+    auc = u1 / (n1 * n2) if n1 and n2 else None
+    return u1, z, auc
+
+
+def _run(spark, pos, neg, parts=7):
+    rows = [(v, True) for v in pos] + [(v, False) for v in neg]
+    df = spark.createDataFrame(rows, "v long, is_pos boolean").repartition(
+        parts
+    )
+    return rank_sum_stats(df, "v", "is_pos").collect()[0]
+
+
+def test_rank_sum_matches_brute_force_random(spark):
+    rng = random.Random(11)
+    for trial, (n1, n2, vr) in enumerate(
+        [(40, 60, 1000), (30, 30, 8), (100, 17, 3), (5, 200, 10**12)]
+    ):
+        pos = [rng.randrange(vr) for _ in range(n1)]
+        neg = [rng.randrange(vr) for _ in range(n2)]
+        u1, z, auc = _brute_mwu(pos, neg)
+        row = _run(spark, pos, neg)
+        assert row["n_pos"] == n1 and row["n_neg"] == n2, trial
+        assert abs(row["u_pos"] - u1) < 1e-9, (trial, row["u_pos"], u1)
+        if z is None:
+            assert row["z"] is None, trial
+        else:
+            assert abs(row["z"] - z) < 1e-5, (trial, row["z"], z)
+        assert abs(row["auc"] - auc) < 1e-5, trial
+
+
+def test_rank_sum_degenerate_and_partitioning(spark):
+    # all values tied -> var 0 -> z NULL, auc exactly 0.5
+    row = _run(spark, [7] * 10, [7] * 20)
+    assert row["z"] is None and abs(row["auc"] - 0.5) < 1e-9
+    # perfect separation -> auc 1.0
+    row = _run(spark, [100, 101], [1, 2, 3])
+    assert row["auc"] == 1.0 and row["u_pos"] == 6.0
+    # partitioning independence of the prefix-sum path
+    pos = [i % 13 for i in range(50)]
+    neg = [i % 7 for i in range(80)]
+    a = _run(spark, pos, neg, parts=1)
+    b = _run(spark, pos, neg, parts=17)
+    assert a == b
+
+
+def test_moment_formulas_match_numpy(spark):
+    import numpy as np
+
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_distribution_moments,
+    )
+
+    rows = q_distribution_moments(spark, "/root/testdata/sf0.001").collect()
+    import pandas as pd
+
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    orders["p"] = orders["o_totalprice"].round(2)
+    for r in rows:
+        x = orders.loc[
+            orders["o_orderpriority"] == r["o_orderpriority"], "p"
+        ].to_numpy(dtype=float)
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        assert r["n"] == len(x)
+        assert abs(r["mean_price"] - mu) < 1e-4
+        assert abs(r["skewness"] - m3 / m2**1.5) < 1e-5
+        assert abs(r["excess_kurtosis"] - (m4 / m2**2 - 3.0)) < 1e-5
+
+
+def test_regression_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_regression_slope_daily,
+    )
+
+    rows = q_regression_slope_daily(spark, "/root/testdata/sf0.001").collect()
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    orders["day"] = orders["o_orderdate"].dt.normalize()
+    orders["cents"] = (
+        (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    for r in rows:
+        g = (
+            orders[orders["o_orderpriority"] == r["o_orderpriority"]]
+            .groupby("day")["cents"]
+            .sum()
+        )
+        x = (g.index - pd.Timestamp("1992-01-01")).days.to_numpy(float)
+        y = g.to_numpy(float)
+        slope, intercept = np.polyfit(x, y, 1)
+        cc = np.corrcoef(x, y)[0, 1]
+        assert r["n_days"] == len(x)
+        assert abs(r["slope_cents_per_day"] - slope) < max(
+            1e-4, abs(slope) * 1e-6
+        )
+        assert abs(r["intercept_cents"] - intercept) < max(
+            1e-2, abs(intercept) * 1e-6
+        )
+        assert abs(r["r2"] - cc * cc) < 1e-6
