@@ -40,6 +40,10 @@ _PRIORITY: list[str] = [
     "auc_doc_length",
     "distribution_moments",
     "regression_slope_daily",
+    "event_entropy",
+    "dow_seasonality",
+    "cusum_alerts",
+    "gini_coefficient",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

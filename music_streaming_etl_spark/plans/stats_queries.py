@@ -357,3 +357,302 @@ REGISTRY_STATS.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy of per-user behavior
+# --------------------------------------------------------------------------
+
+
+def q_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the behavioral-diversity feature (0 = monomaniac, ln(k) = uniform
+    over k types). Float determinism: each term c·ln(c/N) is quantized
+    to a DECIMAL(12,6) log LITERAL before the sum (the playbook's
+    'literal log-weights' rule), so the per-user reduction is exact
+    decimal and engine/partitioning-independent; one window + one
+    shuffle, both on the user key."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    ce = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    withn = ce.withColumn("n", F.sum("c").over(w))
+    term = F.col("c").cast("decimal(19,0)") * F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
+    ).cast("decimal(12,6)")
+    return (
+        withn.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(
+                -F.sum(term).cast("double")
+                / F.max("n").cast("double"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_ENTROPY = """
+WITH ce AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), wn AS (
+  SELECT user_id, c,
+         SUM(c) OVER (PARTITION BY user_id) AS n
+  FROM ce
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(-CAST(SUM(CAST(c AS DECIMAL(19,0))
+                        * CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                               AS DECIMAL(12,6))) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE), 6) AS entropy_nats
+FROM wn GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality index
+# --------------------------------------------------------------------------
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average daily revenue by day-of-week, as an index against the
+    overall daily average (1.0 = flat week) — the seasonality profile
+    that feeds staffing/forecast downstreams. Exact integer cents per
+    day; the overall average rides in as a broadcast 1-row aggregate
+    (never a full-frame window); doubles only in the two final
+    divisions, fixed order. Day-of-week is ISO Monday=0 in BOTH
+    engines (Spark ``weekday``, DuckDB ``isodow - 1``)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents()).alias("c")
+    )
+    per_dow = daily.groupBy(F.weekday("day").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+    )
+    total = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd_all"),
+        F.sum("c").cast("decimal(38,0)").alias("s_all"),
+    )
+    joined = per_dow.crossJoin(F.broadcast(total))
+    dow_avg = F.col("s").cast("double") / F.col("n_days").cast("double")
+    all_avg = F.col("s_all").cast("double") / F.col("nd_all").cast("double")
+    return joined.select(
+        F.col("dow").cast("int").alias("dow"),
+        "n_days",
+        F.round(dow_avg, 6).alias("avg_daily_cents"),
+        F.round(dow_avg / all_avg, 6).alias("seasonality_index"),
+    ).orderBy("dow")
+
+
+ORACLE_DOW = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, SUM({_CENTS}) AS c
+  FROM orders GROUP BY 1
+), per_dow AS (
+  SELECT CAST(isodow(day) - 1 AS INT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS s
+  FROM daily GROUP BY 1
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd_all,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS s_all
+  FROM daily
+)
+SELECT dow, n_days,
+       ROUND(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS avg_daily_cents,
+       ROUND((CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(s_all AS DOUBLE) / CAST(nd_all AS DOUBLE)), 6)
+         AS seasonality_index
+FROM per_dow, total ORDER BY dow
+"""
+
+
+# --------------------------------------------------------------------------
+# CUSUM change detection over daily revenue
+# --------------------------------------------------------------------------
+
+
+def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM over daily revenue: C⁺_n = max(0, C⁺_{n-1}+d_n)
+    and C⁻_n = min(0, C⁻_{n-1}+d_n) around the reference k =
+    total DIV n_days, alerting when either side exceeds 4σ of the
+    daily deviations. The sequential recurrence is made declarative by
+    the reflection identity C⁺ = S − min(0, running-min S) (and its
+    mirror for C⁻) — the same two-window trick as
+    ``capped_running_balance``, exact BIGINT throughout. The windows
+    run on the DAY-grain frame, whose size is calendar-bounded
+    (#days, not #rows) at any data scale — the repo's documented
+    exception to the no-unpartitioned-window rule."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents()).alias("c")
+    )
+    ref = daily.agg(
+        F.expr("CAST(SUM(c) AS BIGINT) DIV COUNT(*)").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+    )
+    d0 = daily.crossJoin(F.broadcast(ref)).withColumn(
+        "d", F.col("c") - F.col("k")
+    )
+    sig = d0.agg(
+        F.sum(F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sdd"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    ).select(
+        F.sqrt(
+            F.col("sdd").cast("double") / F.col("nd").cast("double")
+            - (F.col("sd").cast("double") / F.col("nd").cast("double"))
+            * (F.col("sd").cast("double") / F.col("nd").cast("double"))
+        ).alias("sigma")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        d0.withColumn("s", F.sum("d").over(w))
+        .withColumn("rmin", F.min(F.col("s")).over(w))
+        .withColumn("rmax", F.max(F.col("s")).over(w))
+        .withColumn("cusum_pos", F.col("s") - F.least(F.lit(0), F.col("rmin")))
+        .withColumn(
+            "cusum_neg", F.col("s") - F.greatest(F.lit(0), F.col("rmax"))
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(sig))
+        .select(
+            "day",
+            F.col("c").cast("bigint").alias("cents"),
+            F.col("cusum_pos").cast("bigint").alias("cusum_pos"),
+            F.col("cusum_neg").cast("bigint").alias("cusum_neg"),
+            (
+                (F.col("cusum_pos").cast("double") > F.lit(4.0) * F.col("sigma"))
+                | (
+                    F.col("cusum_neg").cast("double")
+                    < F.lit(-4.0) * F.col("sigma")
+                )
+            ).alias("alert"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_CUSUM = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, SUM({_CENTS}) AS c
+  FROM orders GROUP BY 1
+), ref AS (
+  SELECT CAST(SUM(c) AS BIGINT) // COUNT(*) AS k FROM daily
+), d0 AS (
+  SELECT day, c, c - k AS d FROM daily, ref
+), sig AS (
+  SELECT sqrt(
+           CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+           - (CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             * (CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         ) AS sigma
+  FROM d0
+), pre AS (
+  SELECT day, c,
+         SUM(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM d0
+), cum AS (
+  SELECT day, c, s,
+         MIN(s) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin,
+         MAX(s) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+  FROM pre
+)
+SELECT day, CAST(c AS BIGINT) AS cents,
+       CAST(s - LEAST(0, rmin) AS BIGINT) AS cusum_pos,
+       CAST(s - GREATEST(0, rmax) AS BIGINT) AS cusum_neg,
+       (CAST(s - LEAST(0, rmin) AS DOUBLE) > 4.0 * sigma
+        OR CAST(s - GREATEST(0, rmax) AS DOUBLE) < -4.0 * sigma) AS alert
+FROM cum, sig ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of revenue concentration
+# --------------------------------------------------------------------------
+
+
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the full-curve
+    concentration measure (``pareto_concentration`` reports one point
+    of the Lorenz curve; Gini integrates it): G = (2·Σr·c − (n+1)·Σc)
+    / (n·Σc) with customers ranked ascending by exact integer revenue.
+    Ranks come from ``global_rank`` (range partition + broadcast
+    offsets — no single-partition sort); the custkey tiebreak keeps
+    row_number deterministic, and Σr·c is tie-invariant because tied
+    blocks share one c. Exact DECIMAL accumulation; one final double
+    division."""
+    from ..operators.ranking import global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_cents()).alias("c")
+    )
+    ranked = global_rank(per_cust, [F.asc("c"), F.asc("o_custkey")])
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum(
+            F.col("rank").cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("src"),
+    )
+    nd = F.col("n").cast("double")
+    scd = F.col("sc").cast("double")
+    srcd = F.col("src").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sc").cast("bigint").alias("total_cents"),
+        F.round(
+            (F.lit(2.0) * srcd - (nd + F.lit(1.0)) * scd) / (nd * scd), 6
+        ).alias("gini"),
+    )
+
+
+ORACLE_GINI = f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM({_CENTS}) AS c
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, o_custkey ASC) AS r
+  FROM per_cust
+), a AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc,
+         CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS src
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sc AS BIGINT) AS total_cents,
+       ROUND((2.0 * CAST(src AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sc AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sc AS DOUBLE)), 6) AS gini
+FROM a
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "event_entropy": (q_event_entropy, ORACLE_ENTROPY),
+        "dow_seasonality": (q_dow_seasonality, ORACLE_DOW),
+        "cusum_alerts": (q_cusum_alerts, ORACLE_CUSUM),
+        "gini_coefficient": (q_gini_coefficient, ORACLE_GINI),
+    }
+)

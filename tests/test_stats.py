@@ -136,3 +136,93 @@ def test_regression_matches_numpy(spark):
             1e-2, abs(intercept) * 1e-6
         )
         assert abs(r["r2"] - cc * cc) < 1e-6
+
+
+def test_cusum_identity_matches_recurrence_loop(spark):
+    """The declarative reflection identity vs the literal sequential
+    recurrence, on randomized deviation series."""
+    rng = random.Random(23)
+    for trial in range(4):
+        d = [rng.randrange(-50, 51) for _ in range(200)]
+        cpos, cneg, ep, en = [], [], 0, 0
+        for x in d:
+            ep = max(0, ep + x)
+            en = min(0, en + x)
+            cpos.append(ep)
+            cneg.append(en)
+        rows = [(i, x) for i, x in enumerate(d)]
+        df = spark.createDataFrame(rows, "i long, d long").repartition(5)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+        got = (
+            df.withColumn("s", F.sum("d").over(w))
+            .withColumn("rmin", F.min("s").over(w))
+            .withColumn("rmax", F.max("s").over(w))
+            .select(
+                "i",
+                (F.col("s") - F.least(F.lit(0), F.col("rmin"))).alias("cp"),
+                (F.col("s") - F.greatest(F.lit(0), F.col("rmax"))).alias("cn"),
+            )
+            .orderBy("i")
+            .collect()
+        )
+        assert [r["cp"] for r in got] == cpos, trial
+        assert [r["cn"] for r in got] == cneg, trial
+
+
+def test_gini_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_gini_coefficient,
+    )
+    import pandas as pd
+
+    row = q_gini_coefficient(spark, "/root/testdata/sf0.001").collect()[0]
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    orders["cents"] = (
+        (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    c = sorted(orders.groupby("o_custkey")["cents"].sum().to_list())
+    n, sc = len(c), sum(c)
+    src = sum((i + 1) * v for i, v in enumerate(c))
+    gini = (2.0 * src - (n + 1.0) * sc) / (n * sc)
+    assert row["n_customers"] == n and row["total_cents"] == sc
+    assert abs(row["gini"] - gini) < 1e-6
+
+
+def test_entropy_bounds_and_uniform_case(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_event_entropy
+
+    rows = q_event_entropy(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no users"
+    for r in rows:
+        assert r["entropy_nats"] >= 0.0
+        assert r["entropy_nats"] <= math.log(r["n_types"]) + 1e-6
+    # hand-built uniform distribution -> exactly ln(k) (to 6dp quantization)
+    ev = spark.createDataFrame(
+        [(1, t) for t in "abcd" for _ in range(25)],
+        "user_id long, event_type string",
+    )
+    from music_streaming_etl_spark.plans import stats_queries as SQ
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    ce = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    withn = ce.withColumn("n", F.sum("c").over(w))
+    term = F.col("c").cast("decimal(19,0)") * F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
+    ).cast("decimal(12,6)")
+    got = (
+        withn.groupBy("user_id")
+        .agg(
+            F.round(
+                -F.sum(term).cast("double") / F.max("n").cast("double"), 6
+            ).alias("h")
+        )
+        .collect()[0]["h"]
+    )
+    assert abs(got - math.log(4)) < 2e-6
