@@ -44,6 +44,9 @@ _PRIORITY: list[str] = [
     "dow_seasonality",
     "cusum_alerts",
     "gini_coefficient",
+    "mann_kendall_seasonal",
+    "theil_sen_seasonal",
+    "embedding_dim_stats",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

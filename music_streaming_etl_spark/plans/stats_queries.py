@@ -656,3 +656,279 @@ REGISTRY_STATS.update(
         "gini_coefficient": (q_gini_coefficient, ORACLE_GINI),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Seasonal Mann-Kendall trend test
+# --------------------------------------------------------------------------
+
+
+def q_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hirsch's seasonal Mann-Kendall monotone-trend test on daily
+    revenue: S = Σ_seasons Σ_{i<j in season} sign(y_j − y_i) with
+    month-of-year seasons, tie-corrected variance summed per season,
+    continuity-corrected z. The pair frame is an EQUI-join on the
+    season key with an in-partition day< filter — a hash join, never
+    a nested loop — and is calendar-bounded: #pairs ≤ 12·(#days/12)²
+    regardless of row count, so the plan survives any data scale
+    (days grow with years, not bytes). Exact integer arithmetic up to
+    the single final division."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents()).alias("c")
+    )
+    d = daily.select(
+        "day", "c", F.month("day").alias("m")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, "m").where(F.col("a.day") < F.col("b.day"))
+    s_per = pairs.groupBy("m").agg(
+        F.sum(
+            F.when(F.col("b.c") > F.col("a.c"), 1)
+            .when(F.col("b.c") < F.col("a.c"), -1)
+            .otherwise(0)
+        ).cast("bigint").alias("s_m")
+    )
+    t = F.col("t").cast("decimal(12,0)")
+    ties_per = (
+        d.groupBy("m", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_nv"),
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("decimal(38,0)").alias("tt"),
+            F.sum("t").cast("bigint").alias("n_m"),
+        )
+    )
+    nm = F.col("n_m").cast("decimal(12,0)")
+    per = s_per.join(ties_per, "m").select(
+        "m",
+        "s_m",
+        "n_m",
+        (nm * (nm - 1) * (2 * nm + 5) - F.col("tt"))
+        .cast("decimal(38,0)")
+        .alias("var18_m"),
+    )
+    tot = per.agg(
+        F.sum("n_m").cast("bigint").alias("n_days"),
+        F.sum("s_m").cast("bigint").alias("s_stat"),
+        F.sum("var18_m").cast("decimal(38,0)").alias("var18"),
+    )
+    s = F.col("s_stat").cast("double")
+    sig = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    return tot.select(
+        "n_days",
+        "s_stat",
+        F.col("var18").cast("bigint").alias("var18"),
+        F.round(
+            F.when(F.col("s_stat") > 0, (s - F.lit(1.0)) / sig)
+            .when(F.col("s_stat") < 0, (s + F.lit(1.0)) / sig)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )
+
+
+ORACLE_MANN_KENDALL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, SUM({_CENTS}) AS c
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT day, c, month(day) AS m FROM daily
+), s_per AS (
+  SELECT a.m,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_m
+  FROM d a JOIN d b ON a.m = b.m AND a.day < b.day
+  GROUP BY 1
+), ties_per AS (
+  SELECT m,
+         CAST(SUM(CAST(t AS DECIMAL(12,0)) * (CAST(t AS DECIMAL(12,0)) - 1)
+                  * (2 * CAST(t AS DECIMAL(12,0)) + 5)) AS DECIMAL(38,0)) AS tt,
+         CAST(SUM(t) AS BIGINT) AS n_m
+  FROM (SELECT m, c, CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY 1, 2)
+  GROUP BY 1
+), per AS (
+  SELECT s_per.m, s_m, n_m,
+         CAST(CAST(n_m AS DECIMAL(12,0)) * (CAST(n_m AS DECIMAL(12,0)) - 1)
+              * (2 * CAST(n_m AS DECIMAL(12,0)) + 5) - tt AS DECIMAL(38,0))
+           AS var18_m
+  FROM s_per JOIN ties_per USING (m)
+), tot AS (
+  SELECT CAST(SUM(n_m) AS BIGINT) AS n_days,
+         CAST(SUM(s_m) AS BIGINT) AS s_stat,
+         CAST(SUM(var18_m) AS DECIMAL(38,0)) AS var18
+  FROM per
+)
+SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+       ROUND(CASE
+         WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+         WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+         ELSE 0.0 END, 6) AS z
+FROM tot
+"""
+
+
+# --------------------------------------------------------------------------
+# Seasonal Theil-Sen slope (robust trend estimator)
+# --------------------------------------------------------------------------
+
+
+def q_theil_sen_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend: the median of within-season pairwise slopes of
+    daily revenue (cents/day) — outlier-days move OLS, not this. Same
+    calendar-bounded month-season equi-join pair frame as
+    ``mann_kendall_seasonal``; each slope is rounded to 6dp BEFORE
+    ranking (the playbook's libm rule), the median is taken as
+    explicit order statistics via ``global_rank`` (range partition +
+    broadcast offsets — engine-independent, no interpolation-formula
+    ambiguity between engines), averaging the two middles on even
+    counts."""
+    from ..operators.ranking import global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents()).alias("c")
+    )
+    d = daily.select(
+        "day",
+        "c",
+        F.month("day").alias("m"),
+        F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("di"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    slopes = (
+        a.join(b, "m")
+        .where(F.col("a.day") < F.col("b.day"))
+        .select(
+            F.round(
+                (F.col("b.c") - F.col("a.c")).cast("double")
+                / (F.col("b.di") - F.col("a.di")).cast("double"),
+                6,
+            ).alias("slope"),
+            F.col("a.day").alias("da"),
+            F.col("b.day").alias("db"),
+        )
+    )
+    ranked = global_rank(
+        slopes, [F.asc("slope"), F.asc("da"), F.asc("db")]
+    )
+    n_row = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mid = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .where(
+            (F.col("rank") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rank") == F.expr("(n + 2) DIV 2"))
+        )
+    )
+    return mid.agg(
+        F.max("n").alias("n_slopes"),
+        F.round(F.avg("slope"), 6).alias("median_slope_cents_per_day"),
+    )
+
+
+ORACLE_THEIL_SEN = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, SUM({_CENTS}) AS c
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT day, c, month(day) AS m,
+         CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS di
+  FROM daily
+), slopes AS (
+  SELECT ROUND(CAST(b.c - a.c AS DOUBLE) / CAST(b.di - a.di AS DOUBLE), 6)
+           AS slope,
+         a.day AS da, b.day AS db
+  FROM d a JOIN d b ON a.m = b.m AND a.day < b.day
+), ranked AS (
+  SELECT slope,
+         CAST(ROW_NUMBER() OVER (ORDER BY slope ASC, da ASC, db ASC) AS BIGINT)
+           AS rank
+  FROM slopes
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM slopes)
+SELECT MAX(n) AS n_slopes,
+       ROUND(AVG(slope), 6) AS median_slope_cents_per_day
+FROM ranked, nn
+WHERE rank = (n + 1) // 2 OR rank = (n + 2) // 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding per-dimension statistics (quantization calibration)
+# --------------------------------------------------------------------------
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max/mean/std over the embedding corpus — the
+    calibration pass an int8-quantization or normalization step needs
+    (scale = (max−min)/255, mean-centering vector). posexplode keeps
+    the frame (n_vectors × dim) flat and hash-partitioned on dim;
+    min/max are order-free on exact floats, mean/std use the
+    1e-6-quantized decimal accumulation of ``label_centroids`` (sums
+    exact, engine- and partitioning-independent), doubles only in the
+    last four scalar ops."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    q = F.col("v").cast("decimal(12,6)")
+    agg = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum(q).cast("decimal(38,6)").alias("sq"),
+        F.sum(q * q).cast("decimal(38,12)").alias("sqq"),
+    )
+    meand = F.col("sq").cast("double") / F.col("n_vals").cast("double")
+    msqd = F.col("sqq").cast("double") / F.col("n_vals").cast("double")
+    return agg.select(
+        "dim",
+        "n_vals",
+        "vmin",
+        "vmax",
+        F.round(meand, 6).alias("mean"),
+        F.round(F.sqrt(msqd - meand * meand), 6).alias("std"),
+    ).orderBy("dim")
+
+
+ORACLE_DIM_STATS = """
+WITH e AS (
+  SELECT CAST(unnest(range(1, len(embedding) + 1)) - 1 AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), a AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n_vals,
+         MIN(v) AS vmin,
+         MAX(v) AS vmax,
+         CAST(SUM(CAST(v AS DECIMAL(12,6))) AS DECIMAL(38,6)) AS sq,
+         CAST(SUM(CAST(v AS DECIMAL(12,6)) * CAST(v AS DECIMAL(12,6)))
+              AS DECIMAL(38,12)) AS sqq
+  FROM e GROUP BY 1
+)
+SELECT dim, n_vals, vmin, vmax,
+       ROUND(CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE), 6) AS mean,
+       ROUND(sqrt(CAST(sqq AS DOUBLE) / CAST(n_vals AS DOUBLE)
+                  - (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE))
+                    * (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE))), 6) AS std
+FROM a ORDER BY dim
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "mann_kendall_seasonal": (
+            q_mann_kendall_seasonal,
+            ORACLE_MANN_KENDALL,
+        ),
+        "theil_sen_seasonal": (q_theil_sen_seasonal, ORACLE_THEIL_SEN),
+        "embedding_dim_stats": (q_embedding_dim_stats, ORACLE_DIM_STATS),
+    }
+)

@@ -226,3 +226,101 @@ def test_entropy_bounds_and_uniform_case(spark):
         .collect()[0]["h"]
     )
     assert abs(got - math.log(4)) < 2e-6
+
+
+def _daily_cents(sf_dir):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    orders["day"] = orders["o_orderdate"].dt.normalize()
+    orders["cents"] = (
+        (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    return orders.groupby("day")["cents"].sum().reset_index()
+
+
+def test_mann_kendall_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_mann_kendall_seasonal,
+    )
+
+    row = q_mann_kendall_seasonal(spark, "/root/testdata/sf0.001").collect()[0]
+    daily = _daily_cents("/root/testdata/sf0.001")
+    daily["m"] = daily["day"].dt.month
+    s_tot, var18_tot, nd = 0, 0, 0
+    for _, g in daily.groupby("m"):
+        ys = g.sort_values("day")["cents"].to_list()
+        n = len(ys)
+        nd += n
+        s = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tt = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        s_tot += s
+        var18_tot += n * (n - 1) * (2 * n + 5) - tt
+    z = (
+        (s_tot - 1) / math.sqrt(var18_tot / 18.0)
+        if s_tot > 0
+        else (s_tot + 1) / math.sqrt(var18_tot / 18.0)
+        if s_tot < 0
+        else 0.0
+    )
+    assert row["n_days"] == nd
+    assert row["s_stat"] == s_tot
+    assert row["var18"] == var18_tot
+    assert abs(row["z"] - z) < 1e-5
+
+
+def test_theil_sen_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_theil_sen_seasonal,
+    )
+
+    row = q_theil_sen_seasonal(spark, "/root/testdata/sf0.001").collect()[0]
+    daily = _daily_cents("/root/testdata/sf0.001")
+    daily["m"] = daily["day"].dt.month
+    epoch = daily["day"].min().normalize()
+    import pandas as pd
+
+    daily["di"] = (daily["day"] - pd.Timestamp("1992-01-01")).dt.days
+    slopes = []
+    for _, g in daily.groupby("m"):
+        g = g.sort_values("day")
+        ys = g["cents"].to_list()
+        ds = g["di"].to_list()
+        n = len(ys)
+        for i in range(n):
+            for j in range(i + 1, n):
+                slopes.append(round((ys[j] - ys[i]) / (ds[j] - ds[i]), 6))
+    slopes.sort()
+    n = len(slopes)
+    med = (slopes[(n + 1) // 2 - 1] + slopes[(n + 2) // 2 - 1]) / 2.0
+    assert row["n_slopes"] == n
+    assert abs(row["median_slope_cents_per_day"] - med) < 1e-6
+
+
+def test_embedding_dim_stats_matches_numpy(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_embedding_dim_stats,
+    )
+
+    rows = q_embedding_dim_stats(spark, "/root/testdata/sf0.001").collect()
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    assert len(rows) == mat.shape[1]
+    for r in rows:
+        col = mat[:, r["dim"]]
+        assert r["n_vals"] == len(col)
+        assert abs(r["vmin"] - col.min()) < 1e-12
+        assert abs(r["vmax"] - col.max()) < 1e-12
+        assert abs(r["mean"] - col.mean()) < 2e-6
+        assert abs(r["std"] - col.std()) < 2e-6
