@@ -47,6 +47,9 @@ _PRIORITY: list[str] = [
     "mann_kendall_seasonal",
     "theil_sen_seasonal",
     "embedding_dim_stats",
+    "bootstrap_mean_ci",
+    "kaplan_meier_churn",
+    "token_pmi",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

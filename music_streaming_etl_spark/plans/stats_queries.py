@@ -932,3 +932,375 @@ REGISTRY_STATS.update(
         "embedding_dim_stats": (q_embedding_dim_stats, ORACLE_DIM_STATS),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# --------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds quantized to 6dp — shared literal
+# constants, so both engines draw the identical weight from the same
+# md5 coin. P(W=k) cumulative for k=0..7; u >= last -> w=8.
+_POIS_CUM = (
+    0.367879, 0.735759, 0.919699, 0.981012,
+    0.996340, 0.999406, 0.999917, 0.999990,
+)
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI of mean order value via the POISSON bootstrap
+    — the distributed resampling scheme (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): classical
+    resampling needs the full sample in one place; Poisson(1) weights
+    are per-row-independent, so each of the B=100 replicates is one
+    weighted aggregate over one pass, fanned out by an explode —
+    shuffle volume B×|rows| map-side-combined down to B rows. The RNG
+    is the engine's md5 coin keyed on (o_orderkey, replicate): weights
+    are identical in any engine, on any partitioning, on rerun. CI
+    endpoints are nearest-rank order statistics of the B replicate
+    means (B-row bounded window)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    B = 100
+    fan = orders.select(
+        _cents().alias("c"), "o_orderkey"
+    ).select(
+        "c",
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ).cast("double") / F.lit(1000000.0)
+    w = F.lit(8)
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
+    reps = (
+        fan.withColumn("w", w.cast("bigint"))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.col("w").cast("decimal(19,0)")
+                * F.col("c").cast("decimal(19,0)")
+            ).cast("decimal(38,0)").alias("swc"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .select(
+            "b",
+            (F.col("swc").cast("double") / F.col("sw").cast("double")).alias(
+                "mean_b"
+            ),
+        )
+    )
+    # B-row frame: bounded window by design
+    ranked = reps.withColumn(
+        "r", F.row_number().over(Window.orderBy("mean_b", "b"))
+    )
+    point = orders.agg(
+        (
+            F.sum(_cents().cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("point_mean")
+    )
+    lo_k, hi_k = 3, 98  # nearest-rank ceil(0.025 B), ceil(0.975 B)
+    ci = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(
+            F.min(F.when(F.col("r") == lo_k, F.col("mean_b"))), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.min(F.when(F.col("r") == hi_k, F.col("mean_b"))), 6
+        ).alias("ci_hi"),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        "n_replicates",
+        F.round("point_mean", 6).alias("point_mean"),
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+_POIS_CASE = """CASE
+  WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+  WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+  WHEN u < 0.996340 THEN 4 WHEN u < 0.999406 THEN 5
+  WHEN u < 0.999917 THEN 6 WHEN u < 0.999990 THEN 7 ELSE 8 END"""
+
+
+ORACLE_BOOTSTRAP = f"""
+WITH fan AS (
+  SELECT {_CENTS} AS c, o_orderkey, unnest(range(0, 100)) AS b
+  FROM orders
+), coin AS (
+  SELECT c, b,
+         CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                      || CAST(b AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 AS u
+  FROM fan
+), wtd AS (
+  SELECT c, b, {_POIS_CASE} AS w FROM coin
+), reps AS (
+  SELECT b,
+         CAST(SUM(CAST(w AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+              AS DOUBLE)
+           / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM wtd GROUP BY b
+), ranked AS (
+  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS r FROM reps
+), point AS (
+  SELECT CAST(SUM(CAST({_CENTS} AS DECIMAL(38,0))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS point_mean
+  FROM orders
+)
+SELECT CAST((SELECT COUNT(*) FROM ranked) AS BIGINT) AS n_replicates,
+       ROUND(point_mean, 6) AS point_mean,
+       ROUND((SELECT mean_b FROM ranked WHERE r = 3), 6) AS ci_lo,
+       ROUND((SELECT mean_b FROM ranked WHERE r = 98), 6) AS ci_hi
+FROM point
+"""
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival of user lifetimes
+# --------------------------------------------------------------------------
+
+
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime in HOURS between
+    first and last event, right-censoring users still active in the
+    final 7 observed days: S(t) = Π_{u≤t} (1 − d_u/n_u) over distinct
+    event lifetimes. The product is made associative by the literal-
+    log-weight rule — each factor's ln is quantized to DECIMAL(12,6)
+    and cumulatively SUMMED (exact decimal), exp+round at the end — so
+    the curve is engine- and partitioning-independent. The curve frame
+    is #distinct-lifetimes rows, calendar-bounded at any data scale
+    (the repo's documented bounded-window exception); everything
+    fact-scaled happens in the per-user aggregate before it.
+    Timestamps truncate to whole epoch seconds in both engines
+    (Spark ``unix_timestamp`` floors; the oracle floors ``epoch()``)
+    under the ``_t`` UTC pin."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(sec).alias("first_s"),
+        F.max(sec).alias("last_s"),
+    )
+    horizon = events.agg(F.max(sec).alias("max_s"))
+    lab = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(last_s - first_s) DIV 3600").cast("bigint").alias("t"),
+        ((F.col("max_s") - F.col("last_s")) > 604800).alias("churned"),
+    )
+    grain = lab.groupBy("t").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("total_t"),
+    )
+    w_ord = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    at_risk = (
+        grain.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n",
+            F.col("n_users")
+            - F.coalesce(F.sum("total_t").over(w_ord), F.lit(0)),
+        )
+    )
+    term = F.when(
+        F.col("d") < F.col("n"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n").cast("double")
+            ),
+            6,
+        ).cast("decimal(12,6)"),
+    )
+    w_inc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = at_risk.withColumn("lterm", term).withColumn(
+        "cum", F.sum("lterm").over(w_inc)
+    )
+    return curve.select(
+        "t",
+        "d",
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.when(
+            F.col("d") < F.col("n"),
+            F.round(F.exp(F.col("cum").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("survival"),
+    ).orderBy("t")
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_s,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s
+  FROM events GROUP BY 1
+), horizon AS (
+  SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_s FROM events
+),
+lab AS (
+  SELECT CAST((last_s - first_s) // 3600 AS BIGINT) AS t,
+         (max_s - last_s) > 604800 AS churned
+  FROM per_user, horizon
+), grain AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS total_t
+  FROM lab GROUP BY 1
+), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lab),
+at_risk AS (
+  SELECT t, d,
+         n_users - COALESCE(SUM(total_t) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM grain, total
+), curve AS (
+  SELECT t, d, n,
+         SUM(CASE WHEN d < n THEN
+               CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                    AS DECIMAL(12,6))
+             END) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM at_risk
+)
+SELECT t, d, CAST(n AS BIGINT) AS n_at_risk,
+       CASE WHEN d < n THEN ROUND(exp(CAST(cum AS DOUBLE)), 6)
+            ELSE 0.0 END AS survival
+FROM curve ORDER BY t
+"""
+
+
+# --------------------------------------------------------------------------
+# Token PMI (corpus co-occurrence association)
+# --------------------------------------------------------------------------
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 token pairs by pointwise mutual information over
+    document co-occurrence — the corpus-association measure behind
+    collocation mining and embedding objectives: PMI = ln(N·c_xy /
+    (c_x·c_y)) on document frequencies. The pair frame comes from a
+    doc_id equi-join of each document's DISTINCT token set against
+    itself (a < b) — posting-list-shaped like ``sparse_cosine_pairs``:
+    fan-out is Σ_d |tokens_d|², bounded by a df cap on real corpora
+    (the documented scale knob there applies identically). Counts are
+    exact bigints; one ln, rounded, at the end; total order (pmi desc,
+    token_a, token_b)."""
+    from ..operators.ranking import global_topk
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    df_tok = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(
+            F.col("a.tok").alias("token_a"), F.col("b.tok").alias("token_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    scored = (
+        pairs.join(
+            df_tok.select(
+                F.col("tok").alias("token_a"), F.col("df").alias("c_x")
+            ),
+            "token_a",
+        )
+        .join(
+            df_tok.select(
+                F.col("tok").alias("token_b"), F.col("df").alias("c_y")
+            ),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "c_xy",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_docs").cast("decimal(19,0)")
+                        * F.col("c_xy")
+                    ).cast("double")
+                    / (
+                        F.col("c_x").cast("decimal(19,0)") * F.col("c_y")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return global_topk(
+        scored, [F.desc("pmi"), F.asc("token_a"), F.asc("token_b")], 40
+    ).select("rank", "token_a", "token_b", "c_xy", "pmi")
+
+
+ORACLE_TOKEN_PMI = """
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+           AS tok
+  FROM documents
+), dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1
+), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.tok AS token_a, b.tok AS token_b, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+), scored AS (
+  SELECT token_a, token_b, c_xy,
+         ROUND(ln(CAST(CAST(n_docs AS DECIMAL(19,0)) * c_xy AS DOUBLE)
+                  / CAST(CAST(x.df AS DECIMAL(19,0)) * y.df AS DOUBLE)), 6)
+           AS pmi
+  FROM pairs
+  JOIN dfreq x ON x.tok = token_a
+  JOIN dfreq y ON y.tok = token_b, nd
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, token_a ASC, token_b ASC)
+            AS BIGINT) AS rank,
+       token_a, token_b, c_xy, pmi
+FROM scored ORDER BY pmi DESC, token_a ASC, token_b ASC LIMIT 40
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "bootstrap_mean_ci": (q_bootstrap_mean_ci, ORACLE_BOOTSTRAP),
+        "kaplan_meier_churn": (q_kaplan_meier_churn, ORACLE_KAPLAN_MEIER),
+        "token_pmi": (q_token_pmi, ORACLE_TOKEN_PMI),
+    }
+)

@@ -240,6 +240,19 @@ def main() -> None:
         q_rolling_median_7d,
         q_skyline_customers,
     )
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_bootstrap_mean_ci,
+        q_cusum_alerts,
+        q_distribution_moments,
+        q_embedding_dim_stats,
+        q_event_entropy,
+        q_gini_coefficient,
+        q_kaplan_meier_churn,
+        q_mann_kendall_seasonal,
+        q_mann_whitney_u,
+        q_theil_sen_seasonal,
+        q_token_pmi,
+    )
 
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -297,6 +310,29 @@ def main() -> None:
             q_basket_affinity_lift, materialize_baskets, base_li,
         ),
         "stickiness_ratios": (q_stickiness_ratios, materialize_events, base_events),
+        "mann_whitney_u": (q_mann_whitney_u, materialize_orders, base_orders),
+        "gini_coefficient": (q_gini_coefficient, materialize_orders, base_orders),
+        "distribution_moments": (
+            q_distribution_moments, materialize_orders, base_orders,
+        ),
+        "cusum_alerts": (q_cusum_alerts, materialize_orders, base_orders),
+        "event_entropy": (q_event_entropy, materialize_events, base_events),
+        "mann_kendall_seasonal": (
+            q_mann_kendall_seasonal, materialize_orders, base_orders,
+        ),
+        "theil_sen_seasonal": (
+            q_theil_sen_seasonal, materialize_orders, base_orders,
+        ),
+        "embedding_dim_stats": (
+            q_embedding_dim_stats, materialize_llm, base_docs,
+        ),
+        "bootstrap_mean_ci": (
+            q_bootstrap_mean_ci, materialize_orders, base_orders,
+        ),
+        "kaplan_meier_churn": (
+            q_kaplan_meier_churn, materialize_events, base_events,
+        ),
+        "token_pmi": (q_token_pmi, materialize_llm, base_docs),
     }
     out = {"sf_dir": sf_dir, "ops": {}}
     for op in ops:

@@ -705,3 +705,60 @@ def test_frequent_triples_never_broadcasts_basket_frames(spark, sf_dir):
     plan = _plan(q_frequent_triples(spark, sf_dir))
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_stats_shapes_plan_scale_safe(spark, sf_dir):
+    """The statistical-test surface: fact-scaled frames never ride a
+    nested loop or a single-partition global window; the rank-sum /
+    gini rank paths are range-partitioned; the only
+    BroadcastNestedLoopJoin anywhere is the documented 1-row bound
+    frame (sigma / n / totals)."""
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_auc_doc_length,
+        q_bootstrap_mean_ci,
+        q_cusum_alerts,
+        q_dow_seasonality,
+        q_embedding_dim_stats,
+        q_event_entropy,
+        q_gini_coefficient,
+        q_kaplan_meier_churn,
+        q_mann_kendall_seasonal,
+        q_mann_whitney_u,
+        q_regression_slope_daily,
+        q_theil_sen_seasonal,
+        q_token_pmi,
+    )
+
+    for fn in (
+        q_mann_whitney_u,
+        q_auc_doc_length,
+        q_gini_coefficient,
+        q_event_entropy,
+        q_dow_seasonality,
+        q_cusum_alerts,
+        q_regression_slope_daily,
+        q_mann_kendall_seasonal,
+        q_theil_sen_seasonal,
+        q_embedding_dim_stats,
+        q_bootstrap_mean_ci,
+        q_kaplan_meier_churn,
+        q_token_pmi,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line, (fn.__name__, line)
+
+    # the distributed-rank paths must be range-partitioned (the
+    # global-sort-free formulation is the whole point)
+    for fn in (q_mann_whitney_u, q_gini_coefficient, q_theil_sen_seasonal):
+        plan = _plan(fn(spark, sf_dir))
+        assert "rangepartitioning" in plan.lower(), fn.__name__
+
+    # entropy's only window is keyed on user_id — no unpartitioned
+    # window over a fact-scaled frame
+    ent = _plan(q_event_entropy(spark, sf_dir))
+    for line in ent.splitlines():
+        if "Window" in line and "user_id" not in line:
+            assert "windowexec" not in line.lower(), line

@@ -324,3 +324,90 @@ def test_embedding_dim_stats_matches_numpy(spark):
         assert abs(r["vmax"] - col.max()) < 1e-12
         assert abs(r["mean"] - col.mean()) < 2e-6
         assert abs(r["std"] - col.std()) < 2e-6
+
+
+def test_bootstrap_ci_deterministic_and_sane(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_bootstrap_mean_ci,
+    )
+
+    a = q_bootstrap_mean_ci(spark, "/root/testdata/sf0.001").collect()[0]
+    b = q_bootstrap_mean_ci(spark, "/root/testdata/sf0.001").collect()[0]
+    assert a == b  # md5 coin: rerun-identical
+    assert a["n_replicates"] == 100
+    # CI brackets the point estimate and is ordered
+    assert a["ci_lo"] <= a["point_mean"] <= a["ci_hi"]
+    # width sanity: nonzero but < 20% of the mean at n≈1500
+    width = a["ci_hi"] - a["ci_lo"]
+    assert 0 < width < 0.2 * a["point_mean"]
+
+
+def test_kaplan_meier_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_kaplan_meier_churn,
+    )
+    import pandas as pd
+
+    rows = q_kaplan_meier_churn(spark, "/root/testdata/sf0.001").collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    # unit-proof epoch-second truncation (parquet vintage may load as
+    # datetime64[us] or [ns])
+    ev["s"] = ev["ts"].values.astype("datetime64[s]").astype("int64")
+    g = ev.groupby("user_id")["s"].agg(["min", "max"])
+    max_s = ev["s"].max()
+    lam = [
+        ((r["max"] - r["min"]) // 3600, (max_s - r["max"]) > 604800)
+        for _, r in g.iterrows()
+    ]
+    # brute KM
+    from collections import Counter
+
+    dcnt = Counter(t for t, ch in lam if ch)
+    tcnt = Counter(t for t, _ in lam)
+    n = len(lam)
+    surv, expect = 1.0, {}
+    for t in sorted(tcnt):
+        d = dcnt.get(t, 0)
+        if d < n:
+            surv *= 1.0 - d / n
+            expect[t] = (d, n, surv)
+        else:
+            expect[t] = (d, n, 0.0)
+        n -= tcnt[t]
+    assert len(rows) == len(expect)
+    for r in rows:
+        d, nar, s = expect[r["t"]]
+        assert r["d"] == d and r["n_at_risk"] == nar, r["t"]
+        assert abs(r["survival"] - s) < 5e-5, (r["t"], r["survival"], s)
+    # survival is monotone nonincreasing
+    vals = [r["survival"] for r in sorted(rows, key=lambda r: r["t"])]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_token_pmi_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_token_pmi
+    import pandas as pd
+    import re
+    from collections import Counter
+    from itertools import combinations
+
+    rows = q_token_pmi(spark, "/root/testdata/sf0.001").collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    sets = [
+        sorted(set(re.split(r"\s+", t.strip().lower())))
+        for t in docs["text"]
+    ]
+    n_docs = len(docs)
+    df = Counter(tok for s in sets for tok in s)
+    cxy = Counter(p for s in sets for p in combinations(s, 2))
+    scored = sorted(
+        (
+            (round(math.log(n_docs * c / (df[a] * df[b])), 6), a, b, c)
+            for (a, b), c in cxy.items()
+        ),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:40]
+    assert len(rows) == 40
+    for r, (pmi, a, b, c) in zip(sorted(rows, key=lambda r: r["rank"]), scored):
+        assert (r["token_a"], r["token_b"], r["c_xy"]) == (a, b, c), r["rank"]
+        assert abs(r["pmi"] - pmi) < 2e-6
