@@ -50,6 +50,9 @@ _PRIORITY: list[str] = [
     "bootstrap_mean_ci",
     "kaplan_meier_churn",
     "token_pmi",
+    "gains_table",
+    "degree_assortativity",
+    "quantile_normalization",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

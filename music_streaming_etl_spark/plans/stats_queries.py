@@ -1304,3 +1304,313 @@ REGISTRY_STATS.update(
         "token_pmi": (q_token_pmi, ORACLE_TOKEN_PMI),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Gains table (decile lift of a score vs a label)
+# --------------------------------------------------------------------------
+
+
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table of document length as a score for
+    ``lang='en'`` — the model-eval companion of ``auc_doc_length``:
+    rank the population by score DESC into exact NTILE deciles
+    (``global_ntile``: range partition + broadcast offsets, sizing
+    identical to warehouse NTILE), then per decile report the positive
+    rate, cumulative capture of all positives, and lift vs the base
+    rate. Exact integer counts; divisions (fixed order) only in the
+    last projection; the cumulative runs on the 10-row decile frame —
+    bounded by design."""
+    from pyspark.sql import Window
+
+    from ..operators.ranking import global_ntile
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    tiled = global_ntile(
+        scored, [F.desc("v"), F.asc("doc_id")], 10
+    )
+    per = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("pos").cast("bigint").alias("pos_all"),
+    )
+    w = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("bigint"))
+    )
+    return cum.select(
+        F.col("tile").alias("decile"),
+        "n",
+        "n_pos",
+        "cum_pos",
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pos_rate"),
+        F.round(
+            F.col("cum_pos").cast("double")
+            / F.col("pos_all").cast("double"),
+            6,
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+            / (
+                F.col("pos_all").cast("double")
+                / F.col("n_all").cast("double")
+            ),
+            6,
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
+ORACLE_GAINS = """
+WITH scored AS (
+  SELECT doc_id, n_chars AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), tiled AS (
+  SELECT pos, CAST(NTILE(10) OVER (ORDER BY v DESC, doc_id ASC) AS BIGINT)
+           AS tile
+  FROM scored
+), per AS (
+  SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM tiled GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(pos) AS BIGINT) AS pos_all
+  FROM scored
+)
+SELECT tile AS decile, n, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY tile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_pos,
+       ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+       ROUND(CAST(SUM(n_pos) OVER (ORDER BY tile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(pos_all AS DOUBLE), 6) AS cum_capture,
+       ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6) AS lift
+FROM per, tot ORDER BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph
+# --------------------------------------------------------------------------
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase graph: do
+    popular parts co-occur with popular parts?  Pearson correlation of
+    the endpoint degrees across all undirected edges, each edge
+    counted in both orientations. Same basket-bounded edge
+    construction as ``copurchase_pairs`` (distinct-first, MERGE-pinned
+    self-join — Catalyst's static broadcast estimate is structurally
+    wrong for distinct self-joins, the probe-verified trap), degree
+    joins pinned MERGE for the same reason; exact decimal sufficient
+    statistics, one fixed-order double formula at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().hint("merge")
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    both = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ends = (
+        both.hint("merge")
+        .join(deg.select(F.col("u"), F.col("deg").alias("dx")), "u")
+        .join(
+            deg.select(
+                F.col("u").alias("v"), F.col("deg").alias("dy")
+            ).hint("merge"),
+            "v",
+        )
+    )
+    dx = F.col("dx").cast("decimal(19,0)")
+    dy = F.col("dy").cast("decimal(19,0)")
+    s = ends.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dx).cast("decimal(38,0)").alias("sx"),
+        F.sum(dy).cast("decimal(38,0)").alias("sy"),
+        F.sum(dx * dy).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dx * dx).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dy * dy).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dxv = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dyv = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        (F.col("n").cast("bigint") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.round(num / (F.sqrt(dxv) * F.sqrt(dyv)), 6).alias(
+            "assortativity"
+        ),
+    )
+
+
+ORACLE_ASSORTATIVITY = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), bo AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM bo GROUP BY 1
+), ends AS (
+  SELECT x.deg AS dx, y.deg AS dy
+  FROM bo
+  JOIN deg x ON x.u = bo.u
+  JOIN deg y ON y.u = bo.v
+), s AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(CAST(dx AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(dy AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) AS syy
+  FROM ends
+)
+SELECT CAST(CAST(n AS BIGINT) / 2 AS BIGINT) AS n_edges,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS assortativity
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization across groups
+# --------------------------------------------------------------------------
+
+
+def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of order value across priority groups —
+    the batch-effect correction that forces every group onto the
+    pooled distribution: each row's within-group rank r (of n_g) maps
+    to the pooled order statistic at nearest rank ceil(r·N/n_g), in
+    exact integer arithmetic ((r·N + n_g − 1) DIV n_g). Within-group
+    ranks ride a group-partitioned window (fact-scaled but keyed);
+    pooled order statistics come from ``global_rank`` (range
+    partition, no global window); the row→reference mapping is a hash
+    equi-join on the rank index. Output: per group, raw vs normalized
+    means — equal normalized means certify the alignment. Exact bigint
+    sums; doubles in the two final divisions."""
+    from pyspark.sql import Window
+
+    from ..operators.ranking import global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    vals = orders.select(
+        "o_orderkey", "o_orderpriority", _cents().alias("c")
+    )
+    wg = Window.partitionBy("o_orderpriority").orderBy(
+        "c", "o_orderkey"
+    )
+    ranked = vals.withColumn("r", F.row_number().over(wg)).withColumn(
+        "n_g",
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")),
+    )
+    pooled = global_rank(
+        vals.select("c", "o_orderkey"), [F.asc("c"), F.asc("o_orderkey")]
+    ).select(F.col("rank").alias("idx"), F.col("c").alias("ref_c"))
+    total = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    mapped = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("idx", F.expr("(r * n_all + n_g - 1) DIV n_g"))
+        .join(pooled, "idx")
+    )
+    return (
+        mapped.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_raw_cents"),
+            F.round(
+                F.sum(F.col("ref_c").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_normalized_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_QUANTILE_NORM = f"""
+WITH vals AS (
+  SELECT o_orderkey, o_orderpriority, {_CENTS} AS c FROM orders
+), ranked AS (
+  SELECT o_orderpriority, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY c ASC, o_orderkey ASC) AS BIGINT)
+           AS r,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_g
+  FROM vals
+), pooled AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c ASC, o_orderkey ASC) AS BIGINT)
+           AS idx,
+         c AS ref_c
+  FROM vals
+), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM vals),
+mapped AS (
+  SELECT o_orderpriority, c, ref_c
+  FROM ranked, total
+  JOIN pooled ON pooled.idx = (r * n_all + n_g - 1) // n_g
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_raw_cents,
+       ROUND(CAST(SUM(CAST(ref_c AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_normalized_cents
+FROM mapped GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "gains_table": (q_gains_table, ORACLE_GAINS),
+        "degree_assortativity": (
+            q_degree_assortativity,
+            ORACLE_ASSORTATIVITY,
+        ),
+        "quantile_normalization": (
+            q_quantile_normalization,
+            ORACLE_QUANTILE_NORM,
+        ),
+    }
+)

@@ -411,3 +411,99 @@ def test_token_pmi_matches_brute_force(spark):
     for r, (pmi, a, b, c) in zip(sorted(rows, key=lambda r: r["rank"]), scored):
         assert (r["token_a"], r["token_b"], r["c_xy"]) == (a, b, c), r["rank"]
         assert abs(r["pmi"] - pmi) < 2e-6
+
+
+def test_gains_table_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_gains_table
+    import pandas as pd
+
+    rows = q_gains_table(spark, "/root/testdata/sf0.001").collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ordered = docs.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    n = len(ordered)
+    q, big = divmod(n, 10)
+    sizes = [q + 1] * big + [q] * (10 - big)
+    pos_all = int((docs["lang"] == "en").sum())
+    i, cum = 0, 0
+    assert len(rows) == 10
+    for r, size in zip(sorted(rows, key=lambda r: r["decile"]), sizes):
+        chunk = ordered.iloc[i : i + size]
+        npos = int((chunk["lang"] == "en").sum())
+        cum += npos
+        i += size
+        assert r["n"] == size and r["n_pos"] == npos, r["decile"]
+        assert r["cum_pos"] == cum
+        assert abs(r["pos_rate"] - npos / size) < 1e-6
+        assert abs(r["cum_capture"] - cum / pos_all) < 1e-6
+        assert abs(r["lift"] - (npos / size) / (pos_all / n)) < 1e-6
+
+
+def test_assortativity_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_degree_assortativity,
+    )
+    import pandas as pd
+    from collections import Counter
+    from itertools import combinations
+
+    row = q_degree_assortativity(spark, "/root/testdata/sf0.001").collect()[0]
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(
+        lambda s: sorted(set(s))
+    )
+    edges = {
+        (u, v) for parts in baskets for u, v in combinations(parts, 2)
+    }
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    r = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert row["n_edges"] == len(edges)
+    assert abs(row["assortativity"] - r) < 1e-5
+
+
+def test_quantile_normalization_aligns_groups(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_quantile_normalization,
+    )
+    import pandas as pd
+
+    rows = q_quantile_normalization(spark, "/root/testdata/sf0.001").collect()
+    # brute force: nearest-rank map per group against pooled order stats
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    orders["c"] = (
+        (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    pooled = orders.sort_values(["c", "o_orderkey"]).reset_index(drop=True)
+    ref = pooled["c"].to_list()
+    n_all = len(ref)
+    for r in rows:
+        g = orders[orders["o_orderpriority"] == r["o_orderpriority"]]
+        g = g.sort_values(["c", "o_orderkey"]).reset_index(drop=True)
+        n_g = len(g)
+        mapped = [
+            ref[-(-((i + 1) * n_all) // n_g) - 1] for i in range(n_g)
+        ]
+        assert r["n"] == n_g
+        assert abs(r["mean_raw_cents"] - g["c"].mean()) < 1e-4
+        assert abs(
+            r["mean_normalized_cents"] - sum(mapped) / n_g
+        ) < 1e-4
+    # the whole point: normalized means are nearly identical across groups
+    norm = [r["mean_normalized_cents"] for r in rows]
+    raw = [r["mean_raw_cents"] for r in rows]
+    assert (max(norm) - min(norm)) < 0.05 * (max(raw) - min(raw) + 1)
