@@ -53,6 +53,10 @@ _PRIORITY: list[str] = [
     "gains_table",
     "degree_assortativity",
     "quantile_normalization",
+    "largest_remainder_quota",
+    "wilson_ci",
+    "audience_overlap",
+    "spearman_correlation",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

@@ -1614,3 +1614,339 @@ REGISTRY_STATS.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder quota allocation
+# --------------------------------------------------------------------------
+
+
+def q_largest_remainder_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional integer allocation of a 10,000-row sampling quota
+    across order priorities by the largest-remainder (Hamilton)
+    method — the exact-arithmetic way to turn fractional shares into
+    integer quotas that sum EXACTLY to the budget (naive rounding
+    drifts). base = c_g·N DIV T, remainders ranked in exact BIGINT
+    (c_g·N mod T — no float shares anywhere), the leftover seats going
+    to the largest remainders with a group-key tiebreak. The ranking
+    window runs on the #groups-row frame — bounded by design."""
+    from pyspark.sql import Window
+
+    N = 10000
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = per.agg(F.sum("c").cast("bigint").alias("t"))
+    based = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"c * {N} DIV t"))
+        .withColumn("rem", F.expr(f"c * {N} % t"))
+    )
+    leftover = based.agg(
+        (F.lit(N) - F.sum("base")).cast("bigint").alias("k")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("o_orderpriority"))
+    ranked = based.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "o_orderpriority",
+            F.col("c").alias("n_orders"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+            ).cast("bigint").alias("quota"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_QUOTA = """
+WITH per AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM per),
+based AS (
+  SELECT o_orderpriority, c,
+         c * 10000 // t AS base,
+         c * 10000 % t AS rem
+  FROM per, tot
+), leftover AS (
+  SELECT CAST(10000 - SUM(base) AS BIGINT) AS k FROM based
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, o_orderpriority ASC) AS rk
+  FROM based
+)
+SELECT o_orderpriority, c AS n_orders,
+       CAST(base + CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM ranked, leftover ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Wilson score confidence intervals
+# --------------------------------------------------------------------------
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the share of high-value events
+    (value ≥ 50) per event type — the binomial CI that behaves at the
+    0/1 boundaries where the Wald interval collapses. Exact integer
+    (x, n) per group from one shuffle; the closed-form interval is a
+    single fixed-order double expression with the z=1.959964 literal,
+    mirrored textually in the oracle."""
+    events = _t(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") >= 50.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    Z = "1.959964"
+    p = "(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+    denom = f"(1.0 + {Z} * {Z} / CAST(n AS DOUBLE))"
+    center = f"({p} + {Z} * {Z} / (2.0 * CAST(n AS DOUBLE)))"
+    half = (
+        f"({Z} * sqrt({p} * (1.0 - {p}) / CAST(n AS DOUBLE)"
+        f" + {Z} * {Z} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n",
+        "x",
+        f"ROUND({p}, 6) AS p_hat",
+        f"ROUND(({center} - {half}) / {denom}, 6) AS ci_lo",
+        f"ROUND(({center} + {half}) / {denom}, 6) AS ci_hi",
+    ).orderBy("event_type")
+
+
+_W_P = "(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+_W_DEN = "(1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))"
+_W_CTR = f"({_W_P} + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE)))"
+_W_HALF = (
+    f"(1.959964 * sqrt({_W_P} * (1.0 - {_W_P}) / CAST(n AS DOUBLE)"
+    " + 1.959964 * 1.959964"
+    " / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+)
+
+ORACLE_WILSON = f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, x,
+       ROUND({_W_P}, 6) AS p_hat,
+       ROUND(({_W_CTR} - {_W_HALF}) / {_W_DEN}, 6) AS ci_lo,
+       ROUND(({_W_CTR} + {_W_HALF}) / {_W_DEN}, 6) AS ci_hi
+FROM agg ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Audience overlap (Jaccard between event-type user sets)
+# --------------------------------------------------------------------------
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of user audiences between every pair of event
+    types — "how much do the people who do A also do B": distinct
+    (type, user) frame first, then a user-keyed equi-self-join whose
+    fan-out is bounded by types-per-user squared (≤ #types², a
+    constant), never a cross join. MERGE-pinned: the sides are the
+    same distinct-derived frame, the probe-verified broadcast-estimate
+    trap. |A∪B| = |A|+|B|−|A∩B| in exact bigints; one division."""
+    events = _t(spark, sf_dir, "events")
+    tu = events.select("event_type", "user_id").distinct().hint("merge")
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users_both"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_users").alias("users_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            sizes.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_users").alias("users_b"),
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "users_both",
+            F.round(
+                F.col("users_both").cast("double")
+                / (
+                    F.col("users_a") + F.col("users_b") - F.col("users_both")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_AUDIENCE = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM tu GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS users_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, x.n_users AS users_a, y.n_users AS users_b,
+       users_both,
+       ROUND(CAST(users_both AS DOUBLE)
+             / CAST(x.n_users + y.n_users - users_both AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sizes x ON x.event_type = type_a
+JOIN sizes y ON y.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation
+# --------------------------------------------------------------------------
+
+
+def q_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and order date
+    (do later orders run larger?) — Pearson on AVERAGE ranks with
+    proper tie handling, kept exact by working in DOUBLED ranks
+    (avg2(v) = 2·cum_below(v) + cnt(v) + 1, an integer): per-axis
+    value-grain aggregates + distributed prefix sums assign every
+    row its doubled rank via two hash map-joins — no pooled global
+    sort — then decimal-exact Pearson sufficient statistics over the
+    row frame. Doubles only in the one final formula (the shared
+    fixed-order Pearson shape)."""
+    from ..operators.ranking import global_prefix_sum
+
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        "o_orderkey",
+        _cents().alias("x"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).cast("bigint").alias("y"),
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        grain = rows.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+        pref = global_prefix_sum(grain, [F.asc("_v")], "_c", alias="_cum")
+        return pref.select(
+            F.col("_v").alias(col),
+            (2 * F.col("_cum") + F.col("_c") + 1).alias(f"r2_{col}"),
+        )
+
+    withr = rows.join(rank_map("x"), "x").join(rank_map("y"), "y")
+    rx = F.col("r2_x").cast("decimal(19,0)")
+    ry = F.col("r2_y").cast("decimal(19,0)")
+    s = withr.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(rx).cast("decimal(38,0)").alias("sx"),
+        F.sum(ry).cast("decimal(38,0)").alias("sy"),
+        F.sum(rx * ry).cast("decimal(38,0)").alias("sxy"),
+        F.sum(rx * rx).cast("decimal(38,0)").alias("sxx"),
+        F.sum(ry * ry).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("spearman_rho"),
+    )
+
+
+ORACLE_SPEARMAN = f"""
+WITH rows_ AS (
+  SELECT o_orderkey, {_CENTS} AS x,
+         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS y
+  FROM orders
+), gx AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY 1
+), px AS (
+  SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+           AS r2_x
+  FROM gx
+), gy AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY 1
+), py AS (
+  SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+           AS r2_y
+  FROM gy
+), withr AS (
+  SELECT r2_x, r2_y FROM rows_ JOIN px USING (x) JOIN py USING (y)
+), s AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(CAST(r2_x AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(r2_y AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(r2_x AS DECIMAL(19,0)) * CAST(r2_y AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(r2_x AS DECIMAL(19,0)) * CAST(r2_x AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(r2_y AS DECIMAL(19,0)) * CAST(r2_y AS DECIMAL(19,0))) AS syy
+  FROM withr
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS spearman_rho
+FROM s
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "largest_remainder_quota": (
+            q_largest_remainder_quota,
+            ORACLE_QUOTA,
+        ),
+        "wilson_ci": (q_wilson_ci, ORACLE_WILSON),
+        "audience_overlap": (q_audience_overlap, ORACLE_AUDIENCE),
+        "spearman_correlation": (
+            q_spearman_correlation,
+            ORACLE_SPEARMAN,
+        ),
+    }
+)

@@ -715,18 +715,25 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
     frame (sigma / n / totals)."""
     from music_streaming_etl_spark.plans.stats_queries import (
         q_auc_doc_length,
+        q_audience_overlap,
         q_bootstrap_mean_ci,
         q_cusum_alerts,
+        q_degree_assortativity,
         q_dow_seasonality,
         q_embedding_dim_stats,
         q_event_entropy,
+        q_gains_table,
         q_gini_coefficient,
         q_kaplan_meier_churn,
+        q_largest_remainder_quota,
         q_mann_kendall_seasonal,
         q_mann_whitney_u,
+        q_quantile_normalization,
         q_regression_slope_daily,
+        q_spearman_correlation,
         q_theil_sen_seasonal,
         q_token_pmi,
+        q_wilson_ci,
     )
 
     for fn in (
@@ -743,6 +750,13 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_bootstrap_mean_ci,
         q_kaplan_meier_churn,
         q_token_pmi,
+        q_gains_table,
+        q_degree_assortativity,
+        q_quantile_normalization,
+        q_largest_remainder_quota,
+        q_wilson_ci,
+        q_audience_overlap,
+        q_spearman_correlation,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__
@@ -752,7 +766,14 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
 
     # the distributed-rank paths must be range-partitioned (the
     # global-sort-free formulation is the whole point)
-    for fn in (q_mann_whitney_u, q_gini_coefficient, q_theil_sen_seasonal):
+    for fn in (
+        q_mann_whitney_u,
+        q_gini_coefficient,
+        q_theil_sen_seasonal,
+        q_spearman_correlation,
+        q_gains_table,
+        q_quantile_normalization,
+    ):
         plan = _plan(fn(spark, sf_dir))
         assert "rangepartitioning" in plan.lower(), fn.__name__
 

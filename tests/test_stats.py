@@ -507,3 +507,90 @@ def test_quantile_normalization_aligns_groups(spark):
     norm = [r["mean_normalized_cents"] for r in rows]
     raw = [r["mean_raw_cents"] for r in rows]
     assert (max(norm) - min(norm)) < 0.05 * (max(raw) - min(raw) + 1)
+
+
+def test_quota_sums_to_budget_and_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_largest_remainder_quota,
+    )
+    import pandas as pd
+
+    rows = q_largest_remainder_quota(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["quota"] for r in rows) == 10000  # the whole point
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    counts = orders.groupby("o_orderpriority").size().to_dict()
+    t = sum(counts.values())
+    base = {g: c * 10000 // t for g, c in counts.items()}
+    rem = sorted(
+        counts, key=lambda g: (-(counts[g] * 10000 % t), g)
+    )
+    k = 10000 - sum(base.values())
+    for g in rem[:k]:
+        base[g] += 1
+    for r in rows:
+        assert r["quota"] == base[r["o_orderpriority"]], r
+
+
+def test_wilson_ci_contains_p_hat_and_is_ordered(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_wilson_ci
+
+    rows = q_wilson_ci(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
+        # textbook Wilson recomputation
+        z, n, p = 1.959964, r["n"], r["x"] / r["n"]
+        den = 1.0 + z * z / n
+        ctr = p + z * z / (2.0 * n)
+        half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+        assert abs(r["ci_lo"] - (ctr - half) / den) < 1e-6
+        assert abs(r["ci_hi"] - (ctr + half) / den) < 1e-6
+
+
+def test_audience_overlap_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_audience_overlap,
+    )
+    import pandas as pd
+
+    rows = q_audience_overlap(spark, "/root/testdata/sf0.001").collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    sets = {
+        t: set(g["user_id"]) for t, g in ev.groupby("event_type")
+    }
+    types = sorted(sets)
+    expect = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            both = len(sets[a] & sets[b])
+            if both:
+                expect[(a, b)] = (
+                    len(sets[a]),
+                    len(sets[b]),
+                    both,
+                    both / len(sets[a] | sets[b]),
+                )
+    assert len(rows) == len(expect)
+    for r in rows:
+        ua, ub, both, j = expect[(r["type_a"], r["type_b"])]
+        assert (r["users_a"], r["users_b"], r["users_both"]) == (ua, ub, both)
+        assert abs(r["jaccard"] - j) < 1e-6
+
+
+def test_spearman_matches_textbook_formula(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_spearman_correlation,
+    )
+    import pandas as pd
+
+    row = q_spearman_correlation(spark, "/root/testdata/sf0.001").collect()[0]
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    x = (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    y = (
+        orders["o_orderdate"].dt.normalize()
+        - pd.Timestamp("1992-01-01")
+    ).dt.days
+    # pandas .corr(method="spearman") = Pearson on average ranks
+    rho = x.rank().corr(y.rank())
+    assert row["n_rows"] == len(orders)
+    assert abs(row["spearman_rho"] - rho) < 1e-6
