@@ -57,6 +57,9 @@ _PRIORITY: list[str] = [
     "wilson_ci",
     "audience_overlap",
     "spearman_correlation",
+    "price_volume_mix",
+    "abc_classification",
+    "seasonal_naive_backtest",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

@@ -1950,3 +1950,291 @@ REGISTRY_STATS.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Price-volume-mix revenue bridge
+# --------------------------------------------------------------------------
+
+
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge (2000 vs 1999) decomposed into
+    price, volume, new-part, and exited-part effects at the part
+    grain — the finance "why did revenue move" op. Per part-year:
+    exact decimal revenue (extendedprice·(1−discount), widths sized so
+    every product stays in the 38-digit exact range) and quantity;
+    unit price is the one rational that must leave integers, so each
+    part's price/volume term is FLOOR-quantized to integer micro-units
+    (clean rationals land exactly on round-half boundaries where
+    engines' rounding modes diverge — floor of the identical IEEE
+    product is unambiguous everywhere) and the full-corpus reduction
+    is an exact BIGINT sum — partition- and engine-independent. One
+    part-keyed self-join of the two year slices (FULL OUTER to catch
+    entries/exits), everything fact-scaled aggregated before it."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    per = (
+        li.filter(F.year("l_shipdate").isin(1999, 2000))
+        .groupBy(
+            "l_partkey", F.year("l_shipdate").alias("yr")
+        )
+        .agg(
+            F.sum(rev).cast("decimal(38,4)").alias("rev"),
+            F.sum(F.col("l_quantity").cast("decimal(10,2)"))
+            .cast("decimal(38,2)")
+            .alias("qty"),
+        )
+    )
+    y0 = per.filter(F.col("yr") == 1999).select(
+        "l_partkey",
+        F.col("rev").alias("rev0"),
+        F.col("qty").alias("qty0"),
+    )
+    y1 = per.filter(F.col("yr") == 2000).select(
+        "l_partkey",
+        F.col("rev").alias("rev1"),
+        F.col("qty").alias("qty1"),
+    )
+    j = y0.join(y1, "l_partkey", "full_outer")
+    in_both = F.col("rev0").isNotNull() & F.col("rev1").isNotNull()
+    p0 = F.col("rev0").cast("double") / F.col("qty0").cast("double")
+    # FLOOR-quantize each term to micro-units: the terms are clean
+    # rationals that can land exactly on round-half boundaries where
+    # engines' rounding modes diverge — floor of the identical IEEE
+    # product is unambiguous in every engine.
+    vol_term = F.floor(
+        p0 * (F.col("qty1") - F.col("qty0")).cast("double") * 1000000.0
+    ).cast("bigint")
+    price_term = F.floor(
+        (
+            F.col("rev1").cast("double")
+            - p0 * F.col("qty1").cast("double")
+        )
+        * 1000000.0
+    ).cast("bigint")
+    agg = j.agg(
+        F.sum(F.when(in_both, F.col("rev1") - F.col("rev0")))
+        .cast("decimal(38,4)")
+        .alias("delta_matched"),
+        F.sum(F.when(in_both, price_term)).cast("bigint").alias(
+            "price_u"
+        ),
+        F.sum(F.when(in_both, vol_term)).cast("bigint").alias("vol_u"),
+        F.sum(F.when(F.col("rev0").isNull(), F.col("rev1")))
+        .cast("decimal(38,4)")
+        .alias("new_effect"),
+        F.sum(F.when(F.col("rev1").isNull(), -F.col("rev0")))
+        .cast("decimal(38,4)")
+        .alias("exit_effect"),
+        F.sum(F.when(in_both, 1).otherwise(0)).cast("bigint").alias(
+            "n_matched"
+        ),
+    )
+    return agg.select(
+        "n_matched",
+        F.col("delta_matched").cast("double").alias("delta_matched"),
+        (F.col("price_u").cast("double") / F.lit(1000000.0)).alias(
+            "price_effect"
+        ),
+        (F.col("vol_u").cast("double") / F.lit(1000000.0)).alias(
+            "volume_effect"
+        ),
+        F.col("new_effect").cast("double").alias("new_effect"),
+        F.col("exit_effect").cast("double").alias("exit_effect"),
+    )
+
+
+ORACLE_PVM = """
+WITH per AS (
+  SELECT l_partkey, year(l_shipdate) AS yr,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+              AS DECIMAL(38,4)) AS rev,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS qty
+  FROM lineitem
+  WHERE year(l_shipdate) IN (1999, 2000)
+  GROUP BY 1, 2
+), y0 AS (SELECT l_partkey, rev AS rev0, qty AS qty0 FROM per WHERE yr = 1999),
+y1 AS (SELECT l_partkey, rev AS rev1, qty AS qty1 FROM per WHERE yr = 2000),
+j AS (
+  SELECT COALESCE(y0.l_partkey, y1.l_partkey) AS l_partkey,
+         rev0, qty0, rev1, qty1
+  FROM y0 FULL OUTER JOIN y1 ON y0.l_partkey = y1.l_partkey
+), terms AS (
+  SELECT rev0, rev1,
+         (rev0 IS NOT NULL AND rev1 IS NOT NULL) AS in_both,
+         CAST(floor((CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+                    * CAST(qty1 - qty0 AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS vol_term,
+         CAST(floor((CAST(rev1 AS DOUBLE)
+                     - (CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+                       * CAST(qty1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS price_term
+  FROM j
+)
+SELECT CAST(SUM(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(CAST(SUM(CASE WHEN in_both THEN rev1 - rev0 END) AS DECIMAL(38,4))
+            AS DOUBLE) AS delta_matched,
+       CAST(SUM(CASE WHEN in_both THEN price_term END) AS DOUBLE) / 1000000.0
+         AS price_effect,
+       CAST(SUM(CASE WHEN in_both THEN vol_term END) AS DOUBLE) / 1000000.0
+         AS volume_effect,
+       CAST(CAST(SUM(CASE WHEN rev0 IS NULL THEN rev1 END) AS DECIMAL(38,4))
+            AS DOUBLE) AS new_effect,
+       CAST(CAST(SUM(CASE WHEN rev1 IS NULL THEN -rev0 END) AS DECIMAL(38,4))
+            AS DOUBLE) AS exit_effect
+FROM terms
+"""
+
+
+# --------------------------------------------------------------------------
+# ABC classification (cumulative-share inventory analysis)
+# --------------------------------------------------------------------------
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classes by part revenue — A = parts inside the
+    first 80% of cumulative revenue, B to 95%, C the tail — with the
+    class boundary decided in EXACT integer arithmetic (5·cum ≤ 4·T,
+    20·cum ≤ 19·T: no float shares, no boundary wobble). Ranks and
+    cumulative revenue via the distributed prefix-sum path
+    (``global_prefix_sum`` over revenue DESC — range partition +
+    broadcast offsets, no global window); output is the 3-row class
+    rollup."""
+    from ..operators.ranking import global_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(cents).alias("c")
+    )
+    pref = global_prefix_sum(
+        per_part, [F.desc("c"), F.asc("l_partkey")], "c", alias="cumx"
+    ).withColumn("cum", F.col("cumx") + F.col("c"))
+    tot = per_part.agg(F.sum("c").cast("bigint").alias("t"))
+    classed = pref.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(5 * F.col("cum") <= 4 * F.col("t"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("t"), "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("c").cast("bigint").alias("revenue_cents"),
+            F.round(
+                F.sum("c").cast("double")
+                / F.max("t").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE_ABC = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS c
+  FROM lineitem GROUP BY 1
+), pref AS (
+  SELECT c,
+         SUM(c) OVER (ORDER BY c DESC, l_partkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_part
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM per_part),
+classed AS (
+  SELECT c, t,
+         CASE WHEN 5 * cum <= 4 * t THEN 'A'
+              WHEN 20 * cum <= 19 * t THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM pref, tot
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(c) AS BIGINT) AS revenue_cents,
+       ROUND(CAST(SUM(c) AS DOUBLE) / CAST(MAX(t) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# --------------------------------------------------------------------------
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (next month = same
+    month last year) over the monthly revenue series — the baseline
+    every forecasting pipeline must beat, with MAPE and bias measured
+    the deterministic way: exact integer monthly cents, the
+    12-month-lag join as a month-key equi-join on the calendar-bounded
+    month frame, each month's APE quantized to DECIMAL(12,6) before
+    the exact-decimal mean, bias as one division of two exact
+    integers."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m")
+    ).agg(F.sum(_cents()).alias("c"))
+    fc = monthly.select(
+        F.add_months(F.col("m"), 12).alias("m"),
+        F.col("c").alias("f"),
+    )
+    j = monthly.join(fc, "m")
+    ape = F.round(
+        F.abs(F.col("c") - F.col("f")).cast("double")
+        / F.col("c").cast("double"),
+        6,
+    ).cast("decimal(12,6)")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(
+            F.sum(ape).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mape"),
+        F.round(
+            F.sum((F.col("c") - F.col("f")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum(F.col("c").cast("decimal(38,0)")).cast("double"),
+            6,
+        ).alias("bias"),
+    )
+
+
+ORACLE_SEASONAL_NAIVE = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         SUM({_CENTS}) AS c
+  FROM orders GROUP BY 1
+), fc AS (
+  SELECT m + INTERVAL 12 MONTH AS m, c AS f FROM monthly
+), j AS (
+  SELECT monthly.c, fc.f FROM monthly JOIN fc USING (m)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(abs(c - f) AS DOUBLE) / CAST(c AS DOUBLE), 6)
+                          AS DECIMAL(12,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mape,
+       ROUND(CAST(SUM(CAST(c - f AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE), 6) AS bias
+FROM j
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "price_volume_mix": (q_price_volume_mix, ORACLE_PVM),
+        "abc_classification": (q_abc_classification, ORACLE_ABC),
+        "seasonal_naive_backtest": (
+            q_seasonal_naive_backtest,
+            ORACLE_SEASONAL_NAIVE,
+        ),
+    }
+)

@@ -734,6 +734,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_theil_sen_seasonal,
         q_token_pmi,
         q_wilson_ci,
+        q_price_volume_mix,
+        q_abc_classification,
+        q_seasonal_naive_backtest,
     )
 
     for fn in (
@@ -757,6 +760,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_wilson_ci,
         q_audience_overlap,
         q_spearman_correlation,
+        q_price_volume_mix,
+        q_abc_classification,
+        q_seasonal_naive_backtest,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

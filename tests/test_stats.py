@@ -594,3 +594,82 @@ def test_spearman_matches_textbook_formula(spark):
     rho = x.rank().corr(y.rank())
     assert row["n_rows"] == len(orders)
     assert abs(row["spearman_rho"] - rho) < 1e-6
+
+
+def test_pvm_bridge_reconciles(spark):
+    """price + volume effects reconcile to the matched-part revenue
+    delta within the micro-unit quantization budget, and the identity
+    price+volume == delta holds exactly per part pre-quantization."""
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_price_volume_mix,
+    )
+
+    row = q_price_volume_mix(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_matched"] > 0
+    # per-part identity: (rev1 - p0*q1) + p0*(q1-q0) = rev1 - rev0;
+    # summed, the two effects must reconcile to delta_matched within
+    # n_matched floor-quantization steps (each term loses < 1e-6)
+    recon = row["price_effect"] + row["volume_effect"]
+    assert abs(recon - row["delta_matched"]) < 2e-6 * row["n_matched"] + 1e-4
+
+
+def test_abc_invariants(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_abc_classification,
+    )
+    import pandas as pd
+
+    rows = {
+        r["abc_class"]: r
+        for r in q_abc_classification(spark, "/root/testdata/sf0.001").collect()
+    }
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li["c"] = (
+        (li["l_extendedprice"].round(2) * 100).round().astype("int64")
+    )
+    per = li.groupby("l_partkey")["c"].sum()
+    assert sum(r["n_parts"] for r in rows.values()) == len(per)
+    assert sum(r["revenue_cents"] for r in rows.values()) == int(per.sum())
+    # brute-force classification
+    t = int(per.sum())
+    cum, classes = 0, {"A": 0, "B": 0, "C": 0}
+    for key, c in sorted(
+        per.items(), key=lambda kv: (-kv[1], kv[0])
+    ):
+        cum += int(c)
+        cls = "A" if 5 * cum <= 4 * t else "B" if 20 * cum <= 19 * t else "C"
+        classes[cls] += 1
+    for cls, n in classes.items():
+        got = rows[cls]["n_parts"] if cls in rows else 0
+        assert got == n, cls
+    # A captures the most revenue per part (the point of the analysis)
+    if "A" in rows and "C" in rows:
+        a = rows["A"]["revenue_cents"] / rows["A"]["n_parts"]
+        c = rows["C"]["revenue_cents"] / rows["C"]["n_parts"]
+        assert a > c
+
+
+def test_seasonal_naive_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_seasonal_naive_backtest,
+    )
+    import pandas as pd
+
+    row = q_seasonal_naive_backtest(spark, "/root/testdata/sf0.001").collect()[0]
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    orders["m"] = orders["o_orderdate"].dt.to_period("M")
+    orders["cents"] = (
+        (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    monthly = orders.groupby("m")["cents"].sum()
+    pairs = [
+        (int(monthly[m]), int(monthly[m - 12]))
+        for m in monthly.index
+        if (m - 12) in monthly.index
+    ]
+    assert row["n_months"] == len(pairs)
+    apes = [round(abs(a - f) / a, 6) for a, f in pairs]
+    mape = sum(apes) / len(apes)
+    bias = sum(a - f for a, f in pairs) / sum(a for a, _ in pairs)
+    assert abs(row["mape"] - mape) < 2e-6
+    assert abs(row["bias"] - bias) < 1e-6
