@@ -60,6 +60,8 @@ _PRIORITY: list[str] = [
     "price_volume_mix",
     "abc_classification",
     "seasonal_naive_backtest",
+    "oov_rate",
+    "hard_negative_centroids",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

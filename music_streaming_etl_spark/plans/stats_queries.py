@@ -2238,3 +2238,233 @@ REGISTRY_STATS.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# OOV rate against a corpus-derived vocabulary
+# --------------------------------------------------------------------------
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus's own
+    top-20 token vocabulary — the tokenizer-coverage diagnostic every
+    training-data pipeline runs before committing a vocab. Vocabulary
+    = top-20 tokens by corpus frequency under a total order
+    (``global_topk`` → TakeOrderedAndProject, broadcast-joined back);
+    each document's OOV share is quantized to DECIMAL(12,6) before the
+    exact-decimal per-language mean (the literal-quantization rule),
+    so the reduction is partition- and engine-independent."""
+    from ..operators.ranking import global_topk
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    )
+    vocab = global_topk(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")),
+        [F.desc("n"), F.asc("token")],
+        20,
+    ).select("token", F.lit(True).alias("in_vocab"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "rate",
+            F.round(
+                F.col("n_oov").cast("double")
+                / F.col("n_toks").cast("double"),
+                6,
+            ).cast("decimal(12,6)"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_oov").cast("bigint").alias("oov_tokens"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("rate").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_OOV = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+    FROM tok GROUP BY token
+  ) WHERE rk <= 20
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tok LEFT JOIN vocab v USING (token)
+  GROUP BY 1, 2
+), rated AS (
+  SELECT lang, n_toks, n_oov,
+         CAST(ROUND(CAST(n_oov AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS rate
+  FROM per_doc
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_oov_rate
+FROM rated GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining against label centroids
+# --------------------------------------------------------------------------
+
+
+def q_hard_negative_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest negative CLASS per embedding — for contrastive-training
+    pair mining: each vector's most-cosine-similar label centroid
+    among the OTHER labels. Centroids come from the 1e-6-quantized
+    decimal mean (``label_centroids``) and are re-quantized to
+    DECIMAL(12,6) literals, so every dot/norm term is an exact decimal
+    product and the 64-dim reductions are order-independent; cosine
+    rounds to 6dp BEFORE the per-vector arg-max (total order: cosine
+    desc, label asc). The (vector × label) frame fans out |V|·|L| —
+    labels are a constant — and the dim-join is hash-partitioned on
+    dim. Returns the 20 lowest-margin vectors (the hardest cases),
+    totally ordered."""
+    from ..operators.ranking import global_topk
+    from ..operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, "label", "embedding").select(
+        F.col("label").alias("c_label"),
+        "dim",
+        F.round("centroid", 6).cast("decimal(12,6)").alias("c"),
+    )
+    flat = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("v").cast("double").cast("decimal(12,6)").alias("vq"),
+    )
+    dots = (
+        flat.join(cent, "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("vq") * F.col("c")).alias("dot"))
+    )
+    vnorm = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("vq") * F.col("vq")).cast("double")).alias("vn")
+    )
+    cnorm = cent.groupBy("c_label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("cn")
+    )
+    cos = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "c_label")
+        .where(F.col("c_label") != F.col("label"))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            F.round(
+                F.col("dot").cast("double") / (F.col("vn") * F.col("cn")), 6
+            ).alias("cosine"),
+        )
+    )
+    hardest = (
+        cos.groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(F.col("cosine"), (-F.col("c_label")).alias("nl"))
+            ).alias("top")
+        )
+        .select(
+            "vec_id",
+            "label",
+            (-F.col("top.nl")).cast("bigint").alias("hard_negative_label"),
+            F.col("top.cosine").alias("cosine"),
+        )
+    )
+    return global_topk(
+        hardest, [F.desc("cosine"), F.asc("vec_id")], 20
+    ).select("rank", "vec_id", "label", "hard_negative_label", "cosine")
+
+
+ORACLE_HARD_NEGATIVE = """
+WITH cent AS (
+  SELECT CAST(label AS BIGINT) AS c_label,
+         CAST(unnest(range(1, len(embedding) + 1)) - 1 AS BIGINT) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+), centroid AS (
+  SELECT c_label, dim,
+         CAST(ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)))
+                         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS c
+  FROM cent GROUP BY 1, 2
+), flat AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(unnest(range(1, len(embedding) + 1)) - 1 AS BIGINT) AS dim,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) AS vq
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, label, c_label, SUM(vq * c) AS dot
+  FROM flat JOIN centroid USING (dim)
+  GROUP BY 1, 2, 3
+), vnorm AS (
+  SELECT vec_id, sqrt(CAST(SUM(vq * vq) AS DOUBLE)) AS vn
+  FROM flat GROUP BY 1
+), cnorm AS (
+  SELECT c_label, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS cn
+  FROM centroid GROUP BY 1
+), cos AS (
+  SELECT vec_id, label, c_label,
+         ROUND(CAST(dot AS DOUBLE) / (vn * cn), 6) AS cosine
+  FROM dots JOIN vnorm USING (vec_id) JOIN cnorm USING (c_label)
+  WHERE c_label <> label
+), hardest AS (
+  SELECT vec_id, label, c_label AS hard_negative_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, c_label ASC) AS rk
+  FROM cos
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+         AS rank,
+       vec_id, label, hard_negative_label, cosine
+FROM hardest WHERE rk = 1
+ORDER BY cosine DESC, vec_id ASC LIMIT 20
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "oov_rate": (q_oov_rate, ORACLE_OOV),
+        "hard_negative_centroids": (
+            q_hard_negative_centroids,
+            ORACLE_HARD_NEGATIVE,
+        ),
+    }
+)

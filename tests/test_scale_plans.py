@@ -737,6 +737,8 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_price_volume_mix,
         q_abc_classification,
         q_seasonal_naive_backtest,
+        q_oov_rate,
+        q_hard_negative_centroids,
     )
 
     for fn in (
@@ -763,6 +765,8 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_price_volume_mix,
         q_abc_classification,
         q_seasonal_naive_backtest,
+        q_oov_rate,
+        q_hard_negative_centroids,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

@@ -673,3 +673,87 @@ def test_seasonal_naive_matches_brute_force(spark):
     bias = sum(a - f for a, f in pairs) / sum(a for a, _ in pairs)
     assert abs(row["mape"] - mape) < 2e-6
     assert abs(row["bias"] - bias) < 1e-6
+
+
+def test_oov_rate_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_oov_rate
+    import pandas as pd
+    import re
+    from collections import Counter
+
+    rows = q_oov_rate(spark, "/root/testdata/sf0.001").collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = {
+        r.doc_id: re.split(r"\s+", r.text.strip().lower())
+        for r in docs.itertuples()
+    }
+    freq = Counter(t for ts in toks.values() for t in ts)
+    vocab = {
+        t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    }
+    by_lang = {}
+    for r in docs.itertuples():
+        ts = toks[r.doc_id]
+        oov = sum(1 for t in ts if t not in vocab)
+        d = by_lang.setdefault(r.lang, [0, 0, 0, 0.0])
+        d[0] += 1
+        d[1] += oov
+        d[2] += len(ts)
+        d[3] += round(oov / len(ts), 6)
+    assert len(rows) == len(by_lang)
+    for r in rows:
+        n, oov, tot, rates = by_lang[r["lang"]]
+        assert (r["n_docs"], r["oov_tokens"], r["total_tokens"]) == (
+            n,
+            oov,
+            tot,
+        )
+        assert abs(r["mean_oov_rate"] - rates / n) < 2e-6
+
+
+def test_hard_negative_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_hard_negative_centroids,
+    )
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = q_hard_negative_centroids(spark, "/root/testdata/sf0.001").collect()
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    labels = np.array(t.column("label").to_pylist())
+    vec_ids = np.array(t.column("vec_id").to_pylist())
+    # mirror the quantization pipeline: centroid of 6dp-quantized mean,
+    # vectors quantized to 6dp
+    q = np.round(mat, 6)
+    cents = {}
+    for lab in np.unique(labels):
+        m = mat[labels == lab].astype(np.float64)
+        # decimal(38,6) sum of quantized elements / n, rounded to 6
+        cents[lab] = np.round(np.round(m, 6).sum(axis=0) / len(m), 6)
+    expect = {}
+    for i, vid in enumerate(vec_ids):
+        own = labels[i]
+        best = None
+        for lab, c in cents.items():
+            if lab == own:
+                continue
+            cos = round(
+                float(q[i] @ c)
+                / (math.sqrt(float(q[i] @ q[i])) * math.sqrt(float(c @ c))),
+                6,
+            )
+            k = (cos, -lab)
+            if best is None or k > best[0]:
+                best = (k, lab, cos)
+        expect[int(vid)] = (int(own), int(best[1]), best[2])
+    ordered = sorted(
+        expect.items(), key=lambda kv: (-kv[1][2], kv[0])
+    )[:20]
+    assert len(rows) == 20
+    for r, (vid, (own, neg, cos)) in zip(
+        sorted(rows, key=lambda r: r["rank"]), ordered
+    ):
+        assert r["vec_id"] == vid and r["label"] == own, r["rank"]
+        assert r["hard_negative_label"] == neg
+        assert abs(r["cosine"] - cos) < 2e-6
