@@ -62,6 +62,9 @@ _PRIORITY: list[str] = [
     "seasonal_naive_backtest",
     "oov_rate",
     "hard_negative_centroids",
+    "weighted_median_price",
+    "business_days_to_ship",
+    "nearest_warehouse",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

@@ -2475,3 +2475,277 @@ REGISTRY_STATS.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Weighted median (the median revenue dollar)
+# --------------------------------------------------------------------------
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue-weighted median of per-customer revenue — "the
+    customer value at which half the MONEY sits below" (very different
+    from the median customer when revenue is concentrated). Lower
+    weighted median under the exact integer rule 2·cumweight ≥ total:
+    value-grain aggregation, distributed prefix sum over the value
+    order (``global_prefix_sum``), and a 1-row exact selection — no
+    float shares, no global sort, no interpolation ambiguity."""
+    from ..operators.ranking import global_prefix_sum
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_cents()).alias("c")
+    )
+    grain = per_cust.groupBy(F.col("c").alias("v")).agg(
+        F.sum("c").cast("bigint").alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+    )
+    pref = global_prefix_sum(
+        grain, [F.asc("v")], "w", alias="cumx"
+    ).withColumn("cum", F.col("cumx") + F.col("w"))
+    tot = grain.agg(F.sum("w").cast("bigint").alias("t"))
+    crossing = (
+        pref.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cum") >= F.col("t"))
+    )
+    return crossing.agg(
+        F.min("v").cast("bigint").alias("weighted_median_cents"),
+        F.max("t").cast("bigint").alias("total_cents"),
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM({_CENTS}) AS c FROM orders GROUP BY 1
+), grain AS (
+  SELECT c AS v, CAST(SUM(c) AS BIGINT) AS w FROM per_cust GROUP BY 1
+), pref AS (
+  SELECT v, SUM(w) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM grain
+), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM grain)
+SELECT CAST(MIN(v) AS BIGINT) AS weighted_median_cents,
+       CAST(MAX(t) AS BIGINT) AS total_cents
+FROM pref, tot WHERE 2 * cum >= t
+"""
+
+
+# --------------------------------------------------------------------------
+# Business days to ship (closed-form weekday arithmetic)
+# --------------------------------------------------------------------------
+
+
+def q_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average BUSINESS days (Mon-Fri) between order and line
+    shipment per priority — no calendar table, no per-day explode:
+    W(n) = (n DIV 7)·5 + least(n mod 7, 5) counts weekdays from the
+    Monday anchor 1992-01-06, so each row's business-day gap is the
+    exact integer W(idx_ship) − W(idx_order). The orders↔lineitem
+    join is a fact-fact equi-join on the order key (co-partitioned
+    shuffle, never broadcast); exact sums, one final division."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-06").cast("date")
+        ).cast("bigint").alias("i0"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1992-01-06").cast("date")
+        ).cast("bigint").alias("i1"),
+    )
+
+    def W(c: str) -> F.Column:
+        return F.expr(f"({c} DIV 7) * 5 + least({c} % 7, 5)")
+
+    j = li.join(orders, "l_orderkey").withColumn(
+        "bdays", (W("i1") - W("i0")).cast("bigint")
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("bdays").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_business_days"),
+            F.max("bdays").cast("bigint").alias("max_business_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_BUSINESS_DAYS = """
+WITH o AS (
+  SELECT o_orderkey AS l_orderkey, o_orderpriority,
+         CAST(datediff('day', DATE '1992-01-06', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS i0
+  FROM orders
+), l AS (
+  SELECT l_orderkey,
+         CAST(datediff('day', DATE '1992-01-06', CAST(l_shipdate AS DATE))
+              AS BIGINT) AS i1
+  FROM lineitem
+), j AS (
+  SELECT o_orderpriority,
+         ((i1 // 7) * 5 + least(i1 % 7, 5))
+         - ((i0 // 7) * 5 + least(i0 % 7, 5)) AS bdays
+  FROM l JOIN o USING (l_orderkey)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(bdays AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_business_days,
+       CAST(MAX(bdays) AS BIGINT) AS max_business_days
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Nearest-warehouse assignment (haversine argmin)
+# --------------------------------------------------------------------------
+
+_WAREHOUSES = (
+    (1, 40.7128, -74.0060),   # NYC
+    (2, 51.5074, -0.1278),    # London
+    (3, 35.6762, 139.6503),   # Tokyo
+    (4, -33.8688, 151.2093),  # Sydney
+    (5, 19.4326, -99.1332),   # Mexico City
+)
+
+_HAVERSINE = (
+    "ROUND(2.0 * 6371.0 * asin(sqrt("
+    "sin(radians(({lat2}) - ({lat1})) / 2.0) * sin(radians(({lat2}) - ({lat1})) / 2.0)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin(radians(({lon2}) - ({lon1})) / 2.0)"
+    " * sin(radians(({lon2}) - ({lon1})) / 2.0))), 6)"
+)
+
+
+def q_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial assignment: each customer (pseudo-coordinates
+    derived DETERMINISTICALLY from the md5 coin — the corpus has no
+    geo columns, the op class is the point) is assigned to the
+    nearest of 5 literal warehouses by haversine argmin. The distance
+    formula is ONE shared expression string rendered into both
+    engines (same radians/asin/sqrt call tree → same IEEE result),
+    rounded to 6dp BEFORE the argmin's total order (distance asc,
+    warehouse asc); per-warehouse rollup quantizes each distance into
+    the exact-decimal mean. |customers|×5 fan-out — the constant-size
+    dimension cross is a broadcast, everything else one shuffle."""
+    from ..operators.sampling import hash_bucket
+
+    orders = _t(spark, sf_dir, "orders")
+    custs = orders.select("o_custkey").distinct()
+    lat = (
+        hash_bucket(F.col("o_custkey").cast("string")).cast("double")
+        / 10000.0
+        * 180.0
+        - 90.0
+    )
+    lon = (
+        hash_bucket(F.concat(F.lit("lon:"), F.col("o_custkey").cast("string")))
+        .cast("double")
+        / 10000.0
+        * 360.0
+        - 180.0
+    )
+    pts = custs.select(
+        "o_custkey", lat.alias("lat"), lon.alias("lon")
+    )
+    wh = spark.createDataFrame(
+        list(_WAREHOUSES), "warehouse_id int, w_lat double, w_lon double"
+    )
+    dist = F.expr(
+        _HAVERSINE.format(
+            lat1="lat", lon1="lon", lat2="w_lat", lon2="w_lon"
+        )
+    )
+    assigned = (
+        pts.crossJoin(F.broadcast(wh))
+        .select(
+            "o_custkey",
+            "warehouse_id",
+            dist.alias("dist_km"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.struct(F.col("dist_km"), F.col("warehouse_id"))
+            ).alias("best")
+        )
+        .select(
+            "o_custkey",
+            F.col("best.warehouse_id").alias("warehouse_id"),
+            F.col("best.dist_km").alias("dist_km"),
+        )
+    )
+    return (
+        assigned.groupBy("warehouse_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("dist_km").cast("decimal(12,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_dist_km"),
+        )
+        .orderBy("warehouse_id")
+    )
+
+
+def _oracle_nearest_warehouse() -> str:
+    wh_rows = ", ".join(
+        f"({i}, {la}, {lo})" for i, la, lo in _WAREHOUSES
+    )
+    d = _HAVERSINE.format(
+        lat1="lat", lon1="lon", lat2="w_lat", lon2="w_lon"
+    )
+    return f"""
+WITH custs AS (
+  SELECT DISTINCT o_custkey FROM orders
+), pts AS (
+  SELECT o_custkey,
+         CAST(CAST('0x' || substr(md5(CAST(CAST(o_custkey AS VARCHAR) AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 10000 AS DOUBLE) / 10000.0 * 180.0 - 90.0 AS lat,
+         CAST(CAST('0x' || substr(md5('lon:' || CAST(o_custkey AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 10000 AS DOUBLE) / 10000.0 * 360.0 - 180.0 AS lon
+  FROM custs
+), wh(warehouse_id, w_lat, w_lon) AS (VALUES {wh_rows}),
+dists AS (
+  SELECT o_custkey, warehouse_id, {d} AS dist_km
+  FROM pts, wh
+), best AS (
+  SELECT o_custkey, warehouse_id, dist_km,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY dist_km ASC, warehouse_id ASC) AS rk
+  FROM dists
+)
+SELECT warehouse_id,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CAST(dist_km AS DECIMAL(12,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_dist_km
+FROM best WHERE rk = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "weighted_median_price": (
+            q_weighted_median_price,
+            ORACLE_WEIGHTED_MEDIAN,
+        ),
+        "business_days_to_ship": (
+            q_business_days_to_ship,
+            ORACLE_BUSINESS_DAYS,
+        ),
+        "nearest_warehouse": (
+            q_nearest_warehouse,
+            _oracle_nearest_warehouse(),
+        ),
+    }
+)

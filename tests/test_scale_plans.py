@@ -739,6 +739,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_seasonal_naive_backtest,
         q_oov_rate,
         q_hard_negative_centroids,
+        q_weighted_median_price,
+        q_business_days_to_ship,
+        q_nearest_warehouse,
     )
 
     for fn in (
@@ -767,6 +770,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_seasonal_naive_backtest,
         q_oov_rate,
         q_hard_negative_centroids,
+        q_weighted_median_price,
+        q_business_days_to_ship,
+        q_nearest_warehouse,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

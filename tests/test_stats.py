@@ -757,3 +757,129 @@ def test_hard_negative_matches_brute_force(spark):
         assert r["vec_id"] == vid and r["label"] == own, r["rank"]
         assert r["hard_negative_label"] == neg
         assert abs(r["cosine"] - cos) < 2e-6
+
+
+def test_weighted_median_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_weighted_median_price,
+    )
+    import pandas as pd
+
+    row = q_weighted_median_price(spark, "/root/testdata/sf0.001").collect()[0]
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    orders["cents"] = (
+        (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    c = sorted(orders.groupby("o_custkey")["cents"].sum().to_list())
+    t = sum(c)
+    cum = 0
+    for v in c:
+        cum += v
+        if 2 * cum >= t:
+            break
+    assert row["weighted_median_cents"] == v
+    assert row["total_cents"] == t
+    # weighted median sits above the plain median when revenue skews up
+    import statistics
+
+    assert row["weighted_median_cents"] >= statistics.median(c)
+
+
+def test_business_days_matches_python_calendar(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_business_days_to_ship,
+    )
+    import datetime as dtmod
+    import pandas as pd
+
+    rows = q_business_days_to_ship(spark, "/root/testdata/sf0.001").collect()
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    j = li.merge(
+        orders[["o_orderkey", "o_orderpriority", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def bdays(a, b):
+        # literal weekday walk — the independent reference; the
+        # synthetic corpus has ship dates on BOTH sides of the order
+        # date, and the closed form is sign-symmetric
+        if b < a:
+            return -bdays(b, a)
+        # weekdays in the start-inclusive half-open [a, b) — the
+        # interval W(b) - W(a) counts
+        n, d = 0, a.date()
+        while d < b.date():
+            if d.weekday() < 5:
+                n += 1
+            d += dtmod.timedelta(days=1)
+        return n
+
+    # closed form must equal the walk on a sample (cheap) ...
+    sample = j.head(60)
+    anchor = dtmod.date(1992, 1, 6)
+
+    def W(d):
+        n = (d - anchor).days
+        return (n // 7) * 5 + min(n % 7, 5)
+
+    for r in sample.itertuples():
+        walked = bdays(r.o_orderdate, r.l_shipdate)
+        closed = W(r.l_shipdate.date()) - W(r.o_orderdate.date())
+        assert walked == closed, (r.o_orderdate, r.l_shipdate)
+    # ... and the per-priority aggregate must match the closed form
+    j["bd"] = [
+        W(s.date()) - W(o.date())
+        for o, s in zip(j["o_orderdate"], j["l_shipdate"])
+    ]
+    agg = j.groupby("o_orderpriority")["bd"].agg(["count", "mean", "max"])
+    for r in rows:
+        g = agg.loc[r["o_orderpriority"]]
+        assert r["n_lines"] == g["count"]
+        assert abs(r["avg_business_days"] - g["mean"]) < 1e-5
+        assert r["max_business_days"] == g["max"]
+
+
+def test_nearest_warehouse_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        _WAREHOUSES,
+        q_nearest_warehouse,
+    )
+    import hashlib
+    import pandas as pd
+
+    rows = q_nearest_warehouse(spark, "/root/testdata/sf0.001").collect()
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 10000
+
+    def hav(la1, lo1, la2, lo2):
+        dlat = math.radians(la2 - la1) / 2.0
+        dlon = math.radians(lo2 - lo1) / 2.0
+        a = (
+            math.sin(dlat) * math.sin(dlat)
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(dlon)
+            * math.sin(dlon)
+        )
+        return round(2.0 * 6371.0 * math.asin(math.sqrt(a)), 6)
+
+    counts, sums = {}, {}
+    for ck in sorted(set(orders["o_custkey"])):
+        la = bucket(str(ck)) / 10000.0 * 180.0 - 90.0
+        lo = bucket(f"lon:{ck}") / 10000.0 * 360.0 - 180.0
+        best = min(
+            ((hav(la, lo, wla, wlo), wid) for wid, wla, wlo in _WAREHOUSES)
+        )
+        counts[best[1]] = counts.get(best[1], 0) + 1
+        sums[best[1]] = sums.get(best[1], 0.0) + round(best[0], 6)
+    for r in rows:
+        assert r["n_customers"] == counts[r["warehouse_id"]]
+        assert (
+            abs(r["avg_dist_km"] - sums[r["warehouse_id"]] / counts[r["warehouse_id"]])
+            < 1e-5
+        )
+    assert sum(counts.values()) == sum(r["n_customers"] for r in rows)
