@@ -241,17 +241,25 @@ def main() -> None:
         q_skyline_customers,
     )
     from music_streaming_etl_spark.plans.stats_queries import (
+        q_audience_overlap,
         q_bootstrap_mean_ci,
         q_cusum_alerts,
+        q_degree_assortativity,
         q_distribution_moments,
         q_embedding_dim_stats,
         q_event_entropy,
+        q_gains_table,
         q_gini_coefficient,
         q_kaplan_meier_churn,
         q_mann_kendall_seasonal,
         q_mann_whitney_u,
+        q_nearest_warehouse,
+        q_oov_rate,
+        q_quantile_normalization,
+        q_spearman_correlation,
         q_theil_sen_seasonal,
         q_token_pmi,
+        q_weighted_median_price,
     )
 
     args = sys.argv[1:]
@@ -333,12 +341,35 @@ def main() -> None:
             q_kaplan_meier_churn, materialize_events, base_events,
         ),
         "token_pmi": (q_token_pmi, materialize_llm, base_docs),
+        "degree_assortativity": (
+            q_degree_assortativity, materialize_baskets, base_li,
+        ),
+        "quantile_normalization": (
+            q_quantile_normalization, materialize_orders, base_orders,
+        ),
+        "spearman_correlation": (
+            q_spearman_correlation, materialize_orders, base_orders,
+        ),
+        "audience_overlap": (
+            q_audience_overlap, materialize_events, base_events,
+        ),
+        "weighted_median_price": (
+            q_weighted_median_price, materialize_orders, base_orders,
+        ),
+        "gains_table": (q_gains_table, materialize_llm, base_docs),
+        "oov_rate": (q_oov_rate, materialize_llm, base_docs),
+        "nearest_warehouse": (
+            q_nearest_warehouse, materialize_orders, base_orders,
+        ),
     }
+    # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
+    # documented scale knob, so the uncapped probe stops at 10×
+    mult_caps = {"token_pmi": (1, 10)}
     out = {"sf_dir": sf_dir, "ops": {}}
     for op in ops:
         fn, mat, base_rows = probes[op]
         points = []
-        for mult in (1, 10, 100):
+        for mult in mult_caps.get(op, (1, 10, 100)):
             d = sf_dir if mult == 1 else mat(spark, sf_dir, mult)
             df = fn(spark, d)
             df.write.format("noop").mode("overwrite").save()  # warm-up run
