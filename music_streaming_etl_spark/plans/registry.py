@@ -65,6 +65,9 @@ _PRIORITY: list[str] = [
     "weighted_median_price",
     "business_days_to_ship",
     "nearest_warehouse",
+    "sprt_decision",
+    "shapley_attribution",
+    "npv_revenue_stream",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

@@ -2749,3 +2749,316 @@ REGISTRY_STATS.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Sequential probability ratio test (Wald SPRT)
+# --------------------------------------------------------------------------
+
+
+def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT over the event stream in time order: is the
+    high-value-event rate 0.55 (H1) or 0.45 (H0)?  α=β=0.05. For the
+    SYMMETRIC Bernoulli pair the log-likelihood ratio collapses to
+    L_n = ln(11/9)·(2S_n − n), so the crossing test |L| ≥ ln(19) is
+    the EXACT INTEGER rule |2S_n − n| ≥ 15 (15 = ceil(ln19/ln(11/9)))
+    — the whole sequential test runs in bigint arithmetic, no floats
+    until the reported L value. Prefix counts over the (ts, event_id)
+    total order via the distributed prefix-sum path; the first
+    crossing is a 1-row min aggregate, not a sort."""
+    from ..operators.ranking import global_prefix_sum, global_rank
+
+    events = _t(spark, sf_dir, "events")
+    ev = events.select(
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("x"),
+    )
+    pref = global_prefix_sum(
+        ev, [F.asc("ts"), F.asc("event_id")], "x", alias="sx_ex"
+    )
+    ranked = global_rank(pref, [F.asc("ts"), F.asc("event_id")])
+    stat = ranked.withColumn(
+        "d", 2 * (F.col("sx_ex") + F.col("x")) - F.col("rank")
+    )
+    crossing = stat.where(F.abs(F.col("d")) >= 15)
+    first = crossing.agg(
+        F.min("rank").cast("bigint").alias("n_at_decision"),
+        F.min_by(F.col("ts"), F.col("rank")).alias("decision_ts"),
+        F.min_by(F.col("d"), F.col("rank")).cast("bigint").alias("d_at"),
+    )
+    return first.select(
+        F.when(F.col("d_at") >= 15, F.lit("accept_h1"))
+        .when(F.col("d_at") <= -15, F.lit("accept_h0"))
+        .otherwise(F.lit("undecided"))
+        .alias("decision"),
+        "n_at_decision",
+        "decision_ts",
+        F.round(
+            F.col("d_at").cast("double") * F.log(F.lit(11.0 / 9.0)), 6
+        ).alias("llr_at_decision"),
+    )
+
+
+ORACLE_SPRT = """
+WITH ev AS (
+  SELECT ts, event_id, CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS x
+  FROM events
+), pref AS (
+  SELECT ts, x,
+         CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS rank,
+         CAST(SUM(x) OVER (ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sx
+  FROM ev
+), stat AS (
+  SELECT ts, rank, 2 * sx - rank AS d FROM pref
+), crossing AS (SELECT * FROM stat WHERE abs(d) >= 15),
+first AS (
+  SELECT MIN(rank) AS n_at_decision,
+         MIN_BY(ts, rank) AS decision_ts,
+         CAST(MIN_BY(d, rank) AS BIGINT) AS d_at
+  FROM crossing
+)
+SELECT CASE WHEN d_at >= 15 THEN 'accept_h1'
+            WHEN d_at <= -15 THEN 'accept_h0'
+            ELSE 'undecided' END AS decision,
+       n_at_decision, decision_ts,
+       ROUND(CAST(d_at AS DOUBLE) * ln(11.0 / 9.0), 6) AS llr_at_decision
+FROM first
+"""
+
+
+# --------------------------------------------------------------------------
+# Shapley-value channel attribution
+# --------------------------------------------------------------------------
+
+_CHANNELS = ("click", "error", "signup", "view")  # sorted, k=4
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution of purchase conversion across the
+    four pre-purchase channels — the game-theoretic credit split
+    (coalition value v(S) = conversion rate of users whose
+    pre-first-purchase exposure set is exactly S; unobserved
+    coalitions contribute v=0, the standard data-driven convention).
+    The user-grain pass is the only fact-scaled work; the Shapley
+    combination runs on the 2⁴-row coalition lattice built from a
+    bitmask range — exact factorial weights as shared literals, each
+    marginal term quantized to 6dp before the exact-decimal sum per
+    channel. Deterministic: exposure keys are sorted-channel strings,
+    every division is a final-step double."""
+    events = _t(spark, sf_dir, "events")
+    first_p = events.where(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("p_ts"))
+    ex = (
+        events.join(first_p, "user_id", "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("p_ts").isNull() | (F.col("ts") < F.col("p_ts")))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("s_key"),
+            F.max(F.col("p_ts").isNotNull()).alias("converted"),
+        )
+    )
+    # users whose ONLY events are purchases have the empty coalition
+    only_p = first_p.join(ex, "user_id", "left_anti").select(
+        F.lit("").alias("s_key"), F.lit(True).alias("converted")
+    )
+    vstats = (
+        ex.select("s_key", "converted")
+        .unionByName(only_p)
+        .groupBy("s_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("converted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv"),
+        )
+        .withColumn(
+            "v",
+            F.round(
+                F.col("conv").cast("double") / F.col("n").cast("double"), 6
+            ),
+        )
+        .select("s_key", "v")
+    )
+    # the 2^k (S, S∪{i}) pair lattice is a CONSTANT (k=4): enumerate
+    # it as literal rows — identical enumeration renders the oracle's
+    # VALUES list, so both engines walk the exact same coalitions
+    k = len(_CHANNELS)
+    pair_rows = []
+    for i, ch in enumerate(_CHANNELS):
+        for m in range(2**k):
+            if (m >> i) & 1:
+                continue
+            s = [c for j, c in enumerate(_CHANNELS) if (m >> j) & 1]
+            si = sorted(s + [ch])
+            pair_rows.append((ch, ",".join(s), ",".join(si), len(s)))
+    pairs = spark.createDataFrame(
+        pair_rows, "channel string, s_key string, si_key string, sz int"
+    )
+    # factorial weights s!(k-1-s)!/k! for k=4, as shared 6dp literals
+    w = (
+        F.when(F.col("sz") == 0, F.lit(0.25))
+        .when(F.col("sz") == 1, F.lit(0.083333))
+        .when(F.col("sz") == 2, F.lit(0.083333))
+        .otherwise(F.lit(0.25))
+    )
+    joined = (
+        pairs.join(
+            vstats.select(F.col("s_key"), F.col("v").alias("v_s")),
+            "s_key",
+            "left",
+        )
+        .join(
+            vstats.select(
+                F.col("s_key").alias("si_key"), F.col("v").alias("v_si")
+            ),
+            "si_key",
+            "left",
+        )
+        .fillna(0.0, ["v_s", "v_si"])
+    )
+    term = F.round(
+        w * (F.col("v_si") - F.col("v_s")), 6
+    ).cast("decimal(12,6)")
+    return (
+        joined.groupBy("channel")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("shapley_value")
+        )
+        .orderBy("channel")
+    )
+
+
+
+
+def _oracle_shapley() -> str:
+    k = len(_CHANNELS)
+    rows = []
+    for m in range(2**k):
+        members = [c for i, c in enumerate(_CHANNELS) if (m >> i) & 1]
+        rows.append(
+            f"({m}, '{','.join(members)}', {len(members)})"
+        )
+    lattice = ", ".join(rows)
+    pair_rows = []
+    for i, ch in enumerate(_CHANNELS):
+        for m in range(2**k):
+            if (m >> i) & 1:
+                continue
+            s = [c for j, c in enumerate(_CHANNELS) if (m >> j) & 1]
+            si = sorted(s + [ch])
+            pair_rows.append(
+                f"('{ch}', '{','.join(s)}', '{','.join(si)}', {len(s)})"
+            )
+    pairs = ", ".join(pair_rows)
+    return f"""
+WITH first_p AS (
+  SELECT user_id, MIN(ts) AS p_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+), ex AS (
+  SELECT e.user_id,
+         array_to_string(list_sort(list_distinct(list(e.event_type))), ',')
+           AS s_key,
+         MAX(p.p_ts IS NOT NULL) AS converted
+  FROM events e LEFT JOIN first_p p USING (user_id)
+  WHERE e.event_type <> 'purchase'
+    AND (p.p_ts IS NULL OR e.ts < p.p_ts)
+  GROUP BY 1
+), only_p AS (
+  SELECT '' AS s_key, TRUE AS converted
+  FROM first_p WHERE user_id NOT IN (SELECT user_id FROM ex)
+), vstats AS (
+  SELECT s_key,
+         ROUND(CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS v
+  FROM (SELECT s_key, converted FROM ex
+        UNION ALL SELECT s_key, converted FROM only_p)
+  GROUP BY 1
+), pairs(channel, s_key, si_key, sz) AS (VALUES {pairs}),
+weighted AS (
+  SELECT channel,
+         CAST(ROUND(
+           (CASE WHEN sz = 0 THEN 0.25 WHEN sz = 1 THEN 0.083333
+                 WHEN sz = 2 THEN 0.083333 ELSE 0.25 END)
+           * (COALESCE(vi.v, 0.0) - COALESCE(vs.v, 0.0)), 6)
+          AS DECIMAL(12,6)) AS term
+  FROM pairs
+  LEFT JOIN vstats vs ON vs.s_key = pairs.s_key
+  LEFT JOIN vstats vi ON vi.s_key = pairs.si_key
+)
+SELECT channel, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS shapley_value
+FROM weighted GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Net present value of the monthly revenue stream
+# --------------------------------------------------------------------------
+
+
+def q_npv_revenue_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NPV of the monthly revenue stream at a 1%/month discount from
+    the first observed month — each month's discounted term
+    c·1.01^(−t) is quantized to 6dp cents (pow is libm, so the
+    literal-quantization rule applies) and the reduction is an exact
+    decimal sum over the calendar-bounded month frame; the month
+    index comes from an exact months_between on truncated months."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m")
+    ).agg(F.sum(_cents()).alias("c"))
+    base = monthly.agg(F.min("m").alias("m0"))
+    t = F.months_between(F.col("m"), F.col("m0")).cast("bigint")
+    term = F.round(
+        F.col("c").cast("double") * F.pow(F.lit(1.01), -t.cast("double")),
+        6,
+    ).cast("decimal(24,6)")
+    disc = monthly.crossJoin(F.broadcast(base)).select(
+        term.alias("term"), F.col("c")
+    )
+    # floor the EXACT decimal sum to whole cents — a final
+    # decimal→double cast at ~1e11·1e6 magnitude loses ulps
+    # differently per engine; integers never do
+    return disc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum(F.col("c").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("undiscounted_cents"),
+        F.floor(F.sum("term")).cast("bigint").alias("npv_cents"),
+    )
+
+
+ORACLE_NPV = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         SUM({_CENTS}) AS c
+  FROM orders GROUP BY 1
+), base AS (SELECT MIN(m) AS m0 FROM monthly),
+disc AS (
+  SELECT c,
+         CAST(ROUND(CAST(c AS DOUBLE)
+                    * pow(1.01, -CAST(datediff('month', m0, m) AS DOUBLE)), 6)
+              AS DECIMAL(24,6)) AS term
+  FROM monthly, base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(SUM(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS undiscounted_cents,
+       CAST(floor(SUM(term)) AS BIGINT) AS npv_cents
+FROM disc
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "sprt_decision": (q_sprt_decision, ORACLE_SPRT),
+        "shapley_attribution": (q_shapley_attribution, _oracle_shapley()),
+        "npv_revenue_stream": (q_npv_revenue_stream, ORACLE_NPV),
+    }
+)

@@ -742,6 +742,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_weighted_median_price,
         q_business_days_to_ship,
         q_nearest_warehouse,
+        q_sprt_decision,
+        q_shapley_attribution,
+        q_npv_revenue_stream,
     )
 
     for fn in (
@@ -773,6 +776,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_weighted_median_price,
         q_business_days_to_ship,
         q_nearest_warehouse,
+        q_sprt_decision,
+        q_shapley_attribution,
+        q_npv_revenue_stream,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

@@ -883,3 +883,99 @@ def test_nearest_warehouse_matches_brute_force(spark):
             < 1e-5
         )
     assert sum(counts.values()) == sum(r["n_customers"] for r in rows)
+
+
+def test_sprt_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_sprt_decision
+    import pandas as pd
+
+    row = q_sprt_decision(spark, "/root/testdata/sf0.001").collect()[0]
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    s = 0
+    hit = None
+    for n, v in enumerate(ev["value"], 1):
+        s += 1 if v >= 50.0 else 0
+        d = 2 * s - n
+        if abs(d) >= 15:
+            hit = (n, d, ev["ts"].iloc[n - 1])
+            break
+    if hit is None:
+        assert row["decision"] == "undecided"
+    else:
+        n, d, ts = hit
+        assert row["n_at_decision"] == n
+        assert row["decision"] == (
+            "accept_h1" if d >= 15 else "accept_h0"
+        )
+        assert abs(
+            row["llr_at_decision"] - d * math.log(11.0 / 9.0)
+        ) < 1e-5
+
+
+def test_shapley_axioms_and_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        _CHANNELS,
+        q_shapley_attribution,
+    )
+    import pandas as pd
+
+    rows = q_shapley_attribution(spark, "/root/testdata/sf0.001").collect()
+    got = {r["channel"]: r["shapley_value"] for r in rows}
+    assert set(got) == set(_CHANNELS)
+    # brute force: rebuild v(S) and the Shapley sum in pure Python
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    first_p = (
+        ev[ev["event_type"] == "purchase"].groupby("user_id")["ts"].min()
+    )
+    stats = {}
+    for uid, g in ev.groupby("user_id"):
+        p_ts = first_p.get(uid)
+        pre = g[
+            (g["event_type"] != "purchase")
+            & (True if p_ts is None else g["ts"] < p_ts)
+        ]
+        if len(pre) == 0 and p_ts is None:
+            continue  # no exposure row and no purchase: not in ex
+        key = ",".join(sorted(set(pre["event_type"])))
+        n, c = stats.get(key, (0, 0))
+        stats[key] = (n + 1, c + (1 if p_ts is not None else 0))
+    v = {k: round(c / n, 6) for k, (n, c) in stats.items()}
+    k = len(_CHANNELS)
+    import math as m
+
+    for i, ch in enumerate(_CHANNELS):
+        phi = 0.0
+        for mask in range(2**k):
+            if (mask >> i) & 1:
+                continue
+            s = [c for j, c in enumerate(_CHANNELS) if (mask >> j) & 1]
+            w = {0: 0.25, 1: 0.083333, 2: 0.083333, 3: 0.25}[len(s)]
+            vs = v.get(",".join(s), 0.0)
+            vsi = v.get(",".join(sorted(s + [ch])), 0.0)
+            phi += round(w * (vsi - vs), 6)
+        assert abs(got[ch] - round(phi, 6)) < 2e-6, ch
+
+
+def test_npv_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_npv_revenue_stream,
+    )
+    import pandas as pd
+
+    row = q_npv_revenue_stream(spark, "/root/testdata/sf0.001").collect()[0]
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    orders["m"] = orders["o_orderdate"].dt.to_period("M")
+    orders["cents"] = (
+        (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    monthly = orders.groupby("m")["cents"].sum()
+    m0 = monthly.index.min()
+    npv = sum(
+        round(float(c) * 1.01 ** (-(m - m0).n), 6)
+        for m, c in monthly.items()
+    )
+    assert row["n_months"] == len(monthly)
+    assert row["undiscounted_cents"] == int(monthly.sum())
+    assert row["npv_cents"] == math.floor(npv)
+    assert row["npv_cents"] < row["undiscounted_cents"]
