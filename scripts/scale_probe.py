@@ -254,7 +254,10 @@ def main() -> None:
         q_mann_kendall_seasonal,
         q_mann_whitney_u,
         q_nearest_warehouse,
+        q_npv_revenue_stream,
         q_oov_rate,
+        q_shapley_attribution,
+        q_sprt_decision,
         q_quantile_normalization,
         q_spearman_correlation,
         q_theil_sen_seasonal,
@@ -360,6 +363,13 @@ def main() -> None:
         "oov_rate": (q_oov_rate, materialize_llm, base_docs),
         "nearest_warehouse": (
             q_nearest_warehouse, materialize_orders, base_orders,
+        ),
+        "sprt_decision": (q_sprt_decision, materialize_events, base_events),
+        "shapley_attribution": (
+            q_shapley_attribution, materialize_events, base_events,
+        ),
+        "npv_revenue_stream": (
+            q_npv_revenue_stream, materialize_orders, base_orders,
         ),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
