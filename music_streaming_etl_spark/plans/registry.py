@@ -68,6 +68,9 @@ _PRIORITY: list[str] = [
     "sprt_decision",
     "shapley_attribution",
     "npv_revenue_stream",
+    "centroid_silhouette",
+    "stratified_ate",
+    "difference_in_differences",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

@@ -3062,3 +3062,380 @@ REGISTRY_STATS.update(
         "npv_revenue_stream": (q_npv_revenue_stream, ORACLE_NPV),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Centroid silhouette (embedding cluster quality)
+# --------------------------------------------------------------------------
+
+
+def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the cluster
+    quality score at corpus scale, where the classic pairwise
+    silhouette's |V|² distances are impossible: a = distance to own
+    centroid, b = nearest OTHER centroid, s = (b−a)/max(a,b). Reuses
+    the quantized-decimal centroid/dot machinery of
+    ``hard_negative_centroids`` (order-independent 64-dim
+    reductions); per-row s quantized to 6dp before the exact-decimal
+    per-label mean. |V|·|L| bounded fan-out, two shuffles."""
+    from ..operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, "label", "embedding").select(
+        F.col("label").alias("c_label"),
+        "dim",
+        F.round("centroid", 6).cast("decimal(12,6)").alias("c"),
+    )
+    flat = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("v").cast("double").cast("decimal(12,6)").alias("vq"),
+    )
+    # squared euclidean distance to each centroid via exact decimal
+    # sums of (vq - c)^2 terms
+    d2 = (
+        flat.join(cent, "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("vq") - F.col("c")) * (F.col("vq") - F.col("c"))
+            ).alias("ss")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            F.sqrt(F.col("ss").cast("double")).alias("dist"),
+        )
+    )
+    per_vec = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    s = F.round(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 6
+    ).cast("decimal(12,6)")
+    return (
+        per_vec.select("label", s.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_SILHOUETTE = """
+WITH cent0 AS (
+  SELECT CAST(label AS BIGINT) AS c_label,
+         CAST(unnest(range(1, len(embedding) + 1)) - 1 AS BIGINT) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+), centroid AS (
+  SELECT c_label, dim,
+         CAST(ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)))
+                         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS c
+  FROM cent0 GROUP BY 1, 2
+), flat AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(unnest(range(1, len(embedding) + 1)) - 1 AS BIGINT) AS dim,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) AS vq
+  FROM embeddings
+), d2 AS (
+  SELECT vec_id, label, c_label,
+         sqrt(CAST(SUM((vq - c) * (vq - c)) AS DOUBLE)) AS dist
+  FROM flat JOIN centroid USING (dim)
+  GROUP BY 1, 2, 3
+), per_vec AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN c_label = label THEN dist END) AS a,
+         MIN(CASE WHEN c_label <> label THEN dist END) AS b
+  FROM d2 GROUP BY 1, 2
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(ROUND((b - a) / GREATEST(a, b), 6)
+                          AS DECIMAL(12,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+FROM per_vec GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified average treatment effect
+# --------------------------------------------------------------------------
+
+
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ATE of clicking on purchasing: within activity
+    strata (user's view count bucketed 0 / 1-2 / 3+ — the confounder
+    proxy), compare purchase rates of clickers vs non-clickers and
+    combine with stratum-share weights — the classic exact
+    stratification estimator (no model, no sampling). All counts are
+    exact bigints from one user-grain pass; each stratum's weighted
+    difference term is quantized to 6dp before the exact-decimal sum
+    (strata where either arm is empty contribute no term and are
+    reported n/a — the positivity violation, surfaced not hidden)."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "n_views"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "treated"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    strat = per_user.withColumn(
+        "stratum",
+        F.when(F.col("n_views") <= 9, "a_low_views")
+        .when(F.col("n_views") <= 13, "b_mid_views")
+        .otherwise("c_high_views"),
+    )
+    cells = strat.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = cells.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treated") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("treated") == 1, F.col("conv"))).alias("c1"),
+        F.sum(F.when(F.col("treated") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("treated") == 0, F.col("conv"))).alias("c0"),
+    )
+    tot = strat.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    per_stratum = wide.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.coalesce(F.col("n1"), F.lit(0)).cast("bigint").alias("n_treated"),
+        F.coalesce(F.col("n0"), F.lit(0)).cast("bigint").alias("n_control"),
+        F.round(
+            F.col("c1").cast("double") / F.col("n1").cast("double"), 6
+        ).alias("rate_treated"),
+        F.round(
+            F.col("c0").cast("double") / F.col("n0").cast("double"), 6
+        ).alias("rate_control"),
+        F.round(
+            ((F.col("n1") + F.col("n0")).cast("double")
+             / F.col("n_users").cast("double"))
+            * (
+                F.col("c1").cast("double") / F.col("n1").cast("double")
+                - F.col("c0").cast("double") / F.col("n0").cast("double")
+            ),
+            6,
+        ).alias("weighted_diff"),
+    )
+    return per_stratum.orderBy("stratum")
+
+
+ORACLE_STRATIFIED_ATE = """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS treated,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+), strat AS (
+  SELECT CASE WHEN n_views <= 9 THEN 'a_low_views'
+              WHEN n_views <= 13 THEN 'b_mid_views'
+              ELSE 'c_high_views' END AS stratum,
+         treated, converted
+  FROM per_user
+), wide AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN treated = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN treated = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0
+  FROM strat GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM strat)
+SELECT stratum,
+       n1 AS n_treated,
+       n0 AS n_control,
+       ROUND(CAST(c1 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE), 6)
+         AS rate_treated,
+       ROUND(CAST(c0 AS DOUBLE) / CAST(NULLIF(n0, 0) AS DOUBLE), 6)
+         AS rate_control,
+       ROUND((CAST(n1 + n0 AS DOUBLE) / CAST(n_users AS DOUBLE))
+             * (CAST(c1 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE)
+                - CAST(c0 AS DOUBLE) / CAST(NULLIF(n0, 0) AS DOUBLE)), 6)
+         AS weighted_diff
+FROM wide, tot ORDER BY stratum
+"""
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences
+# --------------------------------------------------------------------------
+
+
+def q_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on event activity: treated = users
+    who signed up in the FIRST half of the observed window, control =
+    never-signup users; outcome = per-user event count in each half;
+    DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre). The period
+    split is the exact midpoint of the observed epoch-second range
+    (integer arithmetic, both engines); all four cell means come from
+    exact integer sums in one user×period grain; the estimate is one
+    fixed-order double expression."""
+    events = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    bounds = events.agg(
+        F.min(sec).alias("lo"), F.max(sec).alias("hi")
+    ).select(
+        F.expr("lo + (hi - lo) DIV 2").alias("mid")
+    )
+    treated_users = (
+        events.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("event_type") == "signup") & (sec <= F.col("mid"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    ever_signup = (
+        events.where(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+    )
+    base = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(sec <= F.col("mid"), F.lit("pre"))
+            .otherwise(F.lit("post"))
+            .alias("period"),
+        )
+        .groupBy("user_id", "period")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    lab = (
+        base.join(
+            treated_users.withColumn("is_t", F.lit(1)), "user_id", "left"
+        )
+        .join(
+            ever_signup.withColumn("ever", F.lit(1)), "user_id", "left"
+        )
+        .where((F.col("is_t") == 1) | F.col("ever").isNull())
+        .select(
+            F.when(F.col("is_t") == 1, F.lit("treated"))
+            .otherwise(F.lit("control"))
+            .alias("grp"),
+            "period",
+            "cnt",
+        )
+    )
+    cells = lab.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+    )
+    m = lambda g, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("grp") == g) & (F.col("period") == p),
+            F.col("total_events").cast("double")
+            / F.col("n_users").cast("double"),
+        )
+    )
+    return cells.agg(
+        F.sum(F.when(F.col("grp") == "treated", F.col("n_users")))
+        .cast("bigint")
+        .alias("treated_user_periods"),
+        F.sum(F.when(F.col("grp") == "control", F.col("n_users")))
+        .cast("bigint")
+        .alias("control_user_periods"),
+        F.round(m("treated", "pre"), 6).alias("treated_pre_mean"),
+        F.round(m("treated", "post"), 6).alias("treated_post_mean"),
+        F.round(m("control", "pre"), 6).alias("control_pre_mean"),
+        F.round(m("control", "post"), 6).alias("control_post_mean"),
+        F.round(
+            (m("treated", "post") - m("treated", "pre"))
+            - (m("control", "post") - m("control", "pre")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+ORACLE_DID = """
+WITH bounds AS (
+  SELECT MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+  FROM events
+), mid AS (SELECT lo + (hi - lo) // 2 AS mid FROM bounds),
+treated_users AS (
+  SELECT DISTINCT user_id FROM events, mid
+  WHERE event_type = 'signup' AND CAST(floor(epoch(ts)) AS BIGINT) <= mid
+), ever_signup AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+), base AS (
+  SELECT user_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <= mid
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events, mid GROUP BY 1, 2
+), lab AS (
+  SELECT CASE WHEN t.user_id IS NOT NULL THEN 'treated'
+              ELSE 'control' END AS grp,
+         period, cnt
+  FROM base
+  LEFT JOIN treated_users t USING (user_id)
+  LEFT JOIN ever_signup e USING (user_id)
+  WHERE t.user_id IS NOT NULL OR e.user_id IS NULL
+), cells AS (
+  SELECT grp, period,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(cnt) AS BIGINT) AS total_events
+  FROM lab GROUP BY 1, 2
+)
+SELECT CAST(SUM(CASE WHEN grp = 'treated' THEN n_users END) AS BIGINT)
+         AS treated_user_periods,
+       CAST(SUM(CASE WHEN grp = 'control' THEN n_users END) AS BIGINT)
+         AS control_user_periods,
+       ROUND(MAX(CASE WHEN grp = 'treated' AND period = 'pre'
+                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END), 6)
+         AS treated_pre_mean,
+       ROUND(MAX(CASE WHEN grp = 'treated' AND period = 'post'
+                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END), 6)
+         AS treated_post_mean,
+       ROUND(MAX(CASE WHEN grp = 'control' AND period = 'pre'
+                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END), 6)
+         AS control_pre_mean,
+       ROUND(MAX(CASE WHEN grp = 'control' AND period = 'post'
+                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END), 6)
+         AS control_post_mean,
+       ROUND((MAX(CASE WHEN grp = 'treated' AND period = 'post'
+                  THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+              - MAX(CASE WHEN grp = 'treated' AND period = 'pre'
+                    THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END))
+             - (MAX(CASE WHEN grp = 'control' AND period = 'post'
+                    THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+                - MAX(CASE WHEN grp = 'control' AND period = 'pre'
+                      THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)), 6)
+         AS did_estimate
+FROM cells
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "centroid_silhouette": (q_centroid_silhouette, ORACLE_SILHOUETTE),
+        "stratified_ate": (q_stratified_ate, ORACLE_STRATIFIED_ATE),
+        "difference_in_differences": (
+            q_difference_in_differences,
+            ORACLE_DID,
+        ),
+    }
+)

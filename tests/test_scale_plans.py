@@ -745,6 +745,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_sprt_decision,
         q_shapley_attribution,
         q_npv_revenue_stream,
+        q_centroid_silhouette,
+        q_stratified_ate,
+        q_difference_in_differences,
     )
 
     for fn in (
@@ -779,6 +782,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_sprt_decision,
         q_shapley_attribution,
         q_npv_revenue_stream,
+        q_centroid_silhouette,
+        q_stratified_ate,
+        q_difference_in_differences,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

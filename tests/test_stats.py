@@ -979,3 +979,142 @@ def test_npv_matches_brute_force(spark):
     assert row["undiscounted_cents"] == int(monthly.sum())
     assert row["npv_cents"] == math.floor(npv)
     assert row["npv_cents"] < row["undiscounted_cents"]
+
+
+def test_silhouette_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_centroid_silhouette,
+    )
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = q_centroid_silhouette(spark, "/root/testdata/sf0.001").collect()
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    labels = np.array(t.column("label").to_pylist())
+    q = np.round(mat, 6)
+    cents = {
+        int(lab): np.round(
+            np.round(mat[labels == lab], 6).sum(axis=0)
+            / (labels == lab).sum(),
+            6,
+        )
+        for lab in np.unique(labels)
+    }
+    by_label = {}
+    for i in range(len(mat)):
+        own = int(labels[i])
+        dists = {
+            lab: math.sqrt(float(((q[i] - c) ** 2).sum()))
+            for lab, c in cents.items()
+        }
+        a = dists[own]
+        b = min(d for lab, d in dists.items() if lab != own)
+        s = round((b - a) / max(a, b), 6)
+        n, tot = by_label.get(own, (0, 0.0))
+        by_label[own] = (n + 1, tot + s)
+    assert len(rows) == len(by_label)
+    for r in rows:
+        n, tot = by_label[r["label"]]
+        assert r["n_vectors"] == n
+        assert abs(r["mean_silhouette"] - tot / n) < 2e-6
+    # silhouette is bounded; this synthetic corpus's labels are
+    # near-random so values hover just below zero — the METRIC is
+    # what's verified (the brute-force match above), not the corpus
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+def test_stratified_ate_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_stratified_ate,
+    )
+    import pandas as pd
+
+    rows = q_stratified_ate(spark, "/root/testdata/sf0.001").collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    g = ev.groupby("user_id")["event_type"]
+    pu = pd.DataFrame(
+        {
+            "views": g.apply(lambda s: (s == "view").sum()),
+            "t": g.apply(lambda s: int((s == "click").any())),
+            "y": g.apply(lambda s: int((s == "purchase").any())),
+        }
+    )
+    pu["stratum"] = pu["views"].map(
+        lambda v: "a_low_views"
+        if v <= 9
+        else "b_mid_views"
+        if v <= 13
+        else "c_high_views"
+    )
+    n_users = len(pu)
+    for r in rows:
+        cell = pu[pu["stratum"] == r["stratum"]]
+        t1, t0 = cell[cell["t"] == 1], cell[cell["t"] == 0]
+        assert r["n_treated"] == len(t1) and r["n_control"] == len(t0)
+        if len(t1) and len(t0):
+            diff = t1["y"].mean() - t0["y"].mean()
+            w = len(cell) / n_users
+            assert abs(r["weighted_diff"] - w * diff) < 2e-6
+        else:
+            assert r["weighted_diff"] is None
+
+
+def test_did_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_difference_in_differences,
+    )
+    import pandas as pd
+
+    row = q_difference_in_differences(spark, "/root/testdata/sf0.001").collect()[0]
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["s"] = ev["ts"].values.astype("datetime64[s]").astype("int64")
+    lo, hi = ev["s"].min(), ev["s"].max()
+    mid = lo + (hi - lo) // 2
+    ev["period"] = (ev["s"] > mid).map({False: "pre", True: "post"})
+    signup = ev[ev["event_type"] == "signup"]
+    treated = set(signup.loc[signup["s"] <= mid, "user_id"])
+    ever = set(signup["user_id"])
+    cells = {}
+    for (uid, period), g in ev.groupby(["user_id", "period"]):
+        if uid in treated:
+            grp = "treated"
+        elif uid in ever:
+            continue
+        else:
+            grp = "control"
+        n, tot = cells.get((grp, period), (0, 0))
+        cells[(grp, period)] = (n + 1, tot + len(g))
+    mean = {
+        k: tot / n for k, (n, tot) in cells.items()
+    }
+
+    def m(k):
+        return mean.get(k)
+
+    # at tiny SFs every user may have signed up -> the control group
+    # is EMPTY; the estimator must surface NULL, not invent a number
+    if any(
+        m(k) is None
+        for k in [
+            ("treated", "pre"),
+            ("treated", "post"),
+            ("control", "pre"),
+            ("control", "post"),
+        ]
+    ):
+        assert row["did_estimate"] is None
+    else:
+        did = (m(("treated", "post")) - m(("treated", "pre"))) - (
+            m(("control", "post")) - m(("control", "pre"))
+        )
+        assert abs(row["did_estimate"] - did) < 2e-6
+    for col, key in [
+        ("treated_pre_mean", ("treated", "pre")),
+        ("control_post_mean", ("control", "post")),
+    ]:
+        if m(key) is None:
+            assert row[col] is None
+        else:
+            assert abs(row[col] - m(key)) < 2e-6
