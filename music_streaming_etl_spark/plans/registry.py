@@ -35,7 +35,14 @@ REGISTRY.update(REGISTRY_STATS)
 # window slot. Every key stays covered by scripts/selfcheck.py
 # (cell-exact, all keys) regardless of position.
 _PRIORITY: list[str] = [
-    # round 3 NEW queries — first external check (keep at the front)
+    # VERDICT r2 action items 1+3 FIRST: oracle result-TYPE fixes
+    # (HUGEINT/DATE artifacts; values already cell-exact) — pinned at
+    # the very front so they cannot slip out of the 50-key window as
+    # new queries stack up
+    "second_highest_daily",
+    "robust_anomalies",
+    "continuous_aggregate",
+    # round 3 NEW queries — first external check
     "mann_whitney_u",
     "auc_doc_length",
     "distribution_moments",
@@ -87,12 +94,6 @@ _PRIORITY: list[str] = [
     "ks_drift",
     "growth_accounting",
     "daily_autocorrelation",
-    # VERDICT r2 action items 1+3: oracle result-TYPE fixes
-    # (HUGEINT/DATE artifacts; values were already cell-exact) — must
-    # sit inside the driver window to turn green externally
-    "second_highest_daily",
-    "robust_anomalies",
-    "continuous_aggregate",
     # never-driver-checked backlog, oracle-backed (order = age:
     # oldest unverified first; r4 picks up where the 50-window cuts)
     "cohort_retention",

@@ -243,6 +243,9 @@ def main() -> None:
     from music_streaming_etl_spark.plans.stats_queries import (
         q_audience_overlap,
         q_bootstrap_mean_ci,
+        q_centroid_silhouette,
+        q_difference_in_differences,
+        q_stratified_ate,
         q_cusum_alerts,
         q_degree_assortativity,
         q_distribution_moments,
@@ -370,6 +373,13 @@ def main() -> None:
         ),
         "npv_revenue_stream": (
             q_npv_revenue_stream, materialize_orders, base_orders,
+        ),
+        "centroid_silhouette": (
+            q_centroid_silhouette, materialize_llm, base_docs,
+        ),
+        "stratified_ate": (q_stratified_ate, materialize_events, base_events),
+        "difference_in_differences": (
+            q_difference_in_differences, materialize_events, base_events,
         ),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
