@@ -78,6 +78,8 @@ _PRIORITY: list[str] = [
     "centroid_silhouette",
     "stratified_ate",
     "difference_in_differences",
+    "conformal_interval",
+    "embedding_mmd",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

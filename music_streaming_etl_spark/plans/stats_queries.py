@@ -3439,3 +3439,222 @@ REGISTRY_STATS.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals
+# --------------------------------------------------------------------------
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction interval for order value per
+    priority — the distribution-free coverage guarantee: the corpus
+    splits train/calibration on the md5 coin (deterministic,
+    rerun-stable), the predictor is the train-half group mean (exact
+    decimal sums), and the interval half-width is the calibration
+    residuals' nearest-rank ceil((n+1)·0.9)-th order statistic —
+    selected EXACTLY per group via a group-keyed rank window over
+    integer residuals (no interpolation, no global sort). Measured
+    calibration coverage rides along as the sanity column (≥ 0.9 by
+    the conformal theorem, up to discreteness)."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_bucket
+
+    orders = _t(spark, sf_dir, "orders")
+    labeled = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        _cents().alias("c"),
+        (hash_bucket(F.col("o_orderkey").cast("string")) < 5000).alias(
+            "is_train"
+        ),
+    )
+    mu = (
+        labeled.where("is_train")
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mu"),
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        )
+    )
+    # integer micro-cent residuals: |c*1e6 - floor(mu*1e6)| keeps the
+    # order statistic selection exact in BIGINT
+    calib = (
+        labeled.where(~F.col("is_train"))
+        .join(mu, "o_orderpriority")
+        .withColumn(
+            "r",
+            F.abs(
+                F.col("c") * 1000000
+                - F.floor(F.col("mu") * 1000000.0).cast("bigint")
+            ),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "r", "o_orderkey"
+    )
+    ranked = calib.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_cal",
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")),
+    )
+    q = ranked.where(
+        F.col("rk")
+        == F.least(
+            F.expr("CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)"), F.col("n_cal")
+        )
+    ).select(
+        "o_orderpriority", F.col("r").alias("q_u"), "n_cal"
+    )
+    joined = mu.join(q, "o_orderpriority")
+    cov = (
+        calib.join(q.select("o_orderpriority", "q_u"), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("r") <= F.col("q_u"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("calib_coverage")
+        )
+    )
+    return (
+        joined.join(cov, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_train",
+            F.col("n_cal").cast("bigint").alias("n_calib"),
+            F.round("mu", 6).alias("mu_cents"),
+            F.round(F.col("q_u").cast("double") / 1000000.0, 6).alias(
+                "halfwidth_cents"
+            ),
+            "calib_coverage",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_CONFORMAL = f"""
+WITH labeled AS (
+  SELECT o_orderpriority, o_orderkey, {_CENTS} AS c,
+         (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000) < 5000 AS is_train
+  FROM orders
+), mu AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n_train
+  FROM labeled WHERE is_train GROUP BY 1
+), calib AS (
+  SELECT l.o_orderpriority, l.o_orderkey,
+         abs(l.c * 1000000
+             - CAST(floor(mu.mu * 1000000.0) AS BIGINT)) AS r
+  FROM labeled l JOIN mu USING (o_orderpriority)
+  WHERE NOT l.is_train
+), ranked AS (
+  SELECT o_orderpriority, r,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY r, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_cal
+  FROM calib
+), q AS (
+  SELECT o_orderpriority, r AS q_u, CAST(n_cal AS BIGINT) AS n_cal
+  FROM ranked
+  WHERE rk = LEAST(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+), cov AS (
+  SELECT calib.o_orderpriority,
+         ROUND(CAST(SUM(CASE WHEN r <= q_u THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS calib_coverage
+  FROM calib JOIN q USING (o_orderpriority)
+  GROUP BY 1
+)
+SELECT o_orderpriority, n_train, n_cal AS n_calib,
+       ROUND(mu, 6) AS mu_cents,
+       ROUND(CAST(q_u AS DOUBLE) / 1000000.0, 6) AS halfwidth_cents,
+       calib_coverage
+FROM mu JOIN q USING (o_orderpriority) JOIN cov USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Linear-kernel MMD embedding drift
+# --------------------------------------------------------------------------
+
+
+def q_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample drift test for EMBEDDING distributions (the vector
+    sibling of ``ks_drift``/``psi_drift``): linear-kernel MMD² =
+    ‖μ_A − μ_B‖² between the label<5 and label≥5 halves — the mean
+    embeddings come from the 1e-6-quantized decimal accumulation
+    (order-free), the squared-difference reduction over dims is a
+    bounded 64-row exact-decimal sum of 6dp-quantized per-dim gaps,
+    and the scalar leaves integers only in the final two divisions.
+    At 100 TB this is two map-side-combined aggregations — the cheap
+    always-on drift monitor for vector columns."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        (F.col("label") < 5).alias("is_a"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "is_a",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("v").cast("double").cast("decimal(38,6)").alias("vq"),
+    )
+    per_dim = flat.groupBy("dim").agg(
+        (
+            F.sum(F.when(F.col("is_a"), F.col("vq"))).cast("double")
+            / F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("double")
+        ).alias("ma"),
+        (
+            F.sum(F.when(~F.col("is_a"), F.col("vq"))).cast("double")
+            / F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("double")
+        ).alias("mb"),
+    )
+    gap = F.round(F.col("ma") - F.col("mb"), 6).cast("decimal(12,6)")
+    return per_dim.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.round(
+            F.sum(gap * gap).cast("double"), 6
+        ).alias("mmd2"),
+        F.round(
+            F.sqrt(F.sum(gap * gap).cast("double")), 6
+        ).alias("mean_shift_l2"),
+    )
+
+
+ORACLE_MMD = """
+WITH flat AS (
+  SELECT (label < 5) AS is_a,
+         CAST(unnest(range(1, len(embedding) + 1)) - 1 AS BIGINT) AS dim,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(38,6)) AS vq
+  FROM embeddings
+), per_dim AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN is_a THEN vq END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS DOUBLE) AS ma,
+         CAST(SUM(CASE WHEN NOT is_a THEN vq END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS DOUBLE) AS mb
+  FROM flat GROUP BY 1
+), gaps AS (
+  SELECT CAST(ROUND(ma - mb, 6) AS DECIMAL(12,6)) AS gap FROM per_dim
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+       ROUND(CAST(SUM(gap * gap) AS DOUBLE), 6) AS mmd2,
+       ROUND(sqrt(CAST(SUM(gap * gap) AS DOUBLE)), 6) AS mean_shift_l2
+FROM gaps
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "conformal_interval": (q_conformal_interval, ORACLE_CONFORMAL),
+        "embedding_mmd": (q_embedding_mmd, ORACLE_MMD),
+    }
+)

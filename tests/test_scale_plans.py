@@ -748,6 +748,8 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_centroid_silhouette,
         q_stratified_ate,
         q_difference_in_differences,
+        q_conformal_interval,
+        q_embedding_mmd,
     )
 
     for fn in (
@@ -785,6 +787,8 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_centroid_silhouette,
         q_stratified_ate,
         q_difference_in_differences,
+        q_conformal_interval,
+        q_embedding_mmd,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

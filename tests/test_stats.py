@@ -1118,3 +1118,75 @@ def test_did_matches_brute_force(spark):
             assert row[col] is None
         else:
             assert abs(row[col] - m(key)) < 2e-6
+
+
+def test_conformal_coverage_guarantee(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_conformal_interval,
+    )
+
+    rows = q_conformal_interval(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # split-conformal theorem: calibration coverage >= ceil((n+1)α̃)/n
+        # >= 0.9 minus discreteness of 1/n
+        assert r["calib_coverage"] >= 0.9 - 1.0 / r["n_calib"] - 1e-9, r
+        assert r["halfwidth_cents"] > 0
+        assert r["n_train"] > 0 and r["n_calib"] > 0
+    # determinism: md5 split -> identical rerun
+    again = q_conformal_interval(spark, "/root/testdata/sf0.001").collect()
+    assert rows == again
+
+
+def test_conformal_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_conformal_interval,
+    )
+    import hashlib
+    import pandas as pd
+
+    rows = q_conformal_interval(spark, "/root/testdata/sf0.001").collect()
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    orders["c"] = (
+        (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    )
+    orders["train"] = orders["o_orderkey"].map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        % 10000
+        < 5000
+    )
+    for r in rows:
+        g = orders[orders["o_orderpriority"] == r["o_orderpriority"]]
+        tr, ca = g[g["train"]], g[~g["train"]]
+        mu = tr["c"].mean()
+        assert r["n_train"] == len(tr) and r["n_calib"] == len(ca)
+        assert abs(r["mu_cents"] - mu) < 1e-4
+        res = sorted(
+            (abs(int(c) * 1000000 - math.floor(mu * 1000000.0)), k)
+            for c, k in zip(ca["c"], ca["o_orderkey"])
+        )
+        k = min(math.ceil((len(ca) + 1) * 0.9), len(ca))
+        q_u = res[k - 1][0]
+        assert abs(r["halfwidth_cents"] - q_u / 1000000.0) < 1e-6
+
+
+def test_mmd_matches_numpy(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_embedding_mmd
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    row = q_embedding_mmd(spark, "/root/testdata/sf0.001").collect()[0]
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.round(
+        np.array(t.column("embedding").to_pylist(), dtype=np.float64), 6
+    )
+    labels = np.array(t.column("label").to_pylist())
+    ma = mat[labels < 5].mean(axis=0)
+    mb = mat[labels >= 5].mean(axis=0)
+    gaps = np.round(ma - mb, 6)
+    mmd2 = float((gaps * gaps).sum())
+    assert row["n_dims"] == mat.shape[1]
+    assert abs(row["mmd2"] - mmd2) < 2e-6
+    assert abs(row["mean_shift_l2"] - math.sqrt(mmd2)) < 2e-6
+    # same-distribution halves: the shift is tiny but nonzero
+    assert 0 < row["mmd2"] < 0.01
