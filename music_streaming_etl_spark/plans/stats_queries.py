@@ -3454,7 +3454,11 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums), and the interval half-width is the calibration
     residuals' nearest-rank ceil((n+1)·0.9)-th order statistic —
     selected EXACTLY per group via a group-keyed rank window over
-    integer residuals (no interpolation, no global sort). Measured
+    integer residuals (no interpolation, no global sort; like
+    ``percentile_cont_by_group``, the per-group full-rank is the
+    accepted cost of EXACT order statistics — at 100 TB the sketch
+    path is a GK quantile per group, cf.
+    ``winsorized_stats_approx``). Measured
     calibration coverage rides along as the sanity column (≥ 0.9 by
     the conformal theorem, up to discreteness)."""
     from pyspark.sql import Window

@@ -147,6 +147,38 @@ COMMENT = {
         "conditional counts; everything after is 10-row math on broadcast "
         "totals."
     ),
+    "mann_whitney_u": (
+        "Rank-sum without the global sort: the fact collapses to the "
+        "distinct-value grain (one hash agg), the cumulative rides "
+        "RangePartitioning + broadcast offsets (global_prefix_sum), and "
+        "the U/z/AUC formula is a 1-row reduction — the pooled-rank "
+        "textbook plan would funnel every row through one sort partition."
+    ),
+    "bootstrap_mean_ci": (
+        "Poisson bootstrap: REPARTITION feeds the B=100 explode so the "
+        "fan-out parallelizes (single-file scans are one task — the probe "
+        "caught the 26s degenerate form); md5-coin weights are map-side, "
+        "and the replicate means come from one map-side-combined shuffle "
+        "to B rows."
+    ),
+    "spearman_correlation": (
+        "Tie-corrected Spearman: two value-grain rank maps (each a "
+        "RangePartitioned prefix sum) hash-join back to rows — doubled "
+        "average ranks stay exact integers; the Pearson reduction on "
+        "decimal sufficient statistics is a 1-row aggregate."
+    ),
+    "cusum_alerts": (
+        "Declarative CUSUM: the fact pre-aggregates to day grain FIRST, "
+        "then the reflection identity (running sum + running min/max) "
+        "runs three windows over the calendar-bounded frame; sigma and "
+        "the reference level ride in as 1-row broadcasts."
+    ),
+    "quantile_normalization": (
+        "Cross-group alignment: group-keyed rank windows on the fact, "
+        "pooled reference via global_rank (RangePartitioning), and the "
+        "row->reference map is a plain shuffled equi-join on the exact "
+        "integer rank index — no interpolation, no global window."
+    ),
 }
 
 

@@ -244,7 +244,9 @@ def main() -> None:
         q_audience_overlap,
         q_bootstrap_mean_ci,
         q_centroid_silhouette,
+        q_conformal_interval,
         q_difference_in_differences,
+        q_embedding_mmd,
         q_stratified_ate,
         q_cusum_alerts,
         q_degree_assortativity,
@@ -381,6 +383,10 @@ def main() -> None:
         "difference_in_differences": (
             q_difference_in_differences, materialize_events, base_events,
         ),
+        "conformal_interval": (
+            q_conformal_interval, materialize_orders, base_orders,
+        ),
+        "embedding_mmd": (q_embedding_mmd, materialize_llm, base_docs),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
