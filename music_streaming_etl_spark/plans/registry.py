@@ -80,6 +80,8 @@ _PRIORITY: list[str] = [
     "difference_in_differences",
     "conformal_interval",
     "embedding_mmd",
+    "partial_correlation",
+    "seasonality_strength",
     "skyline_customers",
     "sparse_cosine_topk",
     "record_linkage_scores",

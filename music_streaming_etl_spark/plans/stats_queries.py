@@ -3662,3 +3662,253 @@ REGISTRY_STATS.update(
         "embedding_mmd": (q_embedding_mmd, ORACLE_MMD),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Partial correlation (controlling for a confounder)
+# --------------------------------------------------------------------------
+
+
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of order value and shipping delay
+    CONTROLLING for order date — "is the value↔delay relationship
+    real, or do both just drift over time?": r_xy·z = (r_xy −
+    r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) from three decimal-exact
+    Pearson correlations over the lineitem grain (x = cents, y =
+    business-day ship gap, z = day index — all exact integers; one
+    co-partitioned fact-fact join, one map-side-combined reduction,
+    doubles only in the final formula written in one fixed order)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        _cents().alias("x"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-06").cast("date")
+        ).cast("bigint").alias("i0"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1992-01-06").cast("date")
+        ).cast("bigint").alias("i1"),
+    )
+
+    def W(c: str) -> F.Column:
+        return F.expr(f"({c} DIV 7) * 5 + least({c} % 7, 5)")
+
+    rows = li.join(orders, "l_orderkey").select(
+        "x",
+        (W("i1") - W("i0")).cast("bigint").alias("y"),
+        F.col("i0").alias("z"),
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = rows.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(d("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d("z")).cast("decimal(38,0)").alias("sz"),
+        F.sum(d("x") * d("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d("x") * d("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(d("y") * d("z")).cast("decimal(38,0)").alias("syz"),
+        F.sum(d("x") * d("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d("y") * d("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(d("z") * d("z")).cast("decimal(38,0)").alias("szz"),
+    )
+
+    def r(ab, a, b, aa, bb):
+        num = (F.col("n") * F.col(ab) - F.col(a) * F.col(b)).cast("double")
+        da = (F.col("n") * F.col(aa) - F.col(a) * F.col(a)).cast("double")
+        db = (F.col("n") * F.col(bb) - F.col(b) * F.col(b)).cast("double")
+        return num / (F.sqrt(da) * F.sqrt(db))
+
+    rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = r("syz", "sy", "sz", "syy", "szz")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(rxy, 6).alias("r_value_delay"),
+        F.round(rxz, 6).alias("r_value_date"),
+        F.round(ryz, 6).alias("r_delay_date"),
+        F.round(
+            (rxy - rxz * ryz)
+            / F.sqrt(
+                (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+            ),
+            6,
+        ).alias("partial_r"),
+    )
+
+
+ORACLE_PARTIAL_CORR = f"""
+WITH o AS (
+  SELECT o_orderkey AS l_orderkey, {_CENTS} AS x,
+         CAST(datediff('day', DATE '1992-01-06', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS i0
+  FROM orders
+), l AS (
+  SELECT l_orderkey,
+         CAST(datediff('day', DATE '1992-01-06', CAST(l_shipdate AS DATE))
+              AS BIGINT) AS i1
+  FROM lineitem
+), rows_ AS (
+  SELECT x,
+         ((i1 // 7) * 5 + least(i1 % 7, 5))
+         - ((i0 // 7) * 5 + least(i0 % 7, 5)) AS y,
+         i0 AS z
+  FROM l JOIN o USING (l_orderkey)
+), s AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(z AS DECIMAL(19,0))) AS sz,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS sxz,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS syz,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+         SUM(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS szz
+  FROM rows_
+), c AS (
+  SELECT CAST(n AS BIGINT) AS n_lines,
+    CAST(n * sxy - sx * sy AS DOUBLE)
+      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy,
+    CAST(n * sxz - sx * sz AS DOUBLE)
+      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz,
+    CAST(n * syz - sy * sz AS DOUBLE)
+      / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+         * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz
+  FROM s
+)
+SELECT n_lines,
+       ROUND(rxy, 6) AS r_value_delay,
+       ROUND(rxz, 6) AS r_value_date,
+       ROUND(ryz, 6) AS r_delay_date,
+       ROUND((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) AS partial_r
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Seasonality strength (STL-lite variance decomposition)
+# --------------------------------------------------------------------------
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of daily revenue variation is weekly seasonality?
+    STL-lite: detrend with a centered 7-day moving average (exact
+    rational, FLOOR-quantized to micro-cents — clean rationals are
+    where engine rounding modes diverge), estimate the day-of-week
+    component as each dow's mean detrended value (same quantization),
+    and report F_s = max(0, 1 − Var(remainder)/Var(detrended)) — 1.0
+    = purely weekly, 0 = no weekly structure. All variances come from
+    exact decimal sums of the quantized integer series; the windows
+    run on the calendar-bounded day frame."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents()).alias("c")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    # full 7-day windows only (interior days): exact count guard
+    ma = (
+        daily.withColumn("n7", F.count(F.lit(1)).over(w7))
+        .withColumn("s7", F.sum("c").over(w7))
+        .where(F.col("n7") == 7)
+        .withColumn(
+            "d",
+            F.col("c") * 1000000
+            - F.floor(
+                F.col("s7").cast("double") / 7.0 * 1000000.0
+            ).cast("bigint"),
+        )
+        .withColumn("dow", F.weekday("day"))
+    )
+    dow_mean = ma.groupBy("dow").agg(
+        F.floor(
+            F.sum(F.col("d").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).cast("bigint").alias("s_dow")
+    )
+    rem = ma.join(dow_mean, "dow").withColumn(
+        "r", F.col("d") - F.col("s_dow")
+    )
+
+    def var_of(col: str):
+        dd = F.col(col).cast("decimal(19,0)")
+        return (
+            F.sum(dd * dd).cast("decimal(38,0)").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            - (
+                F.sum(dd).cast("decimal(38,0)").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            * (
+                F.sum(dd).cast("decimal(38,0)").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        )
+
+    return rem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - var_of("r") / var_of("d")
+            ),
+            6,
+        ).alias("weekly_strength"),
+    )
+
+
+ORACLE_SEASONALITY_STRENGTH = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, SUM({_CENTS}) AS c
+  FROM orders GROUP BY 1
+), ma AS (
+  SELECT day, c,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+         SUM(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+  FROM daily
+), det AS (
+  SELECT day, c,
+         c * 1000000
+         - CAST(floor(CAST(s7 AS DOUBLE) / 7.0 * 1000000.0) AS BIGINT) AS d,
+         CAST(isodow(day) - 1 AS INT) AS dow
+  FROM ma WHERE n7 = 7
+), dow_mean AS (
+  SELECT dow,
+         CAST(floor(CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS s_dow
+  FROM det GROUP BY 1
+), rem AS (
+  SELECT d, d - s_dow AS r FROM det JOIN dow_mean USING (dow)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(GREATEST(0.0,
+         1.0 - (CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)
+                - (CAST(SUM(CAST(r AS DECIMAL(19,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                  * (CAST(SUM(CAST(r AS DECIMAL(19,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+               / (CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)
+                - (CAST(SUM(CAST(d AS DECIMAL(19,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                  * (CAST(SUM(CAST(d AS DECIMAL(19,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))), 6)
+         AS weekly_strength
+FROM rem
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "partial_correlation": (
+            q_partial_correlation,
+            ORACLE_PARTIAL_CORR,
+        ),
+        "seasonality_strength": (
+            q_seasonality_strength,
+            ORACLE_SEASONALITY_STRENGTH,
+        ),
+    }
+)

@@ -750,6 +750,8 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_difference_in_differences,
         q_conformal_interval,
         q_embedding_mmd,
+        q_partial_correlation,
+        q_seasonality_strength,
     )
 
     for fn in (
@@ -789,6 +791,8 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_difference_in_differences,
         q_conformal_interval,
         q_embedding_mmd,
+        q_partial_correlation,
+        q_seasonality_strength,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

@@ -1190,3 +1190,84 @@ def test_mmd_matches_numpy(spark):
     assert abs(row["mean_shift_l2"] - math.sqrt(mmd2)) < 2e-6
     # same-distribution halves: the shift is tiny but nonzero
     assert 0 < row["mmd2"] < 0.01
+
+
+def test_partial_correlation_matches_numpy(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_partial_correlation,
+    )
+    import datetime as dtmod
+    import numpy as np
+    import pandas as pd
+
+    row = q_partial_correlation(spark, "/root/testdata/sf0.001").collect()[0]
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    j = li.merge(
+        orders[["o_orderkey", "o_totalprice", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    anchor = dtmod.date(1992, 1, 6)
+
+    def W(d):
+        n = (d - anchor).days
+        return (n // 7) * 5 + min(n % 7, 5)
+
+    x = (j["o_totalprice"].round(2) * 100).round().astype("int64").to_numpy(float)
+    y = np.array(
+        [
+            W(s.date()) - W(o.date())
+            for o, s in zip(j["o_orderdate"], j["l_shipdate"])
+        ],
+        dtype=float,
+    )
+    z = np.array(
+        [(o.date() - anchor).days for o in j["o_orderdate"]], dtype=float
+    )
+    rxy = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    partial = (rxy - rxz * ryz) / math.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    )
+    assert row["n_lines"] == len(j)
+    assert abs(row["r_value_delay"] - rxy) < 1e-5
+    assert abs(row["partial_r"] - partial) < 1e-5
+    assert -1.0 <= row["partial_r"] <= 1.0
+
+
+def test_seasonality_strength_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_seasonality_strength,
+    )
+    import pandas as pd
+
+    row = q_seasonality_strength(spark, "/root/testdata/sf0.001").collect()[0]
+    daily = _daily_cents("/root/testdata/sf0.001").sort_values("day")
+    c = daily["cents"].to_list()
+    days = daily["day"].to_list()
+    det = []
+    for i in range(3, len(c) - 3):
+        s7 = sum(c[i - 3 : i + 4])
+        d = c[i] * 1000000 - math.floor(s7 / 7.0 * 1000000.0)
+        det.append((days[i].weekday(), d))
+    from collections import defaultdict
+
+    by_dow = defaultdict(list)
+    for dow, d in det:
+        by_dow[dow].append(d)
+    s_dow = {
+        k: math.floor(sum(v) / len(v)) for k, v in by_dow.items()
+    }
+    ds = [d for _, d in det]
+    rs = [d - s_dow[dow] for dow, d in det]
+
+    def var(a):
+        m = sum(a) / len(a)
+        return sum(x * x for x in a) / len(a) - m * m
+
+    strength = max(0.0, 1.0 - var(rs) / var(ds))
+    assert row["n_days"] == len(det)
+    assert abs(row["weekly_strength"] - strength) < 2e-6
+    assert 0.0 <= row["weekly_strength"] <= 1.0
