@@ -3912,3 +3912,253 @@ REGISTRY_STATS.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# McNemar's test (paired binary outcomes)
+# --------------------------------------------------------------------------
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired per-user indicators — do more users
+    view-without-clicking than click-without-viewing?  The paired
+    sibling of the two-proportion z-test: only the DISCORDANT pairs
+    carry information, χ² = (|b−c|−1)²/(b+c) with the continuity
+    correction. One user-grain aggregate to the 2×2 cells — all
+    exact bigints — then one fixed-order double division."""
+    events = _t(spark, sf_dir, "events")
+    pu = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "x1"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "x2"
+        ),
+    )
+    cells = pu.agg(
+        F.sum(F.when((F.col("x1") == 1) & (F.col("x2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("x1") == 0) & (F.col("x2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    num = (F.abs(F.col("b") - F.col("c")) - 1) * (
+        F.abs(F.col("b") - F.col("c")) - 1
+    )
+    return cells.select(
+        "n_users",
+        F.col("b").alias("view_only"),
+        F.col("c").alias("click_only"),
+        F.round(
+            F.when(
+                F.col("b") + F.col("c") > 0,
+                num.cast("double") / (F.col("b") + F.col("c")).cast("double"),
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+ORACLE_MCNEMAR = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x1,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x2
+  FROM events GROUP BY 1
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM pu
+)
+SELECT n_users, b AS view_only, c AS click_only,
+       ROUND(CASE WHEN b + c > 0 THEN
+         CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+         / CAST(b + c AS DOUBLE) END, 6) AS chi2
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa (chance-corrected agreement)
+# --------------------------------------------------------------------------
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two deterministic document classifiers
+    ("long by characters" n_chars ≥ 300 vs "long by tokens" ≥ 50
+    whitespace tokens) — the chance-corrected agreement measure that
+    raw accuracy overstates: κ = (p_o − p_e)/(1 − p_e) with the
+    expected agreement from the marginals. One scan to the 2×2 exact
+    counts; one fixed-order double formula mirrored in the oracle."""
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("ra"),
+        F.when(F.size(tokens("text")) >= 50, 1).otherwise(0).alias("rb"),
+    )
+    cells = rated.agg(
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    po = (F.col("a") + F.col("d")).cast("double") / n
+    pe = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        + (F.col("c") + F.col("d")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    ) / (n * n)
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+ORACLE_KAPPA = """
+WITH rated AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+         CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 50
+              THEN 1 ELSE 0 END AS rb
+  FROM documents
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM rated
+)
+SELECT a, b, c, d,
+       ROUND(CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 6)
+         AS observed_agreement,
+       ROUND((CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+              + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+             / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)), 6)
+         AS expected_agreement,
+       ROUND((CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+              - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                 + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+                / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)))
+             / (1.0 - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                       + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+                      / (CAST(a + b + c + d AS DOUBLE)
+                         * CAST(a + b + c + d AS DOUBLE))), 6) AS kappa
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes shrunk rates (beta-binomial moment matching)
+# --------------------------------------------------------------------------
+
+
+def q_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-event-type high-value rates
+    toward the pooled prior — the fix for small-sample rate rankings:
+    a Beta(α, β) prior is moment-matched from the observed per-group
+    rates (method-of-moments: α+β = m(1−m)/v − 1), and each group
+    reports raw vs shrunk (x+α)/(n+α+β). The group frame is tiny
+    (#event types) — the fact-scaled work is ONE exact-count
+    aggregate; every rate/variance is 6dp-quantized before the
+    bounded reductions, and the final formulas are fixed-order
+    doubles shared with the oracle."""
+    events = _t(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") >= 50.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    ).withColumn(
+        "rate",
+        F.round(
+            F.col("x").cast("double") / F.col("n").cast("double"), 6
+        ).cast("decimal(12,6)"),
+    )
+    prior = per.agg(
+        (
+            F.sum(F.col("rate")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m"),
+        (
+            F.sum(F.col("rate") * F.col("rate")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m2"),
+    ).select(
+        "m",
+        (F.col("m2") - F.col("m") * F.col("m")).alias("v"),
+    ).select(
+        "m",
+        "v",
+        (
+            F.col("m") * (F.lit(1.0) - F.col("m")) / F.col("v") - F.lit(1.0)
+        ).alias("ab"),
+    )
+    j = per.crossJoin(F.broadcast(prior))
+    alpha = F.col("m") * F.col("ab")
+    return j.select(
+        "event_type",
+        "n",
+        "x",
+        F.col("rate").cast("double").alias("raw_rate"),
+        F.round(
+            (F.col("x").cast("double") + alpha)
+            / (F.col("n").cast("double") + F.col("ab")),
+            6,
+        ).alias("shrunk_rate"),
+    ).orderBy("event_type")
+
+
+ORACLE_EB_SHRINK = """
+WITH per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), rated AS (
+  SELECT event_type, n, x,
+         CAST(ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6)
+              AS DECIMAL(12,6)) AS rate
+  FROM per
+), prior AS (
+  SELECT m, v, m * (1.0 - m) / v - 1.0 AS ab
+  FROM (
+    SELECT CAST(SUM(rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m,
+           CAST(SUM(rate * rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           - (CAST(SUM(rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             * (CAST(SUM(rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS v
+    FROM rated
+  )
+)
+SELECT event_type, n, x,
+       CAST(rate AS DOUBLE) AS raw_rate,
+       ROUND((CAST(x AS DOUBLE) + m * ab) / (CAST(n AS DOUBLE) + ab), 6)
+         AS shrunk_rate
+FROM rated, prior ORDER BY event_type
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "mcnemar_test": (q_mcnemar_test, ORACLE_MCNEMAR),
+        "cohens_kappa": (q_cohens_kappa, ORACLE_KAPPA),
+        "eb_shrunk_rates": (q_eb_shrunk_rates, ORACLE_EB_SHRINK),
+    }
+)

@@ -752,6 +752,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_embedding_mmd,
         q_partial_correlation,
         q_seasonality_strength,
+        q_mcnemar_test,
+        q_cohens_kappa,
+        q_eb_shrunk_rates,
     )
 
     for fn in (
@@ -793,6 +796,9 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_embedding_mmd,
         q_partial_correlation,
         q_seasonality_strength,
+        q_mcnemar_test,
+        q_cohens_kappa,
+        q_eb_shrunk_rates,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

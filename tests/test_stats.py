@@ -1271,3 +1271,62 @@ def test_seasonality_strength_matches_brute_force(spark):
     assert row["n_days"] == len(det)
     assert abs(row["weekly_strength"] - strength) < 2e-6
     assert 0.0 <= row["weekly_strength"] <= 1.0
+
+
+def test_mcnemar_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_mcnemar_test
+    import pandas as pd
+
+    row = q_mcnemar_test(spark, "/root/testdata/sf0.001").collect()[0]
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    g = ev.groupby("user_id")["event_type"]
+    x1 = g.apply(lambda s: int((s == "view").any()))
+    x2 = g.apply(lambda s: int((s == "click").any()))
+    b = int(((x1 == 1) & (x2 == 0)).sum())
+    c = int(((x1 == 0) & (x2 == 1)).sum())
+    assert (row["view_only"], row["click_only"]) == (b, c)
+    if b + c:
+        assert abs(row["chi2"] - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
+    else:
+        assert row["chi2"] is None
+
+
+def test_kappa_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_cohens_kappa
+    import pandas as pd
+    import re
+
+    row = q_cohens_kappa(spark, "/root/testdata/sf0.001").collect()[0]
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ra = (docs["n_chars"] >= 300).astype(int)
+    rb = docs["text"].map(
+        lambda t: int(len(re.split(r"\s+", t.strip().lower())) >= 50)
+    )
+    a = int(((ra == 1) & (rb == 1)).sum())
+    b = int(((ra == 1) & (rb == 0)).sum())
+    c = int(((ra == 0) & (rb == 1)).sum())
+    d = int(((ra == 0) & (rb == 0)).sum())
+    n = a + b + c + d
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert abs(row["kappa"] - kappa) < 1e-6
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_eb_shrunk_rates,
+    )
+
+    rows = q_eb_shrunk_rates(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    m = sum(r["raw_rate"] for r in rows) / len(rows)
+    for r in rows:
+        raw, shrunk = r["raw_rate"], r["shrunk_rate"]
+        # shrinkage: strictly between the raw rate and the prior mean
+        lo, hi = sorted((raw, m))
+        assert lo - 1e-9 <= shrunk <= hi + 1e-9, r
+        # with large n the pull is small
+        assert abs(shrunk - raw) < abs(raw - m) + 1e-9
