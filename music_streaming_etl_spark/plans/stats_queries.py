@@ -4162,3 +4162,150 @@ REGISTRY_STATS.update(
         "eb_shrunk_rates": (q_eb_shrunk_rates, ORACLE_EB_SHRINK),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Constraint suggestion (deequ-style data-quality onboarding)
+# --------------------------------------------------------------------------
+
+
+def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint SUGGESTION over ``orders`` — the
+    onboarding companion of ``profile_table``: from one pass of exact
+    counts, emit the check rules a new 100 TB source should be gated
+    with — NOT NULL where no nulls were seen, UNIQUE where distinct
+    equals rows, IS_IN with the literal value set where cardinality
+    ≤ 10, RANGE with observed min/max for numerics. The suggestions
+    frame is #columns·#rules rows of pure derived facts — feed them
+    to ``operators/validation.py`` as the actual gates."""
+    orders = _t(spark, sf_dir, "orders")
+    cols_num = ["o_orderkey", "o_custkey", "o_totalprice"]
+    cols_cat = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols_num + cols_cat:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"dist_{c}"),
+        ]
+    for c in cols_num:
+        aggs += [
+            F.min(F.col(c).cast("decimal(18,2)")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("decimal(18,2)")).alias(f"max_{c}"),
+        ]
+    for c in cols_cat:
+        aggs += [
+            F.array_join(
+                F.array_sort(F.collect_set(c)), ","
+            ).alias(f"set_{c}")
+        ]
+    one = orders.agg(*aggs)
+    rules = []
+    for c in cols_num + cols_cat:
+        rules.append(
+            F.when(
+                F.col(f"nulls_{c}") == 0,
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit("NOT_NULL").alias("rule"),
+                    F.lit("").alias("detail"),
+                ),
+            )
+        )
+        rules.append(
+            F.when(
+                F.col(f"dist_{c}") == F.col("n_rows"),
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit("UNIQUE").alias("rule"),
+                    F.lit("").alias("detail"),
+                ),
+            )
+        )
+    for c in cols_num:
+        rules.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("RANGE").alias("rule"),
+                F.concat(
+                    F.lit("["),
+                    F.col(f"min_{c}").cast("string"),
+                    F.lit(", "),
+                    F.col(f"max_{c}").cast("string"),
+                    F.lit("]"),
+                ).alias("detail"),
+            )
+        )
+    for c in cols_cat:
+        rules.append(
+            F.when(
+                F.col(f"dist_{c}") <= 10,
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit("IS_IN").alias("rule"),
+                    F.col(f"set_{c}").alias("detail"),
+                ),
+            )
+        )
+    exploded = one.select(
+        F.explode(F.array(*rules)).alias("s")
+    ).where(F.col("s").isNotNull())
+    return exploded.select(
+        "s.column", "s.rule", "s.detail"
+    ).orderBy("column", "rule")
+
+
+ORACLE_SUGGEST = """
+WITH one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey,
+    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS dist_o_orderkey,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_custkey,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dist_o_custkey,
+    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_totalprice,
+    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS dist_o_totalprice,
+    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderstatus,
+    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS dist_o_orderstatus,
+    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderpriority,
+    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS dist_o_orderpriority,
+    MIN(CAST(o_orderkey AS DECIMAL(18,2))) AS min_o_orderkey,
+    MAX(CAST(o_orderkey AS DECIMAL(18,2))) AS max_o_orderkey,
+    MIN(CAST(o_custkey AS DECIMAL(18,2))) AS min_o_custkey,
+    MAX(CAST(o_custkey AS DECIMAL(18,2))) AS max_o_custkey,
+    MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_o_totalprice,
+    MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_o_totalprice,
+    array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+      AS set_o_orderstatus,
+    array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+      AS set_o_orderpriority
+  FROM orders
+), rules AS (
+  SELECT 'o_orderkey' AS "column", 'NOT_NULL' AS rule, '' AS detail FROM one WHERE nulls_o_orderkey = 0
+  UNION ALL SELECT 'o_orderkey', 'UNIQUE', '' FROM one WHERE dist_o_orderkey = n_rows
+  UNION ALL SELECT 'o_custkey', 'NOT_NULL', '' FROM one WHERE nulls_o_custkey = 0
+  UNION ALL SELECT 'o_custkey', 'UNIQUE', '' FROM one WHERE dist_o_custkey = n_rows
+  UNION ALL SELECT 'o_totalprice', 'NOT_NULL', '' FROM one WHERE nulls_o_totalprice = 0
+  UNION ALL SELECT 'o_totalprice', 'UNIQUE', '' FROM one WHERE dist_o_totalprice = n_rows
+  UNION ALL SELECT 'o_orderstatus', 'NOT_NULL', '' FROM one WHERE nulls_o_orderstatus = 0
+  UNION ALL SELECT 'o_orderstatus', 'UNIQUE', '' FROM one WHERE dist_o_orderstatus = n_rows
+  UNION ALL SELECT 'o_orderpriority', 'NOT_NULL', '' FROM one WHERE nulls_o_orderpriority = 0
+  UNION ALL SELECT 'o_orderpriority', 'UNIQUE', '' FROM one WHERE dist_o_orderpriority = n_rows
+  UNION ALL SELECT 'o_orderkey', 'RANGE',
+    '[' || CAST(min_o_orderkey AS VARCHAR) || ', ' || CAST(max_o_orderkey AS VARCHAR) || ']' FROM one
+  UNION ALL SELECT 'o_custkey', 'RANGE',
+    '[' || CAST(min_o_custkey AS VARCHAR) || ', ' || CAST(max_o_custkey AS VARCHAR) || ']' FROM one
+  UNION ALL SELECT 'o_totalprice', 'RANGE',
+    '[' || CAST(min_o_totalprice AS VARCHAR) || ', ' || CAST(max_o_totalprice AS VARCHAR) || ']' FROM one
+  UNION ALL SELECT 'o_orderstatus', 'IS_IN', set_o_orderstatus FROM one WHERE dist_o_orderstatus <= 10
+  UNION ALL SELECT 'o_orderpriority', 'IS_IN', set_o_orderpriority FROM one WHERE dist_o_orderpriority <= 10
+)
+SELECT "column", rule, detail FROM rules ORDER BY "column", rule
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "suggest_constraints": (q_suggest_constraints, ORACLE_SUGGEST),
+    }
+)

@@ -162,6 +162,37 @@ def materialize_events(spark, sf_dir: str, mult: int) -> str:
     return out
 
 
+def materialize_star(spark, sf_dir: str, mult: int) -> str:
+    """Multiplied orders AND lineitem with CONSISTENT re-keying
+    (o_orderkey and l_orderkey both map k → k·mult + copy), so the
+    fact-fact join relationships survive the multiply — for probing
+    join-at-scale ops (business-day gaps, partial correlation)."""
+    out = os.path.join(SCRATCH, "scale_probe", f"star_x{mult}")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        m = F.col("_m")
+        (
+            _t(spark, sf_dir, "orders")
+            .crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
+            .withColumn("o_orderkey", F.col("o_orderkey") * mult + m)
+            .drop("_m")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "orders.parquet"))
+        )
+        (
+            _t(spark, sf_dir, "lineitem")
+            .repartition(32)
+            .crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
+            .withColumn("l_orderkey", F.col("l_orderkey") * mult + m)
+            .drop("_m")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "lineitem.parquet"))
+        )
+        open(os.path.join(out, "_done"), "w").close()
+    return out
+
+
 def materialize_baskets(spark, sf_dir: str, mult: int) -> str:
     """Multiplied lineitem with re-keyed l_orderkey (more baskets,
     same basket size — the realistic market-basket growth; an un-keyed
@@ -243,10 +274,12 @@ def main() -> None:
     from music_streaming_etl_spark.plans.stats_queries import (
         q_audience_overlap,
         q_bootstrap_mean_ci,
+        q_business_days_to_ship,
         q_centroid_silhouette,
         q_conformal_interval,
         q_difference_in_differences,
         q_embedding_mmd,
+        q_partial_correlation,
         q_stratified_ate,
         q_cusum_alerts,
         q_degree_assortativity,
@@ -387,6 +420,12 @@ def main() -> None:
             q_conformal_interval, materialize_orders, base_orders,
         ),
         "embedding_mmd": (q_embedding_mmd, materialize_llm, base_docs),
+        "partial_correlation": (
+            q_partial_correlation, materialize_star, base_li,
+        ),
+        "business_days_to_ship": (
+            q_business_days_to_ship, materialize_star, base_li,
+        ),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×

@@ -755,6 +755,7 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_mcnemar_test,
         q_cohens_kappa,
         q_eb_shrunk_rates,
+        q_suggest_constraints,
     )
 
     for fn in (
@@ -799,6 +800,7 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_mcnemar_test,
         q_cohens_kappa,
         q_eb_shrunk_rates,
+        q_suggest_constraints,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

@@ -1330,3 +1330,35 @@ def test_eb_shrinkage_pulls_toward_prior_mean(spark):
         assert lo - 1e-9 <= shrunk <= hi + 1e-9, r
         # with large n the pull is small
         assert abs(shrunk - raw) < abs(raw - m) + 1e-9
+
+
+def test_suggest_constraints_rules_hold_on_source(spark):
+    """Every suggested rule must actually HOLD on the data it was
+    derived from (the deequ suggestion contract), and the numeric
+    facts must match pandas."""
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_suggest_constraints,
+    )
+    import pandas as pd
+
+    rows = q_suggest_constraints(spark, "/root/testdata/sf0.001").collect()
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    assert rows
+    for r in rows:
+        col = orders[r["column"]]
+        if r["rule"] == "NOT_NULL":
+            assert col.notna().all(), r
+        elif r["rule"] == "UNIQUE":
+            assert col.is_unique, r
+        elif r["rule"] == "RANGE":
+            lo, hi = r["detail"].strip("[]").split(", ")
+            assert float(lo) <= col.min() + 1e-9, r
+            assert col.max() <= float(hi) + 1e-9, r
+        elif r["rule"] == "IS_IN":
+            allowed = set(r["detail"].split(","))
+            assert set(col.unique()) <= allowed, r
+    # the key column must have been flagged unique + not-null
+    got = {(r["column"], r["rule"]) for r in rows}
+    assert ("o_orderkey", "UNIQUE") in got
+    assert ("o_orderkey", "NOT_NULL") in got
+    assert ("o_orderpriority", "IS_IN") in got
