@@ -4309,3 +4309,219 @@ REGISTRY_STATS.update(
         "suggest_constraints": (q_suggest_constraints, ORACLE_SUGGEST),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA (F-test across groups)
+# --------------------------------------------------------------------------
+
+
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five priorities — the
+    k-group generalization of the t-test: F = (SSB/(k−1)) /
+    (SSW/(N−k)). Between/within sums of squares decompose into the
+    per-group exact decimal sufficient statistics (n_g, Σx, Σx²) via
+    SSB = Σ_g S_g²/n_g − S²/N and SSW = ΣΣx² − Σ_g S_g²/n_g — one
+    map-side-combined shuffle to k rows, then fixed-order doubles.
+    Group terms S_g²/n_g are FLOOR-quantized to integer dollars²
+    before the bounded k-row reduction — round() on >1e13 doubles is
+    a DuckDB no-op (unrepresentable quantum) while Spark rounds via
+    BigDecimal, so floor is the only engine-unambiguous choice; SSB/
+    SSW stay exact integers/decimals to the output."""
+    orders = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(8,2)")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(p).cast("decimal(38,2)").alias("s"),
+        F.sum(p * p).cast("decimal(38,4)").alias("ss"),
+    )
+    # FLOOR-quantize each S_g²/n_g to integer dollars²: round() on a
+    # >1e13 double is a NO-OP in DuckDB (the 6dp value is not
+    # representable) while Spark rounds via BigDecimal — floor of the
+    # identical IEEE quotient is the only engine-unambiguous quantum
+    # at this magnitude, and ±1 dollar² is noise against 1e13 sums.
+    term = F.floor(
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ).cast("bigint")
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s").cast("decimal(38,2)").alias("s_all"),
+        F.sum("ss").cast("decimal(38,4)").alias("ss_all"),
+        F.sum(term).cast("bigint").alias("sg"),
+    )
+    grand = F.floor(
+        F.col("s_all").cast("double")
+        * F.col("s_all").cast("double")
+        / F.col("n_all").cast("double")
+    ).cast("bigint")
+    wide = tot.select(
+        "k",
+        "n_all",
+        (F.col("sg") - grand).cast("bigint").alias("ssb"),
+        (F.col("ss_all") - F.col("sg")).cast("decimal(30,4)").alias("ssw"),
+    )
+    return wide.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_all").alias("n_rows"),
+        F.col("ssb").alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        F.round(
+            (F.col("ssb").cast("double") / (F.col("k") - 1).cast("double"))
+            / (
+                F.col("ssw").cast("double")
+                / (F.col("n_all") - F.col("k")).cast("double")
+            ),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+ORACLE_ANOVA = """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(p) AS DECIMAL(38,2)) AS s,
+         CAST(SUM(CAST(p * p AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS ss
+  FROM (SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(8,2)) AS p
+        FROM orders)
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_all,
+         CAST(SUM(s) AS DECIMAL(38,2)) AS s_all,
+         CAST(SUM(ss) AS DECIMAL(38,4)) AS ss_all,
+         CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS sg
+  FROM g
+)
+, wide AS (
+  SELECT k, n_all,
+         CAST(sg - CAST(floor(CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                              / CAST(n_all AS DOUBLE)) AS BIGINT)
+              AS BIGINT) AS ssb,
+         CAST(ss_all - sg AS DECIMAL(30,4)) AS ssw
+  FROM tot
+)
+SELECT k AS n_groups, n_all AS n_rows,
+       ssb AS ss_between, ssw AS ss_within,
+       ROUND((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+             / (CAST(ssw AS DOUBLE) / CAST(n_all - k AS DOUBLE)), 6)
+         AS f_stat
+FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
+# Keyness (Dunning log-likelihood ratio) of tokens
+# --------------------------------------------------------------------------
+
+
+def q_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens most CHARACTERISTIC of English docs vs the rest
+    of the corpus by Dunning's G² log-likelihood ratio — the corpus-
+    linguistics keyness measure (robust where χ² breaks on rare
+    words): G² = 2·Σ O·ln(O/E) over the token's 2×2 contingency
+    (signed by over/under-use). Exact bigint token counts from one
+    explode+aggregate; each O·ln(O/E) term is a libm product on exact
+    integer inputs computed in ONE fixed operation order, rounded at
+    the end; total order (G² desc, token)."""
+    from ..operators.ranking import global_topk
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    per = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(~F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    tot = tok.agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(~F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    ea = nad * (ad + bd) / (nad + nbd)
+    eb = nbd * (ad + bd) / (nad + nbd)
+    ll = F.lit(2.0) * (
+        F.when(F.col("a") > 0, ad * F.log(ad / ea)).otherwise(F.lit(0.0))
+        + F.when(F.col("b") > 0, bd * F.log(bd / eb)).otherwise(F.lit(0.0))
+    )
+    scored = j.select(
+        "token",
+        "a",
+        "b",
+        F.round(
+            F.when(ad / nad >= bd / nbd, ll).otherwise(-ll), 6
+        ).alias("signed_g2"),
+    )
+    return global_topk(
+        scored, [F.desc("signed_g2"), F.asc("token")], 20
+    ).select("rank", "token", "a", "b", "signed_g2")
+
+
+ORACLE_KEYNESS = """
+WITH tok AS (
+  SELECT (lang = 'en') AS is_en,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), per AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM tok
+), scored AS (
+  SELECT token, a, b,
+         ROUND(CASE WHEN CAST(a AS DOUBLE) / CAST(na AS DOUBLE)
+                         >= CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)
+           THEN 2.0 * ((CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+                 * ln(CAST(a AS DOUBLE)
+                      / (CAST(na AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) ELSE 0.0 END)
+               + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+                 * ln(CAST(b AS DOUBLE)
+                      / (CAST(nb AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) ELSE 0.0 END))
+           ELSE -(2.0 * ((CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+                 * ln(CAST(a AS DOUBLE)
+                      / (CAST(na AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) ELSE 0.0 END)
+               + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+                 * ln(CAST(b AS DOUBLE)
+                      / (CAST(nb AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) ELSE 0.0 END)))
+           END, 6) AS signed_g2
+  FROM per, tot
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY signed_g2 DESC, token ASC) AS BIGINT)
+         AS rank,
+       token, a, b, signed_g2
+FROM scored ORDER BY signed_g2 DESC, token ASC LIMIT 20
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "anova_oneway": (q_anova_oneway, ORACLE_ANOVA),
+        "keyness_llr": (q_keyness_llr, ORACLE_KEYNESS),
+    }
+)

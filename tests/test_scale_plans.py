@@ -756,6 +756,8 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_cohens_kappa,
         q_eb_shrunk_rates,
         q_suggest_constraints,
+        q_anova_oneway,
+        q_keyness_llr,
     )
 
     for fn in (
@@ -801,6 +803,8 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_cohens_kappa,
         q_eb_shrunk_rates,
         q_suggest_constraints,
+        q_anova_oneway,
+        q_keyness_llr,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

@@ -1362,3 +1362,59 @@ def test_suggest_constraints_rules_hold_on_source(spark):
     assert ("o_orderkey", "UNIQUE") in got
     assert ("o_orderkey", "NOT_NULL") in got
     assert ("o_orderpriority", "IS_IN") in got
+
+
+def test_anova_matches_textbook_formula(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_anova_oneway
+    import pandas as pd
+
+    row = q_anova_oneway(spark, "/root/testdata/sf0.001").collect()[0]
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    orders["p"] = orders["o_totalprice"].round(2)
+    groups = [
+        g["p"].to_numpy() for _, g in orders.groupby("o_orderpriority")
+    ]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(g.sum() for g in groups) / n
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["n_groups"] == k and row["n_rows"] == n
+    # integer-dollars² quantization: within k units of the float value
+    assert abs(float(row["ss_between"]) - ssb) < k + 1
+    assert abs(float(row["ss_within"]) - ssw) < k + 1
+    assert abs(row["f_stat"] - f) < 1e-4
+
+
+def test_keyness_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import q_keyness_llr
+    import pandas as pd
+    import re
+    from collections import Counter
+
+    rows = q_keyness_llr(spark, "/root/testdata/sf0.001").collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ca, cb = Counter(), Counter()
+    for r in docs.itertuples():
+        toks = re.split(r"\s+", r.text.strip().lower())
+        (ca if r.lang == "en" else cb).update(toks)
+    na, nb = sum(ca.values()), sum(cb.values())
+    scored = []
+    for tok in set(ca) | set(cb):
+        a, b = ca.get(tok, 0), cb.get(tok, 0)
+        ea = na * (a + b) / (na + nb)
+        eb = nb * (a + b) / (na + nb)
+        ll = 2.0 * (
+            (a * math.log(a / ea) if a > 0 else 0.0)
+            + (b * math.log(b / eb) if b > 0 else 0.0)
+        )
+        signed = ll if (a / na) >= (b / nb) else -ll
+        scored.append((round(signed, 6), tok, a, b))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    assert len(rows) == 20
+    for r, (g2, tok, a, b) in zip(
+        sorted(rows, key=lambda r: r["rank"]), scored[:20]
+    ):
+        assert (r["token"], r["a"], r["b"]) == (tok, a, b), r["rank"]
+        assert abs(r["signed_g2"] - g2) < 2e-6
