@@ -4177,7 +4177,12 @@ def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals rows, IS_IN with the literal value set where cardinality
     ≤ 10, RANGE with observed min/max for numerics. The suggestions
     frame is #columns·#rules rows of pure derived facts — feed them
-    to ``operators/validation.py`` as the actual gates."""
+    to ``operators/validation.py`` as the actual gates.
+
+    Scale note (measured, SCALE.md): five exact countDistincts in one
+    aggregate ride a 6× Expand — fine for a run-once onboarding scan;
+    at 100 TB, profile with ``approx_count_distinct`` first and
+    exact-verify only the UNIQUE candidates per flagged column."""
     orders = _t(spark, sf_dir, "orders")
     cols_num = ["o_orderkey", "o_custkey", "o_totalprice"]
     cols_cat = ["o_orderstatus", "o_orderpriority"]

@@ -272,6 +272,7 @@ def main() -> None:
         q_skyline_customers,
     )
     from music_streaming_etl_spark.plans.stats_queries import (
+        q_anova_oneway,
         q_audience_overlap,
         q_bootstrap_mean_ci,
         q_business_days_to_ship,
@@ -289,13 +290,16 @@ def main() -> None:
         q_gains_table,
         q_gini_coefficient,
         q_kaplan_meier_churn,
+        q_keyness_llr,
         q_mann_kendall_seasonal,
         q_mann_whitney_u,
+        q_mcnemar_test,
         q_nearest_warehouse,
         q_npv_revenue_stream,
         q_oov_rate,
         q_shapley_attribution,
         q_sprt_decision,
+        q_suggest_constraints,
         q_quantile_normalization,
         q_spearman_correlation,
         q_theil_sen_seasonal,
@@ -426,6 +430,12 @@ def main() -> None:
         "business_days_to_ship": (
             q_business_days_to_ship, materialize_star, base_li,
         ),
+        "anova_oneway": (q_anova_oneway, materialize_orders, base_orders),
+        "keyness_llr": (q_keyness_llr, materialize_llm, base_docs),
+        "suggest_constraints": (
+            q_suggest_constraints, materialize_orders, base_orders,
+        ),
+        "mcnemar_test": (q_mcnemar_test, materialize_events, base_events),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
