@@ -4530,3 +4530,59 @@ REGISTRY_STATS.update(
         "keyness_llr": (q_keyness_llr, ORACLE_KEYNESS),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance (driver-checkable equivalence surface)
+# --------------------------------------------------------------------------
+
+
+def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end-to-end: the daily-revenue
+    rollup is materialized from the md5-coin 80% of orders, then
+    refreshed with ONLY the remaining 20% delta
+    (``operators/ivm.py``) — O(|delta|), no base rescan. The oracle
+    is the recompute itself (one grouped aggregate over ALL orders):
+    additive IVM must be indistinguishable from scratch, which makes
+    the equivalence EXTERNALLY checkable, not just a pytest claim."""
+    from ..operators.ivm import aggregate_delta, incremental_refresh
+    from ..operators.sampling import hash_bucket
+
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.to_date("o_orderdate").alias("day"),
+        _cents().alias("c"),
+        (hash_bucket(F.col("o_orderkey").cast("string")) < 8000).alias(
+            "in_base"
+        ),
+    )
+    base = rows.where("in_base").drop("in_base")
+    delta = rows.where(~F.col("in_base")).drop("in_base")
+    view = incremental_refresh(
+        None, aggregate_delta(base, ["day"], sums={"sum_cents": "c"}),
+        ["day"], ["sum_cents"],
+    )
+    refreshed = incremental_refresh(
+        view, aggregate_delta(delta, ["day"], sums={"sum_cents": "c"}),
+        ["day"], ["sum_cents"],
+    )
+    return refreshed.select(
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    ).orderBy("day")
+
+
+ORACLE_IVM = f"""
+SELECT CAST(o_orderdate AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "ivm_refresh": (q_ivm_refresh, ORACLE_IVM),
+    }
+)

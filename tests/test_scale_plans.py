@@ -758,6 +758,7 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_suggest_constraints,
         q_anova_oneway,
         q_keyness_llr,
+        q_ivm_refresh,
     )
 
     for fn in (
@@ -805,6 +806,7 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_suggest_constraints,
         q_anova_oneway,
         q_keyness_llr,
+        q_ivm_refresh,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__
