@@ -4586,3 +4586,49 @@ REGISTRY_STATS.update(
         "ivm_refresh": (q_ivm_refresh, ORACLE_IVM),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (|>) — third flagship twin
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1_piped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 written in Spark 4's SQL PIPE syntax (`FROM … |>
+    WHERE … |> AGGREGATE … GROUP BY …`) — the third flagship twin
+    (DataFrame `tpch_q1_pricing`, classic-SQL `genre_kpis_sql`, and
+    this). Same decimal-exact accumulation, same oracle: the pipe
+    form compiles to the identical Catalyst plan (one partial+final
+    hash aggregate), which the hash-match proves externally."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "piped_lineitem"
+    )
+    return spark.sql("""
+        FROM piped_lineitem
+        |> WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |> AGGREGATE
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+             COUNT(*) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+                  sum_disc_price, sum_charge, avg_qty, avg_price,
+                  avg_disc, count_order
+    """)
+
+
+from .testdata_queries import ORACLE_TPCH_Q1 as _ORACLE_Q1_SHARED  # noqa: E402
+
+REGISTRY_STATS.update(
+    {
+        "tpch_q1_piped": (q_tpch_q1_piped, _ORACLE_Q1_SHARED),
+    }
+)

@@ -759,6 +759,7 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_anova_oneway,
         q_keyness_llr,
         q_ivm_refresh,
+        q_tpch_q1_piped,
     )
 
     for fn in (
@@ -807,6 +808,7 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_anova_oneway,
         q_keyness_llr,
         q_ivm_refresh,
+        q_tpch_q1_piped,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__
