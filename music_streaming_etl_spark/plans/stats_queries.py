@@ -1091,7 +1091,8 @@ FROM point
 def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve of user lifetime in HOURS between
     first and last event, right-censoring users still active in the
-    final 7 observed days: S(t) = Π_{u≤t} (1 − d_u/n_u) over distinct
+    final 24 observed hours (the corpus's inactivity gaps run 7h
+    median / 59h max, so a day of silence is genuine churn here): S(t) = Π_{u≤t} (1 − d_u/n_u) over distinct
     event lifetimes. The product is made associative by the literal-
     log-weight rule — each factor's ln is quantized to DECIMAL(12,6)
     and cumulatively SUMMED (exact decimal), exp+round at the end — so
@@ -1113,7 +1114,7 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon = events.agg(F.max(sec).alias("max_s"))
     lab = per_user.crossJoin(F.broadcast(horizon)).select(
         F.expr("(last_s - first_s) DIV 3600").cast("bigint").alias("t"),
-        ((F.col("max_s") - F.col("last_s")) > 604800).alias("churned"),
+        ((F.col("max_s") - F.col("last_s")) > 86400).alias("churned"),
     )
     grain = lab.groupBy("t").agg(
         F.sum(F.when(F.col("churned"), 1).otherwise(0))
@@ -1171,7 +1172,7 @@ WITH per_user AS (
 ),
 lab AS (
   SELECT CAST((last_s - first_s) // 3600 AS BIGINT) AS t,
-         (max_s - last_s) > 604800 AS churned
+         (max_s - last_s) > 86400 AS churned
   FROM per_user, horizon
 ), grain AS (
   SELECT t,
@@ -4630,5 +4631,164 @@ from .testdata_queries import ORACLE_TPCH_Q1 as _ORACLE_Q1_SHARED  # noqa: E402
 REGISTRY_STATS.update(
     {
         "tpch_q1_piped": (q_tpch_q1_piped, _ORACLE_Q1_SHARED),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Restricted mean survival time (area under the KM curve)
+# --------------------------------------------------------------------------
+
+
+def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at the 720-hour (30-day)
+    horizon — the survival story's scalar summary ("expected active
+    hours in the first month"): RMST(τ) = ∫₀^τ S(t)dt = Σ S(t_i)·(min(t_{i+1},τ) −
+    t_i) over the Kaplan-Meier step curve of ``kaplan_meier_churn``
+    (same hour-grain lifetimes, censoring, and literal-log product).
+    The step integral is one lead() window over the calendar-bounded
+    curve frame; each S(t_i) is already a 6dp-quantized value, widths
+    are exact integers, so the area terms sum exactly in decimal."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(sec).alias("first_s"), F.max(sec).alias("last_s")
+    )
+    horizon = events.agg(F.max(sec).alias("max_s"))
+    lab = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(last_s - first_s) DIV 3600").cast("bigint").alias("t"),
+        ((F.col("max_s") - F.col("last_s")) > 86400).alias("churned"),
+    )
+    grain = lab.groupBy("t").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("total_t"),
+    )
+    w_ord = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    total = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    at_risk = grain.crossJoin(F.broadcast(total)).withColumn(
+        "n",
+        F.col("n_users") - F.coalesce(F.sum("total_t").over(w_ord), F.lit(0)),
+    )
+    term = F.when(
+        F.col("d") < F.col("n"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n").cast("double")
+            ),
+            6,
+        ).cast("decimal(12,6)"),
+    )
+    w_inc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        at_risk.withColumn("lterm", term)
+        .withColumn("cum", F.sum("lterm").over(w_inc))
+        .withColumn(
+            "s_t",
+            F.when(
+                F.col("d") < F.col("n"),
+                F.round(F.exp(F.col("cum").cast("double")), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    TAU = 720
+    w_lead = Window.orderBy("t")
+    seg = (
+        curve.withColumn(
+            "t_next",
+            F.coalesce(F.lead("t").over(w_lead), F.lit(TAU)),
+        )
+        .where(F.col("t") < TAU)
+        .withColumn(
+            "width",
+            F.least(F.col("t_next"), F.lit(TAU)) - F.col("t"),
+        )
+    )
+    # S=1 before the first event time: add the initial segment [0, t_min)
+    first_t = seg.agg(F.min("t").cast("bigint").alias("t0"))
+    area = seg.agg(
+        F.coalesce(
+            F.sum(
+                F.col("s_t").cast("decimal(12,6)")
+                * F.col("width").cast("decimal(10,0)")
+            ).cast("decimal(24,6)"),
+            F.lit(0).cast("decimal(24,6)"),
+        ).alias("a")
+    )
+    return (
+        area.crossJoin(F.broadcast(first_t))
+        .select(
+            F.lit(TAU).cast("bigint").alias("tau_hours"),
+            F.round(
+                (F.col("a") + F.least(F.col("t0"), F.lit(TAU)).cast("decimal(10,0)"))
+                .cast("double"),
+                6,
+            ).alias("rmst_hours"),
+        )
+    )
+
+
+ORACLE_RMST = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_s,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s
+  FROM events GROUP BY 1
+), horizon AS (
+  SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_s FROM events
+),
+lab AS (
+  SELECT CAST((last_s - first_s) // 3600 AS BIGINT) AS t,
+         (max_s - last_s) > 86400 AS churned
+  FROM per_user, horizon
+), grain AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS total_t
+  FROM lab GROUP BY 1
+), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lab),
+at_risk AS (
+  SELECT t, d,
+         n_users - COALESCE(SUM(total_t) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM grain, total
+), curve AS (
+  SELECT t, d, n,
+         SUM(CASE WHEN d < n THEN
+               CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                    AS DECIMAL(12,6))
+             END) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM at_risk
+), stepped AS (
+  SELECT t,
+         CASE WHEN d < n THEN ROUND(exp(CAST(cum AS DOUBLE)), 6)
+              ELSE 0.0 END AS s_t,
+         COALESCE(LEAD(t) OVER (ORDER BY t), 720) AS t_next
+  FROM curve
+), seg AS (
+  SELECT s_t, LEAST(t_next, 720) - t AS width, t
+  FROM stepped WHERE t < 720
+), pieces AS (
+  SELECT COALESCE(CAST(SUM(CAST(s_t AS DECIMAL(12,6))
+                           * CAST(width AS DECIMAL(10,0)))
+                       AS DECIMAL(24,6)), CAST(0 AS DECIMAL(24,6))) AS a,
+         CAST(MIN(t) AS BIGINT) AS t0
+  FROM seg
+)
+SELECT CAST(720 AS BIGINT) AS tau_hours,
+       ROUND(CAST(a + CAST(LEAST(t0, 720) AS DECIMAL(10,0)) AS DOUBLE), 6)
+         AS rmst_hours
+FROM pieces
+"""
+
+
+REGISTRY_STATS.update(
+    {
+        "survival_rmst": (q_survival_rmst, ORACLE_RMST),
     }
 )

@@ -760,6 +760,7 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_keyness_llr,
         q_ivm_refresh,
         q_tpch_q1_piped,
+        q_survival_rmst,
     )
 
     for fn in (
@@ -809,6 +810,7 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
         q_keyness_llr,
         q_ivm_refresh,
         q_tpch_q1_piped,
+        q_survival_rmst,
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__

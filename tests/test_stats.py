@@ -356,7 +356,7 @@ def test_kaplan_meier_matches_brute_force(spark):
     g = ev.groupby("user_id")["s"].agg(["min", "max"])
     max_s = ev["s"].max()
     lam = [
-        ((r["max"] - r["min"]) // 3600, (max_s - r["max"]) > 604800)
+        ((r["max"] - r["min"]) // 3600, (max_s - r["max"]) > 86400)
         for _, r in g.iterrows()
     ]
     # brute KM
@@ -1418,3 +1418,28 @@ def test_keyness_matches_brute_force(spark):
     ):
         assert (r["token"], r["a"], r["b"]) == (tok, a, b), r["rank"]
         assert abs(r["signed_g2"] - g2) < 2e-6
+
+
+def test_rmst_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_kaplan_meier_churn,
+        q_survival_rmst,
+    )
+
+    row = q_survival_rmst(spark, "/root/testdata/sf0.001").collect()[0]
+    curve = sorted(
+        q_kaplan_meier_churn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["t"],
+    )
+    tau = 720
+    # step integral from the (already-verified) KM curve, S=1 before t0
+    area = min(curve[0]["t"], tau)
+    for i, r in enumerate(curve):
+        if r["t"] >= tau:
+            break
+        t_next = curve[i + 1]["t"] if i + 1 < len(curve) else tau
+        area += round(r["survival"], 6) * (min(t_next, tau) - r["t"])
+    assert row["tau_hours"] == tau
+    assert abs(row["rmst_hours"] - area) < 1e-4
+    # RMST is bounded by the horizon and below by the final-S floor
+    assert 0 < row["rmst_hours"] <= tau
