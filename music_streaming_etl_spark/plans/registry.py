@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .advanced_queries import REGISTRY_ADV
 from .analytics_queries import REGISTRY_ANALYTICS
+from .decision_queries import REGISTRY_DECISION
 from .extension_queries import REGISTRY_EXT
 from .stats_queries import REGISTRY_STATS
 from .testdata_queries import REGISTRY as REGISTRY_CORE
@@ -22,6 +23,7 @@ REGISTRY.update(REGISTRY_ANALYTICS)
 REGISTRY.update(REGISTRY_TPCH)
 REGISTRY.update(REGISTRY_ADV)
 REGISTRY.update(REGISTRY_STATS)
+REGISTRY.update(REGISTRY_DECISION)
 
 # The driver's correctness gate checks the FIRST 50 registry keys, so
 # ordering is load-bearing. Round-3 rotation plan (VERDICT r2 item 4):

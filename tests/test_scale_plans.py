@@ -837,3 +837,45 @@ def test_stats_shapes_plan_scale_safe(spark, sf_dir):
     for line in ent.splitlines():
         if "Window" in line and "user_id" not in line:
             assert "windowexec" not in line.lower(), line
+
+
+def test_decision_shapes_plan_scale_safe(spark, sf_dir):
+    """The decision/finance/ranking batch: no cartesian products, no
+    nested-loop joins outside the documented 1-row bound frames, and
+    the item-neighborhood self-join keeps its pinned SortMergeJoin (a
+    self-join's sides are identical, so a broadcast estimate can
+    never be right — the `copurchase_pairs` lesson)."""
+    from music_streaming_etl_spark.plans.decision_queries import (
+        q_holt_linear_trend,
+        q_item_jaccard,
+        q_max_drawdown,
+        q_rank_biased_overlap,
+        q_revenue_recognition,
+        q_ucb1_allocation,
+        q_welch_t_test,
+    )
+
+    for fn in (
+        q_welch_t_test,
+        q_max_drawdown,
+        q_rank_biased_overlap,
+        q_revenue_recognition,
+        q_item_jaccard,
+        q_ucb1_allocation,
+        q_holt_linear_trend,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line, (fn.__name__, line)
+
+    # the buyers self-join must be a shuffle join on the customer key
+    ij = _plan(q_item_jaccard(spark, sf_dir))
+    assert "SortMergeJoin" in ij, ij
+    # max_drawdown's windows are keyed on the priority — never an
+    # unpartitioned window over the fact-scaled frame
+    dd = _plan(q_max_drawdown(spark, sf_dir))
+    for line in dd.splitlines():
+        if "windowexec" in line.lower():
+            assert "o_orderpriority" in line, line
