@@ -680,6 +680,200 @@ FROM final WHERE pick = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Month-over-month customer-segment transition matrix
+# --------------------------------------------------------------------------
+
+
+def q_segment_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition matrix between customer spend segments
+    in consecutive months: segment each (customer, month) by fixed
+    spend thresholds (LOW < $2k <= MID < $10k <= HIGH — policy
+    constants, not data-dependent quantiles, so the label function is
+    stable under scale-up), then count month-over-month transitions
+    and row-normalize. The churn-dashboard companion to
+    `cohort_retention` (which tracks presence, not movement).
+
+    Scale shape: one shuffle to (customer, month) grain, one
+    self-equi-join on (customer, month+1) — both hash joins on
+    fact-scaled frames, no window at the customer grain."""
+    orders = _t(spark, sf_dir, "orders")
+    seg = (
+        orders.groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.trunc(F.to_date("o_orderdate"), "MM").alias("month"),
+        )
+        .agg(F.sum(_cents()).cast("bigint").alias("cents"))
+        .select(
+            "cust",
+            "month",
+            F.when(F.col("cents") < 200000, "LOW")
+            .when(F.col("cents") < 1000000, "MID")
+            .otherwise("HIGH")
+            .alias("seg"),
+        )
+    )
+    nxt = seg.select(
+        "cust",
+        F.add_months(F.col("month"), -1).alias("month"),
+        F.col("seg").alias("seg_next"),
+    )
+    trans = seg.join(nxt, ["cust", "month"]).groupBy(
+        F.col("seg").alias("seg_from"), F.col("seg_next").alias("seg_to")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = Window.partitionBy("seg_from")
+    return trans.select(
+        "seg_from",
+        "seg_to",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+ORACLE_SEGMENT_TRANSITIONS = f"""
+WITH seg AS (
+  SELECT o_custkey AS cust, date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         CASE WHEN SUM({_CENTS}) < 200000 THEN 'LOW'
+              WHEN SUM({_CENTS}) < 1000000 THEN 'MID'
+              ELSE 'HIGH' END AS seg
+  FROM orders GROUP BY 1, 2
+), trans AS (
+  SELECT a.seg AS seg_from, b.seg AS seg_to,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seg a JOIN seg b
+    ON a.cust = b.cust AND b.month = a.month + INTERVAL 1 MONTH
+  GROUP BY 1, 2
+)
+SELECT seg_from, seg_to, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY seg_from)
+                                      AS DOUBLE), 6) AS p
+FROM trans
+"""
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# --------------------------------------------------------------------------
+
+
+def q_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    purchase distributes 10,000 basis points over the user's
+    click/view touches in the preceding hour — 40% to the first
+    touch, 40% to the last, 20% largest-remainder-split over the
+    middles (1 touch: 100%; 2 touches: 50/50 — the standard U-shape
+    degenerations). Completes the attribution family: last-touch
+    (`attribution_last_touch`), Shapley (`shapley_attribution`), and
+    now position-based — all integer-exact, so per-conversion credit
+    sums to exactly 10,000 by construction.
+
+    Scale shape: purchases x touches meet on the USER equi key (hash
+    join), the 1-hour window is a post-join filter — the scd2 lookup
+    contract, per-user fan-out bounded by session activity. Position
+    ranks are windows keyed on the conversion id."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("cts"),
+    )
+    j = p.join(c, "user_id").filter(
+        (F.col("cts") < F.col("pts"))
+        & (
+            F.col("cts")
+            >= F.col("pts") - F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    wasc = Window.partitionBy("conv_id").orderBy(
+        F.col("cts").asc(), F.col("touch_id").asc()
+    )
+    ranked = j.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(wasc).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("cnt"),
+    )
+    mid = F.col("cnt") - 2  # middles when cnt > 2
+    credit = (
+        F.when(F.col("cnt") == 1, F.lit(10000))
+        .when(F.col("cnt") == 2, F.lit(5000))
+        .when(F.col("rn") == 1, F.lit(4000))
+        .when(F.col("rn") == F.col("cnt"), F.lit(4000))
+        .otherwise(
+            F.expr("2000 DIV (cnt - 2)")
+            + F.when(
+                F.col("rn") - 2 < F.lit(2000) % mid, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+    )
+    pos = (
+        F.when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("cnt"), "last")
+        .otherwise("middle")
+    )
+    return (
+        ranked.select(
+            "channel", pos.alias("position"), credit.alias("bp")
+        )
+        .groupBy("channel", "position")
+        .agg(
+            F.sum("bp").cast("bigint").alias("credit_bp"),
+            F.count(F.lit(1)).cast("bigint").alias("touches"),
+        )
+    )
+
+
+ORACLE_ATTRIB_POSITION = """
+WITH p AS (
+  SELECT event_id AS conv_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS touch_id, user_id, event_type AS channel, ts AS cts
+  FROM events WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT conv_id, channel, cts, touch_id
+  FROM p JOIN c USING (user_id)
+  WHERE cts < pts AND cts >= pts - INTERVAL 1 HOUR
+), ranked AS (
+  SELECT conv_id, channel,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+           ORDER BY cts ASC, touch_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM j
+), credited AS (
+  SELECT channel,
+         CASE WHEN rn = 1 THEN 'first'
+              WHEN rn = cnt THEN 'last'
+              ELSE 'middle' END AS position,
+         CASE WHEN cnt = 1 THEN 10000
+              WHEN cnt = 2 THEN 5000
+              WHEN rn = 1 THEN 4000
+              WHEN rn = cnt THEN 4000
+              ELSE CAST(2000 // (cnt - 2) AS BIGINT)
+                   + CASE WHEN rn - 2 < 2000 % (cnt - 2)
+                          THEN 1 ELSE 0 END
+         END AS bp
+  FROM ranked
+)
+SELECT channel, position,
+       CAST(SUM(bp) AS BIGINT) AS credit_bp,
+       CAST(COUNT(*) AS BIGINT) AS touches
+FROM credited GROUP BY 1, 2
+"""
+
+
 REGISTRY_DECISION.update(
     {
         "welch_t_test": (q_welch_t_test, ORACLE_WELCH),
@@ -689,5 +883,13 @@ REGISTRY_DECISION.update(
         "item_jaccard": (q_item_jaccard, ORACLE_ITEM_JACCARD),
         "ucb1_allocation": (q_ucb1_allocation, ORACLE_UCB1),
         "holt_linear_trend": (q_holt_linear_trend, ORACLE_HOLT),
+        "segment_transition_matrix": (
+            q_segment_transition_matrix,
+            ORACLE_SEGMENT_TRANSITIONS,
+        ),
+        "attribution_position_based": (
+            q_attribution_position_based,
+            ORACLE_ATTRIB_POSITION,
+        ),
     }
 )

@@ -306,6 +306,15 @@ def main() -> None:
         q_token_pmi,
         q_weighted_median_price,
     )
+    from music_streaming_etl_spark.plans.decision_queries import (
+        q_holt_linear_trend,
+        q_item_jaccard,
+        q_max_drawdown,
+        q_rank_biased_overlap,
+        q_revenue_recognition,
+        q_ucb1_allocation,
+        q_welch_t_test,
+    )
 
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -436,6 +445,19 @@ def main() -> None:
             q_suggest_constraints, materialize_orders, base_orders,
         ),
         "mcnemar_test": (q_mcnemar_test, materialize_events, base_events),
+        "welch_t_test": (q_welch_t_test, materialize_orders, base_orders),
+        "max_drawdown": (q_max_drawdown, materialize_orders, base_orders),
+        "rank_biased_overlap": (
+            q_rank_biased_overlap, materialize_events, base_events,
+        ),
+        "revenue_recognition": (
+            q_revenue_recognition, materialize_orders, base_orders,
+        ),
+        "item_jaccard": (q_item_jaccard, materialize_star, base_li),
+        "ucb1_allocation": (q_ucb1_allocation, materialize_orders, base_orders),
+        "holt_linear_trend": (
+            q_holt_linear_trend, materialize_events, base_events,
+        ),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
