@@ -37,61 +37,17 @@ REGISTRY.update(REGISTRY_DECISION)
 # window slot. Every key stays covered by scripts/selfcheck.py
 # (cell-exact, all keys) regardless of position.
 _PRIORITY: list[str] = [
-    # VERDICT r2 action items 1+3 FIRST: oracle result-TYPE fixes
-    # (HUGEINT/DATE artifacts; values already cell-exact) — pinned at
-    # the very front so they cannot slip out of the 50-key window as
-    # new queries stack up
-    "second_highest_daily",
-    "robust_anomalies",
-    "continuous_aggregate",
-    # round 3 NEW queries — first external check
-    "mann_whitney_u",
-    "auc_doc_length",
-    "distribution_moments",
-    "regression_slope_daily",
-    "event_entropy",
-    "dow_seasonality",
-    "cusum_alerts",
-    "gini_coefficient",
-    "mann_kendall_seasonal",
-    "theil_sen_seasonal",
-    "embedding_dim_stats",
-    "bootstrap_mean_ci",
-    "kaplan_meier_churn",
-    "token_pmi",
-    "gains_table",
-    "degree_assortativity",
-    "quantile_normalization",
-    "largest_remainder_quota",
-    "wilson_ci",
-    "audience_overlap",
-    "spearman_correlation",
-    "price_volume_mix",
-    "abc_classification",
-    "seasonal_naive_backtest",
-    "oov_rate",
-    "hard_negative_centroids",
-    "weighted_median_price",
-    "business_days_to_ship",
-    "nearest_warehouse",
-    "sprt_decision",
-    "shapley_attribution",
-    "npv_revenue_stream",
-    "centroid_silhouette",
-    "stratified_ate",
-    "difference_in_differences",
-    "conformal_interval",
-    "embedding_mmd",
-    "partial_correlation",
-    "seasonality_strength",
-    "skyline_customers",
-    "sparse_cosine_topk",
-    "record_linkage_scores",
-    "linkage_pattern_counts",
-    "weighted_sample_docs",
-    "attribution_last_touch",
-    "pearson_correlation",
-    "percentile_cont_by_group",
+    # ROUND-4 ROTATION (VERDICT r3 action item 1): the driver checks
+    # the FIRST 50 keys only, so this list is now exactly the
+    # never-driver-checked oracle-backed backlog, oldest-risk first —
+    # the 8 r3-new keys that slipped past position 50 last round, then
+    # the backlog in registry age order. Round 4 retires positions
+    # 1-50; round 5 inherits 51-100; round 6 finishes 101-114. ZERO
+    # new queries were added this round by design ("rotate, don't
+    # add") so the pool can only shrink. Every key here already
+    # passes the cell-exact DuckDB selfcheck (scripts/selfcheck.py)
+    # at sf0.001+sf0.01+--hostile; this rotation converts that
+    # builder-side evidence into driver-side CORRECTNESS rows.
     "bitemporal_state_lookup",
     "capped_running_balance",
     "rolling_median_7d",
@@ -100,8 +56,6 @@ _PRIORITY: list[str] = [
     "ks_drift",
     "growth_accounting",
     "daily_autocorrelation",
-    # never-driver-checked backlog, oracle-backed (order = age:
-    # oldest unverified first; r4 picks up where the 50-window cuts)
     "cohort_retention",
     "time_weighted_value",
     "event_transitions",
@@ -190,6 +144,24 @@ _PRIORITY: list[str] = [
     "tpch_q12_priority_mix",
     "tpch_q14_promo_effect",
     "tpch_q18_large_orders",
+    "mcnemar_test",
+    "cohens_kappa",
+    "eb_shrunk_rates",
+    "suggest_constraints",
+    "anova_oneway",
+    "keyness_llr",
+    "ivm_refresh",
+    "tpch_q1_piped",
+    "survival_rmst",
+    "welch_t_test",
+    "max_drawdown",
+    "rank_biased_overlap",
+    "revenue_recognition",
+    "item_jaccard",
+    "ucb1_allocation",
+    "holt_linear_trend",
+    "segment_transition_matrix",
+    "attribution_position_based",
 ]
 assert all(k in REGISTRY for k in _PRIORITY), "stale _PRIORITY key"
 _ROWS_ONLY_LAST = sorted(k for k, (_, o) in REGISTRY.items() if o is None)

@@ -49,3 +49,31 @@ def test_oracle_coverage_ratio():
         "similarity_topk_pq",           # learned PQ codebooks (iterative)
         "winsorized_stats_approx",      # GK-sketch bounds (tolerance pytest)
     ], (total, rows_only)
+
+
+def test_driver_window_rotates_to_unchecked_backlog():
+    """The driver's correctness gate checks only the FIRST 50 registry
+    keys.  While any oracle-backed key has never received a driver
+    CORRECTNESS row, the window must be spent on that backlog — a
+    previously-green key occupying a slot is wasted external evidence
+    (VERDICT r3 action item 1).  Once the backlog fits inside the
+    window, overlap is unavoidable and the guard relaxes."""
+    import glob
+    import json
+
+    root = os.path.dirname(README)
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            checked |= set(json.load(f).keys())
+    if not checked:  # fresh clone without driver artifacts
+        return
+    oracle_backed = [k for k, (_, o) in REGISTRY.items() if o is not None]
+    backlog = [k for k in oracle_backed if k not in checked]
+    window = list(REGISTRY)[:50]
+    wasted = [k for k in window if k in checked]
+    if len(backlog) >= len(window):
+        assert not wasted, f"window slots wasted on already-checked keys: {wasted}"
+    else:
+        # tail of the rotation: backlog must fully occupy the window front
+        assert set(backlog) <= set(window), sorted(set(backlog) - set(window))

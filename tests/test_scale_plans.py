@@ -879,3 +879,98 @@ def test_decision_shapes_plan_scale_safe(spark, sf_dir):
     for line in dd.splitlines():
         if "windowexec" in line.lower():
             assert "o_orderpriority" in line, line
+
+
+def _window_bracket_groups(line: str):
+    """Top-level bracket groups of a physical-plan Window node line:
+    ``Window [exprs], [partitionKeys], [ordering]`` (3 groups) when
+    partitioned, ``[exprs], [ordering]`` / ``[exprs]`` when not."""
+    s = line.strip()
+    i = s.find("Window [")
+    if i < 0:
+        return None
+    s = s[s.find("[", i):]
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _unpartitioned_window_orderings(plan: str):
+    out = []
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        g = _window_bracket_groups(line)
+        if g is None or len(g) >= 3:
+            continue
+        if len(g) == 1 or (" ASC" in g[1] or " DESC" in g[1]):
+            out.append(g[1] if len(g) > 1 else "")
+    return out
+
+
+# Audited bounded frames (VERDICT r3 perf section): `_pid` = the
+# #shuffle-partitions-row offsets table of global_prefix_sum /
+# global_rank; day-grain columns are calendar-bounded; the rest are
+# post-limit(k) / post-TakeOrdered ranks (operators/ranking.py:41).
+_ALLOWED_UNPARTITIONED_ORDER_PREFIXES = (
+    "_pid#",          # prefix-sum partition offsets (≤ #partitions rows)
+    "d#",             # ma_crossover day grain
+    "day#",           # cumulative_unique_users day grain
+    "stat_date#",     # daily_anomalies day grain
+    "_w1#",           # rolling_7day_revenue day-epoch range frame
+    "n_sessions#",    # top_event_paths post-limit rank
+    "score#",         # pagerank post-limit rank
+    "n#",             # token_frequencies post-limit rank
+    "revenue#",       # tpch_q3 TakeOrdered tail rank
+)
+
+
+def test_analytics_no_unpartitioned_fact_grain_windows(spark, sf_dir):
+    """Sweep EVERY analytics-registry plan: an unpartitioned WindowExec
+    may only order on an audited bounded frame (calendar-day grain,
+    the #partitions-row prefix-sum offsets, or a post-limit(k) rank).
+    A user-/customer-/value-grain global window — the
+    funnel_time_to_step regression class (VERDICT r3 item 3) — fails
+    here before the driver ever sees it."""
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        REGISTRY_ANALYTICS,
+    )
+
+    offenders = {}
+    for name, (fn, _) in REGISTRY_ANALYTICS.items():
+        plan = _plan(fn(spark, sf_dir))
+        bad = [
+            o
+            for o in _unpartitioned_window_orderings(plan)
+            if not o.startswith(_ALLOWED_UNPARTITIONED_ORDER_PREFIXES)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_funnel_median_is_value_grain(spark, sf_dir):
+    """funnel_time_to_step's medians run on value-grain counts with a
+    range-partitioned distributed prefix sum — never a row_number
+    rank over the converting-user frame (the r3 `weak` finding)."""
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_funnel_time_to_step,
+    )
+
+    plan = _plan(q_funnel_time_to_step(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan[:800]
+    assert "row_number" not in plan.lower(), plan[:800]
+    for o in _unpartitioned_window_orderings(plan):
+        assert o.startswith("_pid#"), o
