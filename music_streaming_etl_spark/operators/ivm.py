@@ -45,11 +45,24 @@ def aggregate_delta(
 ) -> DataFrame:
     """Aggregate a raw delta to the view's grain: one row per key
     group with partial count / sums (/ min / max). ``sums`` maps
-    output column -> source column; retraction rows are expressed by
-    the caller as negated source values with a negative count
-    contribution (pass an ``__delta_sign`` column of ±1 to weight
-    count and sums)."""
+    output column -> source column; retraction rows carry their
+    ORIGINAL source values plus an ``__delta_sign`` column of ±1 —
+    this operator applies the sign to the count and sum contributions
+    (callers must NOT pre-negate values, that would double-negate).
+
+    Min/max partials are only meaningful over insert-only deltas: a
+    retraction row carries NEGATED source values, which would poison
+    the extrema silently. Mirroring ``incremental_refresh``'s guard,
+    requesting ``mins``/``maxs`` while ``__delta_sign`` is present
+    raises instead of producing an inconsistent partial (ADVICE r3)."""
     sums = sums or {}
+    if (mins or maxs) and "__delta_sign" in delta.columns:
+        raise ValueError(
+            "min/max delta partials are only self-maintainable over "
+            "insert-only deltas — this delta carries a __delta_sign "
+            "retraction column, whose negated source values would "
+            "poison the extrema; drop the extrema or split the delta"
+        )
     sign = (
         F.col("__delta_sign")
         if "__delta_sign" in delta.columns

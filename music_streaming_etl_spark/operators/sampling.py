@@ -171,10 +171,18 @@ def weighted_sample_topk(
     engine, which makes sampled eval sets reproducible artifacts
     rather than run accidents.
 
-    Rank on ln(u)/w (monotone in u^(1/w), avoids pow underflow for
-    huge weights), rounded to 6 decimals with the row key as
-    tie-break — the playbook rule that keeps ulp-level libm ``ln``
-    differences from ever flipping a rank the oracle sees. Top-k via
+    Rank on ln(u)·(max_w/w) (monotone in u^(1/w): dividing every
+    weight by the same positive constant max_w raises every key
+    u^(1/w) to the max_w'th power — a shared monotone transform that
+    cannot reorder them — and avoids pow underflow for huge weights),
+    rounded to 6 decimals with the row key as tie-break — the playbook
+    rule that keeps ulp-level libm ``ln`` differences from ever
+    flipping a rank the oracle sees. The max_w normalization keeps the
+    key spread O(|ln u|) ≈ O(1) at ANY weight magnitude, so the 6dp
+    quantization never collapses large-weight rows into shared buckets
+    (the raw ln(u)/w key rounds to 0.000000 for all w ≳ 4e7, silently
+    ignoring relative weights — ADVICE r3). max_w is a 1-row broadcast
+    (exact agg, no float accumulation ambiguity). Top-k via
     ``global_topk`` → TakeOrderedAndProject (per-partition heaps),
     never a single-partition window.
 
@@ -189,8 +197,16 @@ def weighted_sample_topk(
         .cast("double")
         + F.lit(1.0)
     ) / F.lit(4294967296.0)
-    score = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
-    scored = df.filter(
-        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
-    ).withColumn("__es_key", score)
+    filtered = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    mx = filtered.agg(
+        F.max(F.col(weight_col).cast("double")).alias("__es_mx")
+    )
+    score = F.round(
+        F.log(u) * (F.col("__es_mx") / F.col(weight_col).cast("double")), 6
+    )
+    scored = (
+        filtered.crossJoin(F.broadcast(mx))
+        .withColumn("__es_key", score)
+        .drop("__es_mx")
+    )
     return global_topk(scored, [F.desc("__es_key"), c.asc()], k).drop("__es_key")

@@ -85,8 +85,13 @@ def rank_sum_stats(
     nd = (F.col("_n1") + F.col("_n2")).cast("double")
     u2d = F.col("_u2").cast("double")
     tiesd = F.col("_ties").cast("double")
+    # nullif on the tie-correction denominator: with exactly one total
+    # row the raw 0/0 is NaN, and nullif(var, 0.0) downstream does NOT
+    # catch NaN — z would emit NaN instead of the documented NULL
+    # (ADVICE r3). NULL here propagates cleanly through var/sqrt/z.
     var = (n1d * n2d / F.lit(12.0)) * (
-        (nd + F.lit(1.0)) - tiesd / (nd * (nd - F.lit(1.0)))
+        (nd + F.lit(1.0))
+        - tiesd / F.nullif(nd * (nd - F.lit(1.0)), F.lit(0.0))
     )
     return agg.select(
         F.col("_n1").cast("bigint").alias("n_pos"),

@@ -544,7 +544,12 @@ def sparse_cosine_pairs(
             ).alias("w"),
         )
     )
-    weights = weights.cache()  # postings feed both the norms and the pair join
+    # postings feed both the norms and the pair join; lazy
+    # localCheckpoint (not cache) so the materialized partitions are
+    # owned by the lineage cut and GC'd with the plan — repeated
+    # invocations (the per-sf selfcheck battery) can't accumulate
+    # never-unpersisted cache entries until LRU eviction (ADVICE r3)
+    weights = weights.localCheckpoint(eager=False)
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
     )

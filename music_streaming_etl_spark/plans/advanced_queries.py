@@ -312,13 +312,18 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_WEIGHTED_SAMPLE = """
-WITH keyed AS (
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), mx AS (
+  SELECT MAX(CAST(n_chars AS DOUBLE)) AS es_mx FROM base
+), keyed AS (
   SELECT doc_id, lang, n_chars,
          ROUND(
            ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0)
               / 4294967296.0)
-           / CAST(n_chars AS DOUBLE), 6) AS es_key
-  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+           * (mx.es_mx / CAST(n_chars AS DOUBLE)), 6) AS es_key
+  FROM base, mx
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, lang, n_chars

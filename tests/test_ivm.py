@@ -90,3 +90,21 @@ def test_ivm_min_max_insert_only(spark):
         incremental_refresh(
             view, d1, ["k"], ["sx"], min_cols=["mn"], insert_only=False
         )
+
+
+def test_aggregate_delta_rejects_extrema_with_retractions(spark):
+    # ADVICE r3: a __delta_sign retraction delta carries NEGATED
+    # source values — min/max partials over it would be silently
+    # poisoned; aggregate_delta must refuse, like incremental_refresh.
+    import pytest as _pytest
+
+    from music_streaming_etl_spark.operators.ivm import aggregate_delta
+
+    delta = spark.createDataFrame(
+        [("a", 5, 1), ("a", 5, -1)], "k string, v long, __delta_sign int"
+    )
+    with _pytest.raises(ValueError, match="insert-only"):
+        aggregate_delta(delta, ["k"], sums={"s": "v"}, mins={"lo": "v"})
+    # sums/count-only over the same retraction delta stays legal
+    out = aggregate_delta(delta, ["k"], sums={"s": "v"}).collect()
+    assert out[0]["n"] == 0 and out[0]["s"] == 0

@@ -272,3 +272,29 @@ def test_capped_balance_identity_matches_loop(spark):
         for seq, delta in sorted(items):
             b = max(0, b + delta)
             assert got[(user, seq)] == b, (user, seq)
+
+
+def test_weighted_sample_large_weights_not_collapsed(spark):
+    # ADVICE r3: the raw ln(u)/w key rounded to 6dp collapses all
+    # weights ≳ 4e7 into one bucket, silently degenerating to a
+    # key-ascending pick. With max-weight normalization the relative
+    # weights must still drive the sample at any magnitude: 10 rows at
+    # 1e11 vs 490 at 1e8 (1000:1 odds, same ratio as the small-weight
+    # twin above) should dominate identically.
+    heavy = [(i, 1e11 if i < 10 else 1e8) for i in range(500)]
+    small = [(i, 1000.0 if i < 10 else 1.0) for i in range(500)]
+    got_heavy = [
+        (r["rank"], r["id"])
+        for r in weighted_sample_topk(
+            spark.createDataFrame(heavy, "id long, w double"), "id", "w", 10
+        ).collect()
+    ]
+    got_small = [
+        (r["rank"], r["id"])
+        for r in weighted_sample_topk(
+            spark.createDataFrame(small, "id long, w double"), "id", "w", 10
+        ).collect()
+    ]
+    # scale-invariance of E-S keys: same weight RATIOS => same sample
+    assert got_heavy == got_small
+    assert len({i for _, i in got_heavy} & set(range(10))) >= 8

@@ -1443,3 +1443,13 @@ def test_rmst_matches_brute_force(spark):
     assert abs(row["rmst_hours"] - area) < 1e-4
     # RMST is bounded by the horizon and below by the final-S floor
     assert 0 < row["rmst_hours"] <= tau
+
+
+def test_rank_sum_single_row_emits_null_not_nan(spark):
+    # ADVICE r3: with exactly one total row the tie term is 0/0 = NaN
+    # and nullif(var, 0.0) does not catch NaN — z must still be the
+    # documented NULL (one group empty), never NaN.
+    for pos, neg in ([(5,), ()], [(), (5,)]):
+        row = _run(spark, list(pos), list(neg), parts=1)
+        assert row["z"] is None, row
+        assert row["auc"] is None, row
