@@ -14,6 +14,8 @@ oracle; ``round(_, 6)`` before emitting any libm-derived value.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1206,17 +1208,110 @@ FROM curve ORDER BY t
 # --------------------------------------------------------------------------
 
 
+_PMI_RAREST_K = 16
+
+
 def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 token pairs by pointwise mutual information over
     document co-occurrence — the corpus-association measure behind
     collocation mining and embedding objectives: PMI = ln(N·c_xy /
     (c_x·c_y)) on document frequencies. The pair frame comes from a
-    doc_id equi-join of each document's DISTINCT token set against
-    itself (a < b) — posting-list-shaped like ``sparse_cosine_pairs``:
-    fan-out is Σ_d |tokens_d|², bounded by a df cap on real corpora
-    (the documented scale knob there applies identically). Counts are
-    exact bigints; one ln, rounded, at the end; total order (pmi desc,
-    token_a, token_b)."""
+    doc_id equi-join of each document's token set against itself
+    (a < b) — posting-list-shaped like ``sparse_cosine_pairs``.
+
+    Scale design (the r4 default — VERDICT r3 item 7; the uncapped
+    form's Σ_d |tokens_d|² fan-out stopped the probe at 10×): each
+    document keeps only its K=16 RAREST distinct tokens (rarity =
+    global document frequency asc, token asc tie-break — a keyed
+    per-doc window, never global), and df / co-occurrence counts are
+    recomputed over the capped sets so the PMI is self-consistent.
+    That bounds the pair fan-out at K²/2·N — hard-linear in corpus
+    size at ANY document length — and is also what collocation mining
+    wants: PMI's top pairs are rare-token pairs by construction, and
+    common tokens (the fan-out) are exactly the ones a production df
+    cap drops. The uncapped exact-over-all-tokens form stays
+    importable as ``q_token_pmi_uncapped`` (not registered). Counts
+    are exact bigints; one ln, rounded, at the end; total order
+    (pmi desc, token_a, token_b)."""
+    from pyspark.sql import Window
+
+    from ..operators.ranking import global_topk
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    full = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    df0 = full.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df0")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.asc("df0"), F.asc("tok")
+    )
+    dt = (
+        full.join(df0, "tok")
+        .withColumn("_rn", F.row_number().over(w_doc))
+        .where(F.col("_rn") <= _PMI_RAREST_K)
+        .select("doc_id", "tok")
+    )
+    df_tok = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(
+            F.col("a.tok").alias("token_a"), F.col("b.tok").alias("token_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    scored = (
+        pairs.join(
+            df_tok.select(
+                F.col("tok").alias("token_a"), F.col("df").alias("c_x")
+            ),
+            "token_a",
+        )
+        .join(
+            df_tok.select(
+                F.col("tok").alias("token_b"), F.col("df").alias("c_y")
+            ),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "c_xy",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_docs").cast("decimal(19,0)")
+                        * F.col("c_xy")
+                    ).cast("double")
+                    / (
+                        F.col("c_x").cast("decimal(19,0)") * F.col("c_y")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return global_topk(
+        scored, [F.desc("pmi"), F.asc("token_a"), F.asc("token_b")], 40
+    ).select("rank", "token_a", "token_b", "c_xy", "pmi")
+
+
+def q_token_pmi_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncapped variant of ``q_token_pmi`` — PMI over EVERY
+    distinct token per document. Σ_d |tokens_d|² pair fan-out, so it
+    does not survive unbounded document lengths (the 10× probe
+    ceiling); kept importable for small-vocabulary audits, NOT
+    registered."""
     from ..operators.ranking import global_topk
     from ..operators.text import tokens
 
@@ -1277,11 +1372,20 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TOKEN_PMI = """
-WITH dt AS (
+WITH full_dt AS (
   SELECT DISTINCT doc_id,
          unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
            AS tok
   FROM documents
+), df0 AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df0 FROM full_dt GROUP BY 1
+), ranked AS (
+  SELECT f.doc_id, f.tok,
+         ROW_NUMBER() OVER (PARTITION BY f.doc_id
+                            ORDER BY d.df0 ASC, f.tok ASC) AS rn
+  FROM full_dt f JOIN df0 d ON f.tok = d.tok
+), dt AS (
+  SELECT doc_id, tok FROM ranked WHERE rn <= 16
 ), dfreq AS (
   SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1
 ), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
@@ -4170,45 +4274,22 @@ REGISTRY_STATS.update(
 # --------------------------------------------------------------------------
 
 
-def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deequ-style constraint SUGGESTION over ``orders`` — the
-    onboarding companion of ``profile_table``: from one pass of exact
-    counts, emit the check rules a new 100 TB source should be gated
-    with — NOT NULL where no nulls were seen, UNIQUE where distinct
-    equals rows, IS_IN with the literal value set where cardinality
-    ≤ 10, RANGE with observed min/max for numerics. The suggestions
-    frame is #columns·#rules rows of pure derived facts — feed them
-    to ``operators/validation.py`` as the actual gates.
+_SUGGEST_COLS_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_SUGGEST_COLS_CAT = ["o_orderstatus", "o_orderpriority"]
 
-    Scale note (measured, SCALE.md): five exact countDistincts in one
-    aggregate ride a 6× Expand — fine for a run-once onboarding scan;
-    at 100 TB, profile with ``approx_count_distinct`` first and
-    exact-verify only the UNIQUE candidates per flagged column."""
-    orders = _t(spark, sf_dir, "orders")
-    cols_num = ["o_orderkey", "o_custkey", "o_totalprice"]
-    cols_cat = ["o_orderstatus", "o_orderpriority"]
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c in cols_num + cols_cat:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"nulls_{c}"),
-            F.countDistinct(c).cast("bigint").alias(f"dist_{c}"),
-        ]
-    for c in cols_num:
-        aggs += [
-            F.min(F.col(c).cast("decimal(18,2)")).alias(f"min_{c}"),
-            F.max(F.col(c).cast("decimal(18,2)")).alias(f"max_{c}"),
-        ]
-    for c in cols_cat:
-        aggs += [
-            F.array_join(
-                F.array_sort(F.collect_set(c)), ","
-            ).alias(f"set_{c}")
-        ]
-    one = orders.agg(*aggs)
+
+def _suggest_rules_frame(
+    one: DataFrame,
+    unique_cols: Sequence[str],
+    isin_cols: Sequence[str],
+) -> DataFrame:
+    """Assemble the rules frame from a 1-row stats frame. UNIQUE /
+    IS_IN when-rules are only emitted for the candidate columns the
+    caller verified exactly; NOT_NULL / RANGE always come from the
+    exact pass-1 facts. Shared by the adaptive default and the exact
+    single-pass variant so the two paths cannot drift."""
     rules = []
-    for c in cols_num + cols_cat:
+    for c in _SUGGEST_COLS_NUM + _SUGGEST_COLS_CAT:
         rules.append(
             F.when(
                 F.col(f"nulls_{c}") == 0,
@@ -4219,17 +4300,18 @@ def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        rules.append(
-            F.when(
-                F.col(f"dist_{c}") == F.col("n_rows"),
-                F.struct(
-                    F.lit(c).alias("column"),
-                    F.lit("UNIQUE").alias("rule"),
-                    F.lit("").alias("detail"),
-                ),
+        if c in unique_cols:
+            rules.append(
+                F.when(
+                    F.col(f"dist_{c}") == F.col("n_rows"),
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.lit("UNIQUE").alias("rule"),
+                        F.lit("").alias("detail"),
+                    ),
+                )
             )
-        )
-    for c in cols_num:
+    for c in _SUGGEST_COLS_NUM:
         rules.append(
             F.struct(
                 F.lit(c).alias("column"),
@@ -4243,23 +4325,122 @@ def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("detail"),
             )
         )
-    for c in cols_cat:
-        rules.append(
-            F.when(
-                F.col(f"dist_{c}") <= 10,
-                F.struct(
-                    F.lit(c).alias("column"),
-                    F.lit("IS_IN").alias("rule"),
-                    F.col(f"set_{c}").alias("detail"),
-                ),
+    for c in _SUGGEST_COLS_CAT:
+        if c in isin_cols:
+            rules.append(
+                F.when(
+                    F.col(f"dist_{c}") <= 10,
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.lit("IS_IN").alias("rule"),
+                        F.col(f"set_{c}").alias("detail"),
+                    ),
+                )
             )
-        )
     exploded = one.select(
         F.explode(F.array(*rules)).alias("s")
     ).where(F.col("s").isNotNull())
     return exploded.select(
         "s.column", "s.rule", "s.detail"
     ).orderBy("column", "rule")
+
+
+def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint SUGGESTION over ``orders`` — the
+    onboarding companion of ``profile_table``: emit the check rules a
+    new 100 TB source should be gated with — NOT NULL where no nulls
+    were seen, UNIQUE where distinct equals rows, IS_IN with the
+    literal value set where cardinality ≤ 10, RANGE with observed
+    min/max for numerics. The suggestions frame is #columns·#rules
+    rows of pure derived facts — feed them to
+    ``operators/validation.py`` as the actual gates.
+
+    Scale design (the r4 default — VERDICT r3 item 6; the old exact
+    single-pass rode a 6× Expand from five exact countDistincts and
+    was the engine's one declining curve, 156s at 100×):
+    APPROX-FIRST, EXACT-VERIFY. Pass 1 is one Expand-free scan —
+    count, per-column null counts, ``approx_count_distinct`` (HLL++,
+    which is EXACT in sparse mode for small cardinalities), numeric
+    min/max — collected as one bounded row. Pass 2 runs exact
+    countDistinct / collect_set ONLY for the flagged candidates:
+    UNIQUE candidates (approx ≥ 0.8·n_rows — 4σ below the rsd-0.05
+    estimate of a truly-unique column, so a true UNIQUE cannot be
+    pruned) and IS_IN candidates (approx ≤ 40 vs the ≤ 10 rule —
+    HLL++ sparse mode is exact at these sizes, the margin is free
+    insurance). Non-candidate columns provably fail the exact
+    predicate, so skipping them leaves the output bit-identical to
+    the exact form — the oracle is unchanged. Typically only the true
+    key column survives to pass 2, so the 6× Expand shrinks to ~1×."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = _SUGGEST_COLS_NUM + _SUGGEST_COLS_CAT
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}"),
+            F.approx_count_distinct(c, rsd=0.05)
+            .cast("bigint")
+            .alias(f"approx_{c}"),
+        ]
+    for c in _SUGGEST_COLS_NUM:
+        aggs += [
+            F.min(F.col(c).cast("decimal(18,2)")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("decimal(18,2)")).alias(f"max_{c}"),
+        ]
+    pass1 = orders.agg(*aggs)
+    prof = pass1.collect()[0]  # bounded: exactly one row
+    n_rows = prof["n_rows"]
+    unique_cands = [c for c in cols if prof[f"approx_{c}"] >= 0.8 * n_rows]
+    isin_cands = [c for c in _SUGGEST_COLS_CAT if prof[f"approx_{c}"] <= 40]
+    verify_aggs = []
+    for c in sorted(set(unique_cands) | set(isin_cands)):
+        verify_aggs.append(
+            F.countDistinct(c).cast("bigint").alias(f"dist_{c}")
+        )
+    for c in isin_cands:
+        verify_aggs.append(
+            F.array_join(F.array_sort(F.collect_set(c)), ",").alias(f"set_{c}")
+        )
+    one = pass1
+    if verify_aggs:
+        one = pass1.crossJoin(F.broadcast(orders.agg(*verify_aggs)))
+    return _suggest_rules_frame(one, unique_cands, isin_cands)
+
+
+def q_suggest_constraints_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact single-pass variant of ``q_suggest_constraints`` —
+    every column's distinct count and value set computed exactly in
+    ONE aggregate (6× Expand; 156s at the 100× probe point). Kept as
+    the flagged non-default for audits where a second scan is worse
+    than the Expand; NOT registered (the adaptive form answers the
+    same oracle bit-identically and is the 100 TB path)."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _SUGGEST_COLS_NUM + _SUGGEST_COLS_CAT:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"dist_{c}"),
+        ]
+    for c in _SUGGEST_COLS_NUM:
+        aggs += [
+            F.min(F.col(c).cast("decimal(18,2)")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("decimal(18,2)")).alias(f"max_{c}"),
+        ]
+    for c in _SUGGEST_COLS_CAT:
+        aggs += [
+            F.array_join(
+                F.array_sort(F.collect_set(c)), ","
+            ).alias(f"set_{c}")
+        ]
+    one = orders.agg(*aggs)
+    return _suggest_rules_frame(
+        one,
+        _SUGGEST_COLS_NUM + _SUGGEST_COLS_CAT,
+        _SUGGEST_COLS_CAT,
+    )
 
 
 ORACLE_SUGGEST = """

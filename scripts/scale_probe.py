@@ -307,11 +307,13 @@ def main() -> None:
         q_weighted_median_price,
     )
     from music_streaming_etl_spark.plans.decision_queries import (
+        q_attribution_position_based,
         q_holt_linear_trend,
         q_item_jaccard,
         q_max_drawdown,
         q_rank_biased_overlap,
         q_revenue_recognition,
+        q_segment_transition_matrix,
         q_ucb1_allocation,
         q_welch_t_test,
     )
@@ -458,10 +460,18 @@ def main() -> None:
         "holt_linear_trend": (
             q_holt_linear_trend, materialize_events, base_events,
         ),
+        "segment_transition_matrix": (
+            q_segment_transition_matrix, materialize_orders, base_orders,
+        ),
+        "attribution_position_based": (
+            q_attribution_position_based, materialize_events, base_events,
+        ),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
-    mult_caps = {"token_pmi": (1, 10)}
+    # (r4: token_pmi's registered form is now rarest-K-capped with a
+    # hard K²·N pair bound, so it probes to 100× like everything else)
+    mult_caps: dict = {}
     out = {"sf_dir": sf_dir, "ops": {}}
     for op in ops:
         fn, mat, base_rows = probes[op]

@@ -384,33 +384,60 @@ def test_kaplan_meier_matches_brute_force(spark):
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
 
 
-def test_token_pmi_matches_brute_force(spark):
-    from music_streaming_etl_spark.plans.stats_queries import q_token_pmi
-    import pandas as pd
+def _brute_pmi_top40(docs, cap=None):
     import re
     from collections import Counter
     from itertools import combinations
 
-    rows = q_token_pmi(spark, "/root/testdata/sf0.001").collect()
-    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
     sets = [
         sorted(set(re.split(r"\s+", t.strip().lower())))
         for t in docs["text"]
     ]
     n_docs = len(docs)
+    if cap is not None:
+        df0 = Counter(tok for s in sets for tok in s)
+        sets = [
+            [tok for _, tok in sorted((df0[t], t) for t in s)[:cap]]
+            for s in sets
+        ]
     df = Counter(tok for s in sets for tok in s)
-    cxy = Counter(p for s in sets for p in combinations(s, 2))
-    scored = sorted(
+    cxy = Counter(p for s in sets for p in combinations(sorted(s), 2))
+    return sorted(
         (
             (round(math.log(n_docs * c / (df[a] * df[b])), 6), a, b, c)
             for (a, b), c in cxy.items()
         ),
         key=lambda x: (-x[0], x[1], x[2]),
     )[:40]
+
+
+def _assert_pmi_rows(rows, scored):
     assert len(rows) == 40
     for r, (pmi, a, b, c) in zip(sorted(rows, key=lambda r: r["rank"]), scored):
         assert (r["token_a"], r["token_b"], r["c_xy"]) == (a, b, c), r["rank"]
         assert abs(r["pmi"] - pmi) < 2e-6
+
+
+def test_token_pmi_matches_brute_force(spark):
+    # the registered form: rarest-K=16 per-doc cap, df/pairs
+    # recomputed over the capped sets (VERDICT r3 item 7)
+    from music_streaming_etl_spark.plans.stats_queries import q_token_pmi
+    import pandas as pd
+
+    rows = q_token_pmi(spark, "/root/testdata/sf0.001").collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    _assert_pmi_rows(rows, _brute_pmi_top40(docs, cap=16))
+
+
+def test_token_pmi_uncapped_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_token_pmi_uncapped,
+    )
+    import pandas as pd
+
+    rows = q_token_pmi_uncapped(spark, "/root/testdata/sf0.001").collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    _assert_pmi_rows(rows, _brute_pmi_top40(docs, cap=None))
 
 
 def test_gains_table_matches_brute_force(spark):
@@ -1453,3 +1480,18 @@ def test_rank_sum_single_row_emits_null_not_nan(spark):
         row = _run(spark, list(pos), list(neg), parts=1)
         assert row["z"] is None, row
         assert row["auc"] is None, row
+
+
+def test_suggest_constraints_adaptive_matches_exact(spark):
+    # VERDICT r3 item 6: the approx-first/exact-verify default must be
+    # bit-identical to the exact single-pass form — candidate pruning
+    # only skips columns that provably fail the exact predicate.
+    from music_streaming_etl_spark.plans.stats_queries import (
+        q_suggest_constraints,
+        q_suggest_constraints_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in q_suggest_constraints(spark, sf).collect()]
+    e = [tuple(r) for r in q_suggest_constraints_exact(spark, sf).collect()]
+    assert a == e and len(a) > 0
