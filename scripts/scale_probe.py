@@ -249,6 +249,7 @@ def main() -> None:
         q_peak_concurrency,
         q_stickiness_ratios,
         q_quantile_sketch_rollup,
+        q_cohort_retention,
         q_sessionize_native,
         q_time_weighted_value,
         q_zorder_values,
@@ -266,7 +267,10 @@ def main() -> None:
         q_ks_drift,
         q_bitemporal_state_lookup,
         q_capped_running_balance,
+        q_cohort_ltv,
+        q_daily_autocorrelation,
         q_frequent_triples,
+        q_growth_accounting,
         q_percentile_cont_by_group,
         q_rolling_median_7d,
         q_skyline_customers,
@@ -465,6 +469,16 @@ def main() -> None:
         ),
         "attribution_position_based": (
             q_attribution_position_based, materialize_events, base_events,
+        ),
+        "cohort_ltv": (q_cohort_ltv, materialize_orders, base_orders),
+        "growth_accounting": (
+            q_growth_accounting, materialize_orders, base_orders,
+        ),
+        "daily_autocorrelation": (
+            q_daily_autocorrelation, materialize_orders, base_orders,
+        ),
+        "cohort_retention": (
+            q_cohort_retention, materialize_orders, base_orders,
         ),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
