@@ -920,42 +920,70 @@ def _unpartitioned_window_orderings(plan: str):
     return out
 
 
-# Audited bounded frames (VERDICT r3 perf section): `_pid` = the
-# #shuffle-partitions-row offsets table of global_prefix_sum /
-# global_rank; day-grain columns are calendar-bounded; the rest are
-# post-limit(k) / post-TakeOrdered ranks (operators/ranking.py:41).
-_ALLOWED_UNPARTITIONED_ORDER_PREFIXES = (
-    "_pid#",          # prefix-sum partition offsets (≤ #partitions rows)
-    "d#",             # ma_crossover day grain
-    "day#",           # cumulative_unique_users day grain
-    "stat_date#",     # daily_anomalies day grain
-    "_w1#",           # rolling_7day_revenue day-epoch range frame
-    "n_sessions#",    # top_event_paths post-limit rank
-    "score#",         # pagerank post-limit rank
-    "n#",             # token_frequencies post-limit rank
-    "revenue#",       # tpch_q3 TakeOrdered tail rank
+# Structural acceptance: a global rank window sitting DIRECTLY above
+# one of these nodes ranks an already-limited frame (global_topk's
+# TakeOrderedAndProject shape) — bounded by k, fine at any scale.
+_LIMIT_CHILD_NODES = (
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+    "GlobalLimit",
+    "CollectLimit",
+)
+
+# Audited bounded ordering columns for the non-post-limit cases
+# (full-registry audit, round 4): prefix-sum offsets, calendar/day
+# grain, event-duration grain (horizon-bounded), and fixed-size
+# decile/priority/replicate frames.
+_BOUNDED_ORDER_COLS = (
+    "_pid#",        # global_prefix_sum / global_rank offsets (≤ #partitions)
+    "day#",         # calendar day grain
+    "d#",           # ma_crossover day grain
+    "stat_date#",   # daily_anomalies day grain
+    "_w1#",         # rolling_7day_revenue day-epoch range frame
+    "t#",           # Kaplan-Meier / RMST distinct durations (horizon-bounded)
+    "tile#",        # gains_table: 10 deciles
+    "rem#",         # largest_remainder_quota: one row per priority (5)
+    "ucb_score#",   # ucb1_allocation: one row per arm (5 priorities)
+    "__bucket#",    # skyline suffix-max over n_buckets (≤ 64)
+    "mean_b#",      # bootstrap replicate means (B = 100)
 )
 
 
-def test_analytics_no_unpartitioned_fact_grain_windows(spark, sf_dir):
-    """Sweep EVERY analytics-registry plan: an unpartitioned WindowExec
-    may only order on an audited bounded frame (calendar-day grain,
-    the #partitions-row prefix-sum offsets, or a post-limit(k) rank).
-    A user-/customer-/value-grain global window — the
-    funnel_time_to_step regression class (VERDICT r3 item 3) — fails
-    here before the driver ever sees it."""
-    from music_streaming_etl_spark.plans.analytics_queries import (
-        REGISTRY_ANALYTICS,
-    )
+def _unpartitioned_window_violations(plan: str):
+    lines = plan.splitlines()
+    bad = []
+    for idx, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        g = _window_bracket_groups(line)
+        if g is None or len(g) >= 3:
+            continue
+        if not (len(g) == 1 or (" ASC" in g[1] or " DESC" in g[1])):
+            continue
+        child = lines[idx + 1] if idx + 1 < len(lines) else ""
+        if any(k in child for k in _LIMIT_CHILD_NODES):
+            continue
+        order = g[1] if len(g) > 1 else ""
+        if order.startswith(_BOUNDED_ORDER_COLS):
+            continue
+        bad.append(order[:120])
+    return bad
+
+
+def test_registry_no_unpartitioned_fact_grain_windows(spark, sf_dir):
+    """Sweep EVERY registry plan (269 queries): an unpartitioned
+    WindowExec must either rank an already-limited frame (its direct
+    child is TakeOrderedAndProject / WindowGroupLimit / a limit — the
+    global_topk shape) or order on an audited bounded column
+    (prefix-sum `_pid` offsets, calendar-day grain, fixed decile/
+    priority/replicate frames). A user-/customer-/value-grain global
+    window — the funnel_time_to_step regression class (VERDICT r3
+    item 3) — fails here before the driver ever sees it."""
+    from music_streaming_etl_spark.plans.registry import REGISTRY
 
     offenders = {}
-    for name, (fn, _) in REGISTRY_ANALYTICS.items():
-        plan = _plan(fn(spark, sf_dir))
-        bad = [
-            o
-            for o in _unpartitioned_window_orderings(plan)
-            if not o.startswith(_ALLOWED_UNPARTITIONED_ORDER_PREFIXES)
-        ]
+    for name, (fn, _) in REGISTRY.items():
+        bad = _unpartitioned_window_violations(_plan(fn(spark, sf_dir)))
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
