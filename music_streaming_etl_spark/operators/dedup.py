@@ -96,10 +96,17 @@ def dedup_clusters(
         .localCheckpoint()
     )
     for _ in range(max_iterations):
+        # MERGE-pinned: edges and labels BOTH scale with the corpus
+        # (edge-scaled × node-scaled), so a broadcast can never be the
+        # right plan — Catalyst's static estimate of the cached
+        # pairs-derived edge frame undershoots and dies in
+        # notEnoughMemoryToBuildAndBroadcastTable at the probe's 100×
+        # point (the copurchase_pairs/frequent_triples lesson, caught
+        # here by the r4 probe).
         prop = edges.join(
             labels.select(
                 F.col("id").alias("dst"), F.col("label").alias("label")
-            ),
+            ).hint("merge"),
             "dst",
         ).select(F.col("src").alias("id"), "label")
         new_labels = (
@@ -112,7 +119,7 @@ def dedup_clusters(
             new_labels.join(
                 labels.select(
                     F.col("id").alias("id"), F.col("label").alias("old_label")
-                ),
+                ).hint("merge"),
                 "id",
             )
             .filter(F.col("label") != F.col("old_label"))
@@ -313,11 +320,23 @@ def dedup_minhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # MERGE-pinned verify joins: cand, hsd and cnts all scale with the
+    # corpus (candidate-pair-scaled × shingle-scaled × doc-scaled), so
+    # no side is ever broadcast-safe at scale; Catalyst's static
+    # estimate of the post-join cand frame undershoots and the r4
+    # probe caught dedup_clusters' 100× point dying in
+    # notEnoughMemoryToBuildAndBroadcastTable inside this pipeline
+    # (the copurchase_pairs/frequent_triples lesson).
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(hsd.select(F.col("id").alias("id_a"), "h"), "id_a")
+        cand.join(
+            hsd.select(F.col("id").alias("id_a"), "h").hint("merge"), "id_a"
+        )
         .join(
-            hsd.select(F.col("id").alias("id_b"), F.col("h").alias("h_b")), "id_b"
+            hsd.select(
+                F.col("id").alias("id_b"), F.col("h").alias("h_b")
+            ).hint("merge"),
+            "id_b",
         )
         .filter(F.col("h") == F.col("h_b"))
         .groupBy("id_a", "id_b")
@@ -325,10 +344,16 @@ def dedup_minhash_pairs(
     )
     verified = (
         inter.join(
-            cnts.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+            cnts.select(
+                F.col("id").alias("id_a"), F.col("n").alias("na")
+            ).hint("merge"),
+            "id_a",
         )
         .join(
-            cnts.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b"
+            cnts.select(
+                F.col("id").alias("id_b"), F.col("n").alias("nb")
+            ).hint("merge"),
+            "id_b",
         )
         .select(
             "id_a",

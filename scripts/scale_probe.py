@@ -102,6 +102,13 @@ def materialize_llm(spark, sf_dir: str, mult: int) -> str:
         (
             embs.crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
             .withColumn("vec_id", F.col("vec_id") * mult + m)
+            # labels re-keyed per copy: the realistic growth axis is
+            # MORE clusters, not 100x-bigger ones — cluster-local
+            # pairwise ops (semdedup) are quadratic in cluster size by
+            # contract, so a fixed-label multiply would probe an
+            # adversarial 10,000x-pairs workload instead of corpus
+            # growth (the materialize_events "more users" rule)
+            .withColumn("label", F.col("label") * mult + m)
             .withColumn(
                 "embedding",
                 F.transform(
@@ -134,6 +141,12 @@ def materialize_orders(spark, sf_dir: str, mult: int) -> str:
             .drop("_m")
             .write.mode("overwrite")
             .parquet(os.path.join(out, "orders.parquet"))
+        )
+        # unchanged dims alongside the multiplied fact (facts grow,
+        # dims don't) — lets orders×customer probes run unmodified
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "customer.parquet")),
+            os.path.join(out, "customer.parquet"),
         )
         open(os.path.join(out, "_done"), "w").close()
     return out
@@ -241,7 +254,18 @@ def q_ivf_index_search_probe(spark, d: str):
 
 def main() -> None:
     from music_streaming_etl_spark.plans.analytics_queries import (
+        q_asof_join_signup,
         q_basket_affinity_lift,
+        q_customer_retention,
+        q_event_transitions,
+        q_funnel_conversion,
+        q_lateral_top_orders,
+        q_locf_fill,
+        q_revenue_trend,
+        q_rolling_7day_revenue,
+        q_salted_skew_count,
+        q_scd2_user_state,
+        q_sessionize_events,
         q_copurchase_pairs,
         q_copurchase_reach,
         q_ewma_daily_revenue,
@@ -256,6 +280,9 @@ def main() -> None:
     )
     from music_streaming_etl_spark.plans.extension_queries import (
         q_bm25_search,
+        q_dedup_clusters,
+        q_pack_sequences,
+        q_semdedup,
         q_corpus_shuffle,
         q_dedup_containment,
         q_dedup_minhash,
@@ -480,6 +507,38 @@ def main() -> None:
         "cohort_retention": (
             q_cohort_retention, materialize_orders, base_orders,
         ),
+        # r4: window-backlog keys — measured curves before the driver
+        # checks them
+        "funnel_conversion": (
+            q_funnel_conversion, materialize_events, base_events,
+        ),
+        "sessionize_events": (
+            q_sessionize_events, materialize_events, base_events,
+        ),
+        "event_transitions": (
+            q_event_transitions, materialize_events, base_events,
+        ),
+        "asof_join_signup": (
+            q_asof_join_signup, materialize_events, base_events,
+        ),
+        "scd2_user_state": (
+            q_scd2_user_state, materialize_events, base_events,
+        ),
+        "locf_fill": (q_locf_fill, materialize_events, base_events),
+        "customer_retention": (
+            q_customer_retention, materialize_orders, base_orders,
+        ),
+        "rolling_7day_revenue": (
+            q_rolling_7day_revenue, materialize_orders, base_orders,
+        ),
+        "revenue_trend": (q_revenue_trend, materialize_orders, base_orders),
+        "lateral_top_orders": (
+            q_lateral_top_orders, materialize_orders, base_orders,
+        ),
+        "semdedup": (q_semdedup, materialize_llm, base_docs),
+        "dedup_clusters": (q_dedup_clusters, materialize_llm, base_docs),
+        "pack_sequences": (q_pack_sequences, materialize_llm, base_docs),
+        "salted_skew_count": (q_salted_skew_count, materialize, base_li),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
@@ -487,11 +546,32 @@ def main() -> None:
     # hard K²·N pair bound, so it probes to 100× like everything else)
     mult_caps: dict = {}
     out = {"sf_dir": sf_dir, "ops": {}}
+    # ITERATIVE queries (driver-side fixpoint loops with
+    # localCheckpoint inside fn()) do their work EAGERLY during query
+    # construction — timing only the final action would read back the
+    # last checkpoint in ~0.02s and lie. For these, the timed region
+    # wraps fn() + the action.
+    eager_build = {"dedup_clusters"}
     for op in ops:
         fn, mat, base_rows = probes[op]
         points = []
         for mult in mult_caps.get(op, (1, 10, 100)):
             d = sf_dir if mult == 1 else mat(spark, sf_dir, mult)
+            if op in eager_build:
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                wall = round(time.time() - t0, 2)
+                points.append(
+                    {"mult": mult, "input_rows": mult * base_rows,
+                     "sec": wall,
+                     "rows_per_sec": int(mult * base_rows / wall) if wall > 0 else None}
+                )
+                print(
+                    f"  {op:<20} {mult:>4}x  {mult * base_rows:>11,} rows  {wall:>7.2f}s",
+                    file=sys.stderr,
+                )
+                continue
             df = fn(spark, d)
             df.write.format("noop").mode("overwrite").save()  # warm-up run
             t0 = time.time()
