@@ -256,6 +256,8 @@ def main() -> None:
     from music_streaming_etl_spark.plans.analytics_queries import (
         q_asof_join_signup,
         q_basket_affinity_lift,
+        q_daily_active_users,
+        q_event_interarrival,
         q_customer_retention,
         q_event_transitions,
         q_funnel_conversion,
@@ -281,8 +283,14 @@ def main() -> None:
     from music_streaming_etl_spark.plans.extension_queries import (
         q_bm25_search,
         q_dedup_clusters,
+        q_dedup_clusters_twophase,
+        q_domain_top_docs,
+        q_duplicate_spans,
         q_pack_sequences,
+        q_pii_redaction,
+        q_quality_filter,
         q_semdedup,
+        q_training_corpus,
         q_corpus_shuffle,
         q_dedup_containment,
         q_dedup_minhash,
@@ -539,6 +547,20 @@ def main() -> None:
         "dedup_clusters": (q_dedup_clusters, materialize_llm, base_docs),
         "pack_sequences": (q_pack_sequences, materialize_llm, base_docs),
         "salted_skew_count": (q_salted_skew_count, materialize, base_li),
+        "training_corpus": (q_training_corpus, materialize_llm, base_docs),
+        "duplicate_spans": (q_duplicate_spans, materialize_llm, base_docs),
+        "domain_top_docs": (q_domain_top_docs, materialize_llm, base_docs),
+        "pii_redaction": (q_pii_redaction, materialize_llm, base_docs),
+        "quality_filter": (q_quality_filter, materialize_llm, base_docs),
+        "daily_active_users": (
+            q_daily_active_users, materialize_events, base_events,
+        ),
+        "event_interarrival": (
+            q_event_interarrival, materialize_events, base_events,
+        ),
+        "dedup_clusters_twophase": (
+            q_dedup_clusters_twophase, materialize_llm, base_docs,
+        ),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
@@ -551,7 +573,7 @@ def main() -> None:
     # construction — timing only the final action would read back the
     # last checkpoint in ~0.02s and lie. For these, the timed region
     # wraps fn() + the action.
-    eager_build = {"dedup_clusters"}
+    eager_build = {"dedup_clusters", "dedup_clusters_twophase"}
     for op in ops:
         fn, mat, base_rows = probes[op]
         points = []
