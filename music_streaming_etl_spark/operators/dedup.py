@@ -156,48 +156,84 @@ def fuzzy_pairs(
     """Blocked edit-distance record linkage: all pairs with
     ``levenshtein <= max_dist``, WITHOUT the O(n²) cross join.
 
-    Blocking is the pigeonhole slice scheme: each string splits into
-    ``max_dist + 1`` contiguous slices; two equal-length strings within
-    substitution distance ``max_dist`` must agree exactly on at least
-    one slice (there are more slices than edits), so candidates are the
-    union over slices of equi-self-joins on (slice index, length,
-    slice) — shuffle on short keys, never the cross product — then the
-    exact ``levenshtein`` verifies candidates only. Recall is EXACT for
-    substitution edits; insertions/deletions shift slice boundaries and
-    need q-gram blocking instead (out of scope — noted, not silent).
+    Blocking is the symmetric-delete (SymSpell) scheme: each string
+    emits every variant reachable by deleting up to ``max_dist``
+    characters (itself included); if lev(s, t) <= d the two delete
+    neighborhoods intersect, so an equi-self-join on the variant
+    string finds every true pair — recall is EXACT for the FULL
+    Levenshtein metric (substitutions AND insertions/deletions).
+
+    This replaced pigeonhole slice blocking (round 4), which had two
+    defects the scale probe exposed: (a) recall was substitution-only
+    (the DuckDB oracle is plain ``levenshtein <= d`` — cross-length
+    pairs were found only because TPC-H names happen to be
+    equal-length); (b) on low-entropy distributions it degenerates —
+    every TPC-H customer name shares the constant ``Customer#``
+    prefix, so the prefix slice put ALL rows in ONE block and the
+    candidate set was O(n²) (112M levenshteins at just 15k rows).
+    A delete variant keeps all-but-d characters, so every key carries
+    the string's entropy wherever it lives; block sizes are bounded
+    by true near-dup multiplicity (× alphabet), never the corpus.
+    Fan-out is C(len, d) keys/row (len+1 at d=1) — linear shuffle
+    growth in corpus size for the supported d <= 2; larger radii
+    need q-gram blocking instead (explicit error, not silence).
+
+    The self-join is MERGE-pinned: both sides are corpus-scaled by
+    construction, so a broadcast can never be the right plan and
+    Catalyst's static estimate of the variant frame undershoots
+    (same class as the copurchase_pairs / dedup_clusters probe
+    failures).
 
     Output: (id_a, id_b, dist), id_a < id_b, deterministic."""
-    n_slices = max_dist + 1
+    if max_dist > 2:
+        raise ValueError(
+            "fuzzy_pairs supports max_dist <= 2 (delete-variant fan-out "
+            "is C(len, d) per row); use q-gram blocking for larger radii"
+        )
     base = df.select(
         F.col(id_col).alias("__id"), F.col(str_col).alias("__s")
     )
-    length = F.length(F.col("__s"))
-    slices = []
-    for i in range(n_slices):
-        pos = F.floor(length * i / n_slices) + 1
-        ln = F.floor(length * (i + 1) / n_slices) - F.floor(length * i / n_slices)
-        slices.append(
-            base.select(
+    # iteratively extend the neighborhood: each level keeps the
+    # identity (i = 0) and adds one more deletion, so after d levels
+    # __key holds every <=d-deletion variant of __s (deduped per row)
+    var = base.select("__id", "__s", F.col("__s").alias("__key"))
+    for _ in range(max_dist):
+        var = (
+            var.select(
                 "__id",
                 "__s",
-                F.lit(i).alias("__slice"),
-                length.alias("__len"),
-                F.col("__s").substr(pos.cast("int"), ln.cast("int")).alias("__key"),
+                "__key",
+                F.explode(
+                    F.sequence(F.lit(0), F.length("__key"))
+                ).alias("__i"),
             )
+            .select(
+                "__id",
+                "__s",
+                F.when(F.col("__i") == 0, F.col("__key"))
+                .otherwise(
+                    F.concat(
+                        F.expr("substring(__key, 1, __i - 1)"),
+                        F.expr("substring(__key, __i + 1)"),
+                    )
+                )
+                .alias("__key"),
+            )
+            .distinct()
         )
-    tagged = slices[0]
-    for s in slices[1:]:
-        tagged = tagged.unionByName(s)
-    a = tagged.select(
-        F.col("__slice"), F.col("__len"), F.col("__key"),
-        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
+    a = var.select(
+        F.col("__key"),
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("__sa"),
     )
-    b = tagged.select(
-        F.col("__slice"), F.col("__len"), F.col("__key"),
-        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
+    b = var.select(
+        F.col("__key"),
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("__sb"),
     )
     cand = (
-        a.join(b, ["__slice", "__len", "__key"])
+        a.hint("merge")
+        .join(b, "__key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__sa", "__sb")
         .distinct()

@@ -1009,9 +1009,13 @@ FROM long GROUP BY 1, 2
 
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage: customer-name pairs within edit distance 1 via
-    pigeonhole slice blocking (equi-join on string halves + exact
-    levenshtein on candidates only) — never the O(n²) cross join the
-    naive form plans."""
+    symmetric-delete (SymSpell) blocking — equi-join on delete-1
+    variants + exact levenshtein on candidates only, never the O(n²)
+    cross join the naive form plans. Exact recall for the full
+    Levenshtein metric (matches the oracle's unrestricted
+    ``levenshtein <= 1`` predicate, indels included); keys keep
+    all-but-one character so the constant ``Customer#`` prefix can't
+    collapse the blocks (the failure the slice scheme had)."""
     from ..operators.dedup import fuzzy_pairs
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -2151,21 +2155,20 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution over customer names, composed
-    entirely from existing operators: pigeonhole-blocked fuzzy match
-    (`fuzzy_pairs`, levenshtein ≤ 1, never a cross join) → connected
-    components (`dedup_clusters`, iterative min-label) → one canonical
-    record per entity (`dedup_keep_canonical`, a semi-join). The
-    output is the resolved entity registry a downstream join uses
-    instead of raw records.
+    entirely from existing operators: symmetric-delete-blocked fuzzy
+    match (`fuzzy_pairs`, levenshtein ≤ 1, never a cross join) →
+    connected components (`dedup_clusters`, iterative min-label) →
+    one canonical record per entity (`dedup_keep_canonical`, a
+    semi-join). The output is the resolved entity registry a
+    downstream join uses instead of raw records.
 
     Output is the full member → entity mapping (every record labeled
     with its entity id and the entity's canonical name) — the lookup
     table a downstream join actually consumes. The oracle recomputes
     the same composition in SQL: levenshtein candidate pairs,
-    recursive-CTE closure, min-root labels. (TPC-H names are
-    equal-length, so distance-1 is always a substitution — the regime
-    where the slice blocking has exact recall; same argument as
-    `fuzzy_name_pairs`. The synthetic digit-substitution name space is
+    recursive-CTE closure, min-root labels. (Delete-variant blocking
+    has exact recall for the oracle's unrestricted levenshtein ≤ 1 —
+    see `fuzzy_pairs`. The synthetic digit-substitution name space is
     densely connected — small diameter, so the min-label iteration
     converges in a handful of rounds.)
     """

@@ -152,6 +152,38 @@ def materialize_orders(spark, sf_dir: str, mult: int) -> str:
     return out
 
 
+def materialize_customer(spark, sf_dir: str, mult: int) -> str:
+    """Multiplied customers with per-copy NAME substitution: the last
+    3 name chars become the zero-padded copy index (same length, pure
+    substitution — the regime where pigeonhole slice blocking has
+    exact recall). Copies whose indexes differ in one digit are
+    genuine distance-1 duplicates, so the linkage workload grows with
+    a realistic dup-heavy structure instead of mult² identical
+    names."""
+    out = os.path.join(SCRATCH, "scale_probe", f"cust_x{mult}")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        m = F.col("_m")
+        cust = _t(spark, sf_dir, "customer")
+        (
+            cust.crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
+            .withColumn("c_custkey", F.col("c_custkey") * mult + m)
+            .withColumn(
+                "c_name",
+                F.concat(
+                    F.expr("substring(c_name, 1, length(c_name) - 3)"),
+                    F.lpad(m.cast("string"), 3, "0"),
+                ),
+            )
+            .drop("_m")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "customer.parquet"))
+        )
+        open(os.path.join(out, "_done"), "w").close()
+    return out
+
+
 def materialize_events(spark, sf_dir: str, mult: int) -> str:
     """Multiplied events modeling MORE USERS (user_id and event_id
     re-keyed per copy) — per-user history length stays constant, which
@@ -202,6 +234,13 @@ def materialize_star(spark, sf_dir: str, mult: int) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(out, "lineitem.parquet"))
         )
+        # unchanged dims alongside the two multiplied facts (facts
+        # grow, dims don't) — lets the TPC-H join probes run unmodified
+        for t in ("customer", "supplier", "nation", "region", "part"):
+            os.symlink(
+                os.path.abspath(os.path.join(sf_dir, f"{t}.parquet")),
+                os.path.join(out, f"{t}.parquet"),
+            )
         open(os.path.join(out, "_done"), "w").close()
     return out
 
@@ -257,7 +296,9 @@ def main() -> None:
         q_asof_join_signup,
         q_basket_affinity_lift,
         q_daily_active_users,
+        q_entity_resolution,
         q_event_interarrival,
+        q_fuzzy_name_pairs,
         q_customer_retention,
         q_event_transitions,
         q_funnel_conversion,
@@ -279,6 +320,21 @@ def main() -> None:
         q_sessionize_native,
         q_time_weighted_value,
         q_zorder_values,
+        q_cms_frequency,
+        q_cube_returnflag_status,
+        q_grouping_sets,
+        q_hll_rollup_customers,
+        q_median_by_group,
+        q_monthly_rollup,
+        q_percent_rank_cume,
+        q_profile_table,
+        q_range_join_windows,
+        q_revenue_deciles,
+        q_snapshot_diff,
+        q_token_frequencies,
+        q_unpivot_metrics,
+        q_variant_props_stats,
+        q_window_running_total,
     )
     from music_streaming_etl_spark.plans.extension_queries import (
         q_bm25_search,
@@ -295,6 +351,25 @@ def main() -> None:
         q_dedup_containment,
         q_dedup_minhash,
         q_similarity_topk_ivf,
+        q_bpe_tokenize,
+        q_contamination_check,
+        q_dedup_canonical,
+        q_doc_chunks,
+        q_domain_mixture,
+        q_embedding_centroids,
+        q_k_anonymity,
+        q_key_skew_profile,
+        q_pseudonymize_users,
+        q_repetition_stats,
+        q_sample_per_key,
+        q_tfidf_top_terms,
+        q_unigram_commonness,
+    )
+    from music_streaming_etl_spark.plans.tpch_queries import (
+        q_tpch_q9_product_profit,
+        q_tpch_q17_small_quantity,
+        q_tpch_q18_large_orders,
+        q_tpch_q21_waiting_supplier,
     )
 
     from music_streaming_etl_spark.plans.advanced_queries import (
@@ -372,6 +447,7 @@ def main() -> None:
     base_orders = _t(spark, sf_dir, "orders").count()
     base_events = _t(spark, sf_dir, "events").count()
     base_li = _t(spark, sf_dir, "lineitem").count()
+    base_cust = _t(spark, sf_dir, "customer").count()
     probes = {
         "sessionize_native": (q_sessionize_native, materialize_events, base_events),
         "hopping_windows": (q_hopping_windows, materialize_events, base_events),
@@ -561,6 +637,74 @@ def main() -> None:
         "dedup_clusters_twophase": (
             q_dedup_clusters_twophase, materialize_llm, base_docs,
         ),
+        "fuzzy_name_pairs": (
+            q_fuzzy_name_pairs, materialize_customer, base_cust,
+        ),
+        "entity_resolution": (
+            q_entity_resolution, materialize_customer, base_cust,
+        ),
+        # --- backlog batch: orders-grain shapes ---
+        "window_running_total": (
+            q_window_running_total, materialize_orders, base_orders,
+        ),
+        "monthly_rollup": (q_monthly_rollup, materialize_orders, base_orders),
+        "grouping_sets": (q_grouping_sets, materialize_orders, base_orders),
+        "revenue_deciles": (q_revenue_deciles, materialize_orders, base_orders),
+        "hll_rollup_customers": (
+            q_hll_rollup_customers, materialize_orders, base_orders,
+        ),
+        "percent_rank_cume": (
+            q_percent_rank_cume, materialize_orders, base_orders,
+        ),
+        # --- lineitem-grain shapes ---
+        "median_by_group": (q_median_by_group, materialize, base_li),
+        "cube_returnflag_status": (
+            q_cube_returnflag_status, materialize, base_li,
+        ),
+        "unpivot_metrics": (q_unpivot_metrics, materialize, base_li),
+        "tpch_q17_small_quantity": (
+            q_tpch_q17_small_quantity, materialize, base_li,
+        ),
+        # --- orders×lineitem star joins (consistent re-keying) ---
+        "range_join_windows": (q_range_join_windows, materialize_star, base_li),
+        "tpch_q9_product_profit": (
+            q_tpch_q9_product_profit, materialize_star, base_li,
+        ),
+        "tpch_q18_large_orders": (
+            q_tpch_q18_large_orders, materialize_star, base_li,
+        ),
+        "tpch_q21_waiting_supplier": (
+            q_tpch_q21_waiting_supplier, materialize_star, base_li,
+        ),
+        # --- events-grain shapes (growth axis: more users) ---
+        "key_skew_profile": (q_key_skew_profile, materialize_events, base_events),
+        "cms_frequency": (q_cms_frequency, materialize_events, base_events),
+        "variant_props_stats": (
+            q_variant_props_stats, materialize_events, base_events,
+        ),
+        "pseudonymize_users": (
+            q_pseudonymize_users, materialize_events, base_events,
+        ),
+        # --- docs/embeddings corpus shapes ---
+        "token_frequencies": (q_token_frequencies, materialize_llm, base_docs),
+        "doc_chunks": (q_doc_chunks, materialize_llm, base_docs),
+        "repetition_stats": (q_repetition_stats, materialize_llm, base_docs),
+        "contamination_check": (
+            q_contamination_check, materialize_llm, base_docs,
+        ),
+        "unigram_commonness": (q_unigram_commonness, materialize_llm, base_docs),
+        "domain_mixture": (q_domain_mixture, materialize_llm, base_docs),
+        "tfidf_top_terms": (q_tfidf_top_terms, materialize_llm, base_docs),
+        "sample_per_key": (q_sample_per_key, materialize_llm, base_docs),
+        "dedup_canonical": (q_dedup_canonical, materialize_llm, base_docs),
+        "embedding_centroids": (
+            q_embedding_centroids, materialize_llm, base_docs,
+        ),
+        "bpe_tokenize": (q_bpe_tokenize, materialize_llm, base_docs),
+        # --- customer-dim shapes ---
+        "snapshot_diff": (q_snapshot_diff, materialize_customer, base_cust),
+        "profile_table": (q_profile_table, materialize_customer, base_cust),
+        "k_anonymity": (q_k_anonymity, materialize_customer, base_cust),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
@@ -573,7 +717,16 @@ def main() -> None:
     # construction — timing only the final action would read back the
     # last checkpoint in ~0.02s and lie. For these, the timed region
     # wraps fn() + the action.
-    eager_build = {"dedup_clusters", "dedup_clusters_twophase"}
+    eager_build = {
+        "dedup_clusters",
+        "dedup_clusters_twophase",
+        "entity_resolution",
+        # iterative CC inside fn() (dedup_canonical) and the 16-merge
+        # BPE training loop (bpe_tokenize) — time fn()+action or the
+        # driver-side iterations escape the measurement
+        "dedup_canonical",
+        "bpe_tokenize",
+    }
     for op in ops:
         fn, mat, base_rows = probes[op]
         points = []

@@ -165,17 +165,21 @@ def test_dedup_clusters_long_chain_converges(spark):
 
 
 def test_fuzzy_pairs_matches_naive_levenshtein(spark):
-    """Slice blocking must find exactly the pairs the O(n²) scan finds
-    (substitution edits on equal-length strings — the exact-recall
-    contract)."""
+    """Symmetric-delete blocking must find exactly the pairs the O(n²)
+    scan finds — the exact-recall contract now covers the FULL
+    Levenshtein metric, so the injected neighbors include
+    substitutions, deletions, AND insertions (cross-length pairs the
+    old slice scheme could never block together)."""
     import random
 
     from music_streaming_etl_spark.operators.dedup import fuzzy_pairs
 
     rng = random.Random(11)
     base = ["".join(rng.choice("abcd") for _ in range(8)) for _ in range(60)]
-    # inject guaranteed 1-substitution neighbors
-    variants = [s[:3] + "x" + s[4:] for s in base[:20]]
+    # inject guaranteed distance-1 neighbors of all three edit kinds
+    variants = [s[:3] + "x" + s[4:] for s in base[:20]]  # substitution
+    variants += [s[:5] + s[6:] for s in base[20:35]]  # deletion
+    variants += [s[:2] + "x" + s[2:] for s in base[35:50]]  # insertion
     rows = [(i, s) for i, s in enumerate(base + variants)]
     df = spark.createDataFrame(rows, "id long, s string")
 
