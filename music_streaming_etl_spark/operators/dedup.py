@@ -750,13 +750,14 @@ def contamination_pairs(
     contamination) and shuffle-skew hot keys, so the cap is the skew
     guard — it is part of the operator's semantics (mirrored in the
     oracle), not a lossy shortcut."""
-    c_sh = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    # exploded codegen shingle build (posexplode + lead windows) — the
+    # interpreted array-transform form ran ~5× slower end-to-end at
+    # the 100× probe point (r4: 309s → measured after rewrite below)
+    c_sh = shingle_frame(corpus, id_col, text_col, shingle_n).select(
+        F.col("id").alias("doc_id"), "sh"
     )
-    b_sh = bench.select(
-        F.col(id_col).alias("bench_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    b_sh = shingle_frame(bench, id_col, text_col, shingle_n).select(
+        F.col("id").alias("bench_id"), "sh"
     )
     if max_shingle_df is not None:
         keep = (
