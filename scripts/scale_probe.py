@@ -38,6 +38,7 @@ from music_streaming_etl_spark.plans.testdata_queries import (  # noqa: E402
     SCRATCH,
     _t,
     q_genre_kpis,
+    q_tpch_q1_pricing,
 )
 from music_streaming_etl_spark.session import get_spark  # noqa: E402
 
@@ -153,13 +154,21 @@ def materialize_orders(spark, sf_dir: str, mult: int) -> str:
 
 
 def materialize_customer(spark, sf_dir: str, mult: int) -> str:
-    """Multiplied customers with per-copy NAME substitution: the last
-    3 name chars become the zero-padded copy index (same length, pure
-    substitution — the regime where pigeonhole slice blocking has
-    exact recall). Copies whose indexes differ in one digit are
-    genuine distance-1 duplicates, so the linkage workload grows with
-    a realistic dup-heavy structure instead of mult² identical
-    names."""
+    """Multiplied customers modeling MORE ENTITIES: rows are re-keyed
+    per copy and the name is regenerated from the new key in the base
+    table's own ``Customer#%09d`` format, so the multiplied table is
+    exactly what the dense numeric namespace looks like at a larger
+    scale factor. Per-name distance-1 degree (valid single-digit
+    substitutions in range) stays roughly constant as the corpus
+    grows, so true-dup pairs grow LINEARLY — the probe measures the
+    blocking fan-out and verify join, not an adversarial workload.
+
+    (The first r4 version substituted the copy index into the LAST 3
+    name chars; that collapsed every ~1000 base keys sharing a prefix
+    onto ONE name, i.e. groups of ~1000 exact duplicates → C(1000,2)
+    output pairs per group — a quadratic exact-dup explosion that hung
+    the 10× probe. Lesson recorded here: a linkage probe's dup
+    multiplicity must stay bounded as the corpus multiplies.)"""
     out = os.path.join(SCRATCH, "scale_probe", f"cust_x{mult}")
     if not os.path.exists(os.path.join(out, "_done")):
         shutil.rmtree(out, ignore_errors=True)
@@ -172,8 +181,8 @@ def materialize_customer(spark, sf_dir: str, mult: int) -> str:
             .withColumn(
                 "c_name",
                 F.concat(
-                    F.expr("substring(c_name, 1, length(c_name) - 3)"),
-                    F.lpad(m.cast("string"), 3, "0"),
+                    F.lit("Customer#"),
+                    F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
                 ),
             )
             .drop("_m")
@@ -295,9 +304,13 @@ def main() -> None:
     from music_streaming_etl_spark.plans.analytics_queries import (
         q_asof_join_signup,
         q_basket_affinity_lift,
+        q_bucketed_join_revenue,
         q_daily_active_users,
         q_entity_resolution,
         q_event_interarrival,
+        q_funnel_time_to_step,
+        q_tpch_q3_shipping,
+        q_tpch_q5_local_supplier,
         q_fuzzy_name_pairs,
         q_customer_retention,
         q_event_transitions,
@@ -366,10 +379,25 @@ def main() -> None:
         q_unigram_commonness,
     )
     from music_streaming_etl_spark.plans.tpch_queries import (
+        q_tpch_q2_min_cost_supplier,
+        q_tpch_q4_late_orders,
+        q_tpch_q6_forecast,
+        q_tpch_q7_volume_shipping,
+        q_tpch_q8_market_share,
         q_tpch_q9_product_profit,
+        q_tpch_q10_returns,
+        q_tpch_q11_important_parts,
+        q_tpch_q12_priority_mix,
+        q_tpch_q13_order_distribution,
+        q_tpch_q14_promo_effect,
+        q_tpch_q15_top_supplier,
+        q_tpch_q16_supplier_counts,
         q_tpch_q17_small_quantity,
         q_tpch_q18_large_orders,
+        q_tpch_q19_disjunctive,
+        q_tpch_q20_dominant_supplier,
         q_tpch_q21_waiting_supplier,
+        q_tpch_q22_idle_customers,
     )
 
     from music_streaming_etl_spark.plans.advanced_queries import (
@@ -705,6 +733,62 @@ def main() -> None:
         "snapshot_diff": (q_snapshot_diff, materialize_customer, base_cust),
         "profile_table": (q_profile_table, materialize_customer, base_cust),
         "k_anonymity": (q_k_anonymity, materialize_customer, base_cust),
+        # --- remaining window keys + funnel median fix evidence ---
+        # (ref_pipeline_genre_kpis is fixed reference CSVs — no scale
+        # axis, intentionally unprobed)
+        "bucketed_join_revenue": (
+            q_bucketed_join_revenue, materialize_orders, base_orders,
+        ),
+        "funnel_time_to_step": (
+            q_funnel_time_to_step, materialize_events, base_events,
+        ),
+        # --- full TPC-H decision-support block over the star probe ---
+        "tpch_q1_pricing": (q_tpch_q1_pricing, materialize_star, base_li),
+        "tpch_q2_min_cost_supplier": (
+            q_tpch_q2_min_cost_supplier, materialize_star, base_li,
+        ),
+        "tpch_q3_shipping": (q_tpch_q3_shipping, materialize_star, base_li),
+        "tpch_q4_late_orders": (
+            q_tpch_q4_late_orders, materialize_star, base_li,
+        ),
+        "tpch_q5_local_supplier": (
+            q_tpch_q5_local_supplier, materialize_star, base_li,
+        ),
+        "tpch_q6_forecast": (q_tpch_q6_forecast, materialize_star, base_li),
+        "tpch_q7_volume_shipping": (
+            q_tpch_q7_volume_shipping, materialize_star, base_li,
+        ),
+        "tpch_q8_market_share": (
+            q_tpch_q8_market_share, materialize_star, base_li,
+        ),
+        "tpch_q10_returns": (q_tpch_q10_returns, materialize_star, base_li),
+        "tpch_q11_important_parts": (
+            q_tpch_q11_important_parts, materialize_star, base_li,
+        ),
+        "tpch_q12_priority_mix": (
+            q_tpch_q12_priority_mix, materialize_star, base_li,
+        ),
+        "tpch_q13_order_distribution": (
+            q_tpch_q13_order_distribution, materialize_star, base_orders,
+        ),
+        "tpch_q14_promo_effect": (
+            q_tpch_q14_promo_effect, materialize_star, base_li,
+        ),
+        "tpch_q15_top_supplier": (
+            q_tpch_q15_top_supplier, materialize_star, base_li,
+        ),
+        "tpch_q16_supplier_counts": (
+            q_tpch_q16_supplier_counts, materialize_star, base_li,
+        ),
+        "tpch_q19_disjunctive": (
+            q_tpch_q19_disjunctive, materialize_star, base_li,
+        ),
+        "tpch_q20_dominant_supplier": (
+            q_tpch_q20_dominant_supplier, materialize_star, base_li,
+        ),
+        "tpch_q22_idle_customers": (
+            q_tpch_q22_idle_customers, materialize_star, base_orders,
+        ),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
