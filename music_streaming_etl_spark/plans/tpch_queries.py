@@ -33,19 +33,47 @@ from .testdata_queries import _t, dec_sum
 
 def q_tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 shape: order-priority census of orders with at least one
-    "late" line (EXISTS → left-semi join). The reference predicate
-    (commitdate < receiptdate) is re-expressed as "a line shipped more
-    than 30 days after the order date" on the available columns."""
+    "late" line (EXISTS). The reference predicate (commitdate <
+    receiptdate) is re-expressed as "a line shipped more than 30 days
+    after the order date" on the available columns.
+
+    Scale shape (r4 rewrite — the probe measured the naive left-semi
+    at 27.2s/60M lines, the worst riser of the TPC-H block, because a
+    semi join has no map-side reduction and shuffled every line):
+
+    1. EXISTS with a MONOTONE residual decomposes to a per-key max:
+       ∃ line (ship > od+30) ⟺ max(ship) > od+30, so lineitem
+       partial-aggregates map-side and the shuffle carries ONE row
+       per order instead of every line.
+    2. The residual implies a static scan bound Catalyst cannot
+       derive through the non-equi condition: a qualifying line has
+       ship > od+30 ≥ window_start+30, so that bound is pushed to
+       the parquet scan and prunes non-qualifying lines before the
+       aggregate. The max over the FILTERED lines still decides the
+       predicate (any line at or below the bound can never satisfy
+       it for an in-window order).
+
+    Joining the one-row-per-key max frame inner (not semi) is exact:
+    no duplicate explosion, and the filter is the EXISTS check."""
+    window_start, window_end = "1996-01-01", "1996-04-01"
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+        (F.to_date("o_orderdate") >= F.lit(window_start))
+        & (F.to_date("o_orderdate") < F.lit(window_end))
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (F.to_date(li.l_shipdate) > F.date_add(F.to_date(orders.o_orderdate), 30)),
-        "left_semi",
+    ship_bound = F.date_add(F.to_date(F.lit(window_start)), 30)
+    max_ship = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.to_date("l_shipdate").alias("__ship"))
+        .filter(F.col("__ship") > ship_bound)
+        .groupBy("l_orderkey")
+        .agg(F.max("__ship").alias("__max_ship"))
+    )
+    late = (
+        orders.join(max_ship, orders.o_orderkey == max_ship.l_orderkey)
+        .filter(
+            F.col("__max_ship")
+            > F.date_add(F.to_date("o_orderdate"), 30)
+        )
     )
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
