@@ -641,26 +641,93 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     block_col: str | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: fingerprint per row, candidate blocking
-    (optional), hamming ≤ max_hamming. For true 100 TB scale the
-    blocking key should be rotations/prefix tables of the fingerprint
-    (multi-index); here the optional block_col plays that role."""
+    """SimHash near-dup pairs: fingerprint per row, pigeonhole band
+    blocking, exact hamming ≤ max_hamming verify.
+
+    Blocking (r4 rewrite): the fingerprint's ``SIMHASH_BITS`` bits
+    split into ``max_hamming + 1`` disjoint bands; two fingerprints
+    within hamming distance ``max_hamming`` must agree EXACTLY on at
+    least one band (more bands than differing bits), so candidates
+    are an equi-self-join on (band index, band value[, block]) —
+    recall is exact and the output is unchanged. The r4 probe
+    measured the previous form (equi-join on ``block_col`` alone,
+    i.e. every within-language pair hamming-tested) crashing from
+    57k to 7.9k docs/s at 500k docs — the language count is fixed,
+    so within-block pairs grow O(n²) with the corpus.
+    Band-bucket candidate volume is n²/2^(bits/(h+1)) per block; the
+    fingerprint WIDTH is the documented dial for larger corpora
+    (multi-index over a 64-bit simhash at true 100 TB scale).
+
+    The banded self-join is MERGE-pinned: both sides are
+    corpus-scaled by construction, so a broadcast can never be the
+    right plan (the copurchase_pairs / dedup_clusters estimate
+    lesson)."""
+    nb = max_hamming + 1
+    bounds = [round(i * SIMHASH_BITS / nb) for i in range(nb + 1)]
     fp = simhash_frame(
         df, id_col, text_col, extra_cols=[block_col] if block_col else []
     )
     if block_col:
         fp = fp.withColumnRenamed(block_col, "blk")
-    fp = fp.cache()  # both sides of the self-join consume it
-    a, b = fp.alias("a"), fp.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    band_structs = []
+    for i in range(nb):
+        lo, width = bounds[i], bounds[i + 1] - bounds[i]
+        band_structs.append(
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright(F.col("fp"), lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bv"),
+            )
+        )
+    banded = fp.select(
+        "id",
+        *(["blk"] if block_col else []),
+        "fp",
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select(
+        "id",
+        *(["blk"] if block_col else []),
+        "fp",
+        F.col("b.bi").alias("bi"),
+        F.col("b.bv").alias("bv"),
+    )
+    keys = ["bi", "bv"] + (["blk"] if block_col else [])
+    a = banded.select(
+        *keys, F.col("id").alias("id_a"), F.col("fp").alias("fp_a")
+    )
+    b = banded.select(
+        *keys, F.col("id").alias("id_b"), F.col("fp").alias("fp_b")
+    )
+
+    def band_of(col, i: int):
+        lo, width = bounds[i], bounds[i + 1] - bounds[i]
+        return F.shiftright(col, lo).bitwiseAND(F.lit((1 << width) - 1))
+
+    # each pair is emitted once per MATCHING band; keep it only at its
+    # FIRST matching band so every pair survives exactly once WITHOUT
+    # a distinct — the first banded version deduped with .distinct(),
+    # which shuffled the full candidate set (~650M wide rows at the
+    # 100× probe point) and was SLOWER than the unblocked form; this
+    # filter is pure codegen on the already-joined fps, so candidates
+    # stream through it and die without ever being materialized
+    earlier_match = F.lit(False)
+    for j in range(nb - 1):
+        earlier_match = earlier_match | (
+            (F.col("bi") > j)
+            & (band_of(F.col("fp_a"), j) == band_of(F.col("fp_b"), j))
+        )
     return (
-        a.join(b, cond)
+        a.hint("merge")
+        .join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(~earlier_match)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming32(F.col("a.fp"), F.col("b.fp")).cast("bigint").alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming32(F.col("fp_a"), F.col("fp_b"))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -682,48 +749,58 @@ def embedding_neardup_pairs(
 
     ``bucket_col`` is the IVF-style coarse quantizer (cluster/label
     id): pairs form within buckets only, turning O(n²) into
-    O(Σ bucket²). Without it this is the exact brute-force baseline.
+    O(Σ bucket²). Without it this is the exact brute-force baseline
+    (one group — small corpora only, documented).
 
-    Exploded/codegen form: posexplode the vectors to (id, pos, x)
-    rows, self-join on (bucket, pos) with id < id, and reduce
-    ``sum(x·y)`` per pair in one hash aggregation — dot products as
-    joins, no per-element array lambdas (≈4× faster at 2k×64-dim).
-    """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(bucket_col).alias("bkt")] if bucket_col else []),
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
-            "pos", "x"
-        ),
-    )
-    norms = base.groupBy("id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
-    a = base.select(F.col("id").alias("id_a"), *(["bkt"] if bucket_col else []), "pos", "x")
-    b = base.select(
-        F.col("id").alias("id_b"),
-        *([F.col("bkt").alias("bkt_b")] if bucket_col else []),
-        F.col("pos").alias("pos_b"),
-        F.col("x").alias("y"),
-    )
-    cond = (F.col("pos") == F.col("pos_b")) & (F.col("id_a") < F.col("id_b"))
-    if bucket_col:
-        cond = cond & (F.col("bkt") == F.col("bkt_b"))
-    dots = (
-        a.join(b, cond)
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("x") * F.col("y")).alias("dot"))
-    )
-    return (
-        dots.join(norms.select(F.col("id").alias("id_a"), F.col("n2").alias("na2")), "id_a")
-        .join(norms.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
-            ).alias("cosine_sim"),
+    Bucket-local BLAS form (r4 rewrite): ``applyInPandas`` per
+    bucket computes the gram matrix with one numpy matmul and emits
+    the thresholded upper triangle. The previous exploded-join form
+    (self-join on (bucket, dim-position), per-pair hash-agg dot)
+    materialized pairs × dims ROWS — ~1.3B through the aggregate at
+    the probe's 100× point — and its map-side agg state spilled:
+    measured DECLINING 3.3k → 1.5k → 1.1k vec/s (441.9s at 200k
+    vectors). The per-bucket matmul does the identical multiply-adds
+    without materializing them as rows; bucket size is bounded by
+    the quantizer's contract (the semdedup argument — at 100 TB the
+    lever is raising the cluster count so buckets stay bounded).
+
+    Determinism: numpy's float64 dot then ROUND(6) — the same
+    tolerance class as the previous form, whose hash-agg F.sum over
+    doubles was already partition-order dependent pre-round (and the
+    DuckDB oracle's sequential fold a third order); all agree after
+    rounding away the accumulation ulps."""
+    import pandas as pd
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, cosine_sim double"
+
+    def bucket_gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["__id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "cosine_sim": []}
+            )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        gram = mat @ mat.T
+        cos = np.round(gram / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = cos[iu, ju] >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine_sim": cos[iu, ju][keep]}
         )
-        .filter(F.col("cosine_sim") >= threshold)
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        (F.col(bucket_col) if bucket_col else F.lit(0)).alias("__bkt"),
     )
+    return base.groupBy("__bkt").applyInPandas(bucket_gram, out_schema)
 
 
 

@@ -174,34 +174,59 @@ def winnow_fingerprints(
     length ≥ k+w−1 contributes a shared fingerprint, at ~1/w storage.
 
     Returns exploded (id, fp) distinct rows — joinable for overlap
-    detection exactly like shingle sets, but position-robust. Exploded
-    codegen form: posexplode positions → native md5 per gram → window
-    min → distinct. Docs shorter than k yield no fingerprints.
-    """
+    detection exactly like shingle sets, but position-robust. Docs
+    shorter than k yield no fingerprints.
+
+    Scale shape (r4, probe-driven — three measured generations, each
+    a real lesson):
+    1. transform(sequence, i -> substring) built the gram array via
+       an interpreted higher-order lambda: constant ~1.6k docs/s
+       (304s at 500k docs) — the known interpretation tax.
+    2. explode positions → md5(substring) per gram → window min
+       barely helped (264s). Root cause found on the third attempt:
+       ``substr(str, pos, …)`` on a UTF-8 string is O(pos) — the
+       byte offset of a character index needs a scan from the
+       start — so ANY per-position substring plan is O(len²) per
+       document, and md5 was never the bottleneck.
+    3. This form is O(len): posexplode the text into single-char
+       rows ONCE (sequential scan), then ONE per-doc window pass
+       computes the k+w−1 leading codepoints and assembles the
+       rolling gram hashes and their window min as pure integer
+       codegen. The polynomial gram hash (Σ codepoint·131^i, max
+       ≈ 2^52 — exact in a long in both engines) replaces md5;
+       winnowing's guarantee (any shared substring of length ≥
+       k+w−1 contributes a shared fingerprint) holds for ANY
+       deterministic gram hash, so the change is
+       semantics-preserving and bit-portable. Truncated tail
+       windows fall out of null-skipping ``least`` (a gram past the
+       end has a null lead). Shuffles: the per-doc window sort of
+       narrow (id, pos, code) rows and the map-side-combined
+       (id, fp) distinct."""
     from pyspark.sql import Window as W
 
     norm = df.select(
         F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm")
     ).filter(F.length("__norm") >= k)
-    grams = norm.select(
+    chars = norm.select(
         "id",
-        F.posexplode(
-            F.expr(f"transform(sequence(1, length(__norm) - {k - 1}), i -> substring(__norm, i, {k}))")
-        ).alias("pos", "gram"),
-    )
-    hashed = grams.select(
-        "id",
-        "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
-    )
-    w = (
-        W.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, window - 1)
-    )
+        F.posexplode(F.split("__norm", "")).alias("pos", "ch"),
+    ).select("id", "pos", F.ascii("ch").cast("long").alias("c"))
+    w = W.partitionBy("id").orderBy("pos")
+    codes = [F.col("c")] + [
+        F.lead("c", i).over(w) for i in range(1, k + window - 1)
+    ]
+
+    def gram_hash(offset: int):
+        h = None
+        for i in range(k):
+            term = codes[offset + i] * F.lit(131 ** i).cast("long")
+            h = term if h is None else h + term
+        return h
+
+    fp = F.least(*[gram_hash(j) for j in range(window)])
     return (
-        hashed.withColumn("fp", F.min("h").over(w))
-        .select("id", "fp")
+        chars.select("id", fp.alias("fp"))
+        .filter(F.col("fp").isNotNull())
         .distinct()
     )
 

@@ -207,7 +207,10 @@ WITH norm AS (
   WHERE length({SQL_NORMTEXT}) >= 5
 ), g AS (
   SELECT doc_id, t.i AS pos,
-         CAST('0x' || substr(md5(substr(n, t.i, 5)), 1, 8) AS BIGINT) AS h
+         {" + ".join(
+             f"CAST(ascii(substr(n, t.i + {j}, 1)) AS BIGINT) * {131 ** j}"
+             for j in range(5)
+         )} AS h
   FROM norm, UNNEST(range(1, length(n) - 3)) AS t(i)
 ), win AS (
   SELECT doc_id,

@@ -377,6 +377,20 @@ def main() -> None:
         q_sample_per_key,
         q_tfidf_top_terms,
         q_unigram_commonness,
+        q_deterministic_sample,
+        q_doc_fingerprint,
+        q_embedding_neardup,
+        q_lang_id,
+        q_multimodal_features,
+        q_multimodal_props,
+        q_multimodal_resize,
+        q_ngram_jaccard,
+        q_similarity_topk,
+        q_simhash_neardup,
+        q_stratified_sample,
+        q_text_stats,
+        q_train_val_split,
+        q_winnow_fingerprints,
     )
     from music_streaming_etl_spark.plans.tpch_queries import (
         q_tpch_q2_min_cost_supplier,
@@ -789,6 +803,27 @@ def main() -> None:
         "tpch_q22_idle_customers": (
             q_tpch_q22_idle_customers, materialize_star, base_orders,
         ),
+        # --- LLM-op family members without curves (r4 third sweep) ---
+        "text_stats": (q_text_stats, materialize_llm, base_docs),
+        "lang_id": (q_lang_id, materialize_llm, base_docs),
+        "doc_fingerprint": (q_doc_fingerprint, materialize_llm, base_docs),
+        "winnow_fingerprints": (
+            q_winnow_fingerprints, materialize_llm, base_docs,
+        ),
+        "ngram_jaccard": (q_ngram_jaccard, materialize_llm, base_docs),
+        "simhash_neardup": (q_simhash_neardup, materialize_llm, base_docs),
+        "embedding_neardup": (q_embedding_neardup, materialize_llm, base_docs),
+        "similarity_topk": (q_similarity_topk, materialize_llm, base_docs),
+        "deterministic_sample": (
+            q_deterministic_sample, materialize_llm, base_docs,
+        ),
+        "train_val_split": (q_train_val_split, materialize_llm, base_docs),
+        "stratified_sample": (q_stratified_sample, materialize_llm, base_docs),
+        "multimodal_features": (
+            q_multimodal_features, materialize_llm, base_docs,
+        ),
+        "multimodal_resize": (q_multimodal_resize, materialize_llm, base_docs),
+        "multimodal_props": (q_multimodal_props, materialize_events, base_events),
     }
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
