@@ -2459,10 +2459,23 @@ def q_hard_negative_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(12,6) literals, so every dot/norm term is an exact decimal
     product and the 64-dim reductions are order-independent; cosine
     rounds to 6dp BEFORE the per-vector arg-max (total order: cosine
-    desc, label asc). The (vector × label) frame fans out |V|·|L| —
-    labels are a constant — and the dim-join is hash-partitioned on
-    dim. Returns the 20 lowest-margin vectors (the hardest cases),
-    totally ordered."""
+    desc, label asc). Returns the 20 lowest-margin vectors (the
+    hardest cases), totally ordered.
+
+    Scale shape (r4 probe-driven rewrite): the original plan joined
+    the exploded vectors to the centroids on ``dim`` — every vec_id
+    appears in every dim-partition, so the partial aggregate's hash
+    state per task was the FULL |V|·|L| group set and it spilled:
+    measured 1.35s → 85.3s from 1× to just 10×. This form
+    repartitions the exploded vectors by vec_id ONCE (the only
+    shuffle of fact-sized data) and BROADCASTS the centroid matrix
+    (|L|·64 rows — dim-sized); the V·L·64 fan-out is then generated
+    and partially aggregated inside each vec-partition, so agg state
+    is (vecs-per-partition)·|L| — bounded by partition sizing, and
+    every downstream groupBy/join keys on vec_id and reuses the same
+    partitioning with zero additional exchanges. Decimal sums are
+    order-free exact, so the rewrite is bit-identical to the oracle.
+    """
     from ..operators.ranking import global_topk
     from ..operators.similarity import label_centroids
 
@@ -2481,9 +2494,9 @@ def q_hard_negative_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("dim").cast("bigint").alias("dim"),
         F.col("v").cast("double").cast("decimal(12,6)").alias("vq"),
-    )
+    ).repartition("vec_id")
     dots = (
-        flat.join(cent, "dim")
+        flat.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "label", "c_label")
         .agg(F.sum(F.col("vq") * F.col("c")).alias("dot"))
     )

@@ -127,6 +127,41 @@ def materialize_llm(spark, sf_dir: str, mult: int) -> str:
     return out
 
 
+def materialize_llm_fixed_labels(spark, sf_dir: str, mult: int) -> str:
+    """More vectors, CONSTANT classes: vec_id re-keyed + ε-perturbed
+    like materialize_llm, but ``label`` is KEPT. This is the growth
+    axis ``hard_negative_centroids`` contracts for — its classes are
+    a taxonomy (a fixed |L|), not a per-corpus clustering, and its
+    fan-out is V·L·dim; multiplying labels with the corpus (the
+    semdedup materializer's rule) would probe an O(mult²) workload
+    the op explicitly documents against."""
+    out = os.path.join(SCRATCH, "scale_probe", f"llmfix_x{mult}")
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        m = F.col("_m")
+        embs = _t(spark, sf_dir, "embeddings")
+        elem_t = embs.schema["embedding"].dataType.elementType.simpleString()
+        (
+            embs.crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
+            .withColumn("vec_id", F.col("vec_id") * mult + m)
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x: (x + (m % 97).cast("double") * F.lit(1e-5)).cast(
+                        elem_t
+                    ),
+                ),
+            )
+            .drop("_m")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "embeddings.parquet"))
+        )
+        open(os.path.join(out, "_done"), "w").close()
+    return out
+
+
 def materialize_orders(spark, sf_dir: str, mult: int) -> str:
     """Multiplied orders (re-keyed o_orderkey; values untouched) for
     the orders-backed probes (z-order, quantile rollup)."""
@@ -847,6 +882,7 @@ def main() -> None:
         "baskets": (materialize_baskets, base_li),
         "star": (materialize_star, base_li),
         "llm": (materialize_llm, base_docs),
+        "llm_fixed_labels": (materialize_llm_fixed_labels, base_docs),
         "customer": (materialize_customer, base_cust),
     }
     _REGISTRY_PROBES = {
@@ -930,7 +966,7 @@ def main() -> None:
         "auc_doc_length": "llm",
         "cohens_kappa": "llm",
         "domain_mixture_temperature": "llm",
-        "hard_negative_centroids": "llm",
+        "hard_negative_centroids": "llm_fixed_labels",
         "lang_confusion": "llm",
         "lang_distribution": "llm",
         "lsh_quality": "llm",
@@ -956,7 +992,13 @@ def main() -> None:
     # documented scale knob, so the uncapped probe stops at 10×
     # (r4: token_pmi's registered form is now rarest-K-capped with a
     # hard K²·N pair bound, so it probes to 100× like everything else)
-    mult_caps: dict = {}
+    # recursive_cte_reach: the probe MEASURED the documented limit —
+    # recursive UNION ALL enumerates paths, and at 10× baskets the
+    # path count blows through Spark's 1M recursion row limit
+    # (RECURSION_ROW_LIMIT_EXCEEDED). The query exists to cover the
+    # WITH RECURSIVE language surface; the unrolled per-level-DISTINCT
+    # copurchase_reach is the scale path (its curve is measured).
+    mult_caps: dict = {"recursive_cte_reach": (1,)}
     out = {"sf_dir": sf_dir, "ops": {}}
     # ITERATIVE queries (driver-side fixpoint loops with
     # localCheckpoint inside fn()) do their work EAGERLY during query
