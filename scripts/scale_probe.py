@@ -998,7 +998,18 @@ def main() -> None:
     # (RECURSION_ROW_LIMIT_EXCEEDED). The query exists to cover the
     # WITH RECURSIVE language surface; the unrolled per-level-DISTINCT
     # copurchase_reach is the scale path (its curve is measured).
-    mult_caps: dict = {"recursive_cte_reach": (1,)}
+    mult_caps: dict = {
+        "recursive_cte_reach": (1,),
+        # the synthetic corpus has a 31-word vocabulary, so every
+        # posting list is corpus-length and the inverted-index join's
+        # Σ df² fan-out is O(N²) BY CONSTRUCTION — the measured 1×
+        # point (~149s at 5k docs) is the degenerate regime the
+        # query's own docstring warns about; on a real corpus the
+        # max_df cap bounds the fan-out (dedup_containment's curve
+        # measures that path). Multiplying this corpus measures the
+        # adversarial workload, not the operator.
+        "sparse_cosine_topk": (1,),
+    }
     out = {"sf_dir": sf_dir, "ops": {}}
     # ITERATIVE queries (driver-side fixpoint loops with
     # localCheckpoint inside fn()) do their work EAGERLY during query
