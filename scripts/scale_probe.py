@@ -888,6 +888,10 @@ def main() -> None:
     _REGISTRY_PROBES = {
         # events-backed
         "ab_test_zscores": "events",
+        "agg_topk_by_freq": "events",
+        "scan_json_lines": "events",
+        "scan_orc_roundtrip": "events",
+        "scan_xml_roundtrip": "events",
         "agg_count_distinct": "events",
         "agg_diversity_ratio": "events",
         "asof_join_forward": "events",
@@ -936,8 +940,10 @@ def main() -> None:
         "semi_join_matched": "orders",
         "revenue_percentiles": "orders",
         "revenue_percentiles_approx": "orders",
+        "partitioned_sink_prune": "orders",
         # lineitem-only
         "abc_classification": "baskets",
+        "scan_parquet_pushdown": "baskets",
         "agg_avg": "baskets",
         "agg_count": "baskets",
         "cast_types": "baskets",
