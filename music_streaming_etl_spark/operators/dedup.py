@@ -343,7 +343,6 @@ def dedup_minhash_pairs(
     signature and verify stages both consume it.
     """
     hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
-    hsd = hsd.cache()
     bands = _band_frame(mins, num_hashes, num_bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -424,9 +423,21 @@ def minhash_index(
     joins exchange longs. Jaccard is therefore over hashed shingle
     sets — identical to raw-string Jaccard except with ~k²/2⁶¹
     within-doc collision odds (documented; the DuckDB oracle mirrors
-    the same hash so both engines see the same sets)."""
+    the same hash so both engines see the same sets).
+
+    The hashed-shingle frame is lazily localCheckpointed HERE: mins,
+    bands, and every caller's verify join all derive from it, so one
+    materialization feeds them all (cache()'s plan-matching gave the
+    same sharing but pinned the entry in the CacheManager until
+    clearCache — the per-SF selfcheck battery accumulated one such
+    entry per invocation, the ADVICE-r3 leak class; checkpoint blocks
+    are owned by the lineage cut and GC'd with the plan)."""
     rows = _shingle_rows(df, id_col, text_col, shingle_n)
-    hsd = rows.select("id", _shingle_hash60(F.col("sh")).alias("h")).distinct()
+    hsd = (
+        rows.select("id", _shingle_hash60(F.col("sh")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hp = F.col("h") % F.lit(MINHASH_P)
     mins = hsd.groupBy("id").agg(
         *[
@@ -478,7 +489,6 @@ def dedup_incremental(
     returns — 8 bytes/shingle on disk, long-typed verify joins.
     """
     new_sh, new_mins = minhash_index(new_docs, id_col, text_col, num_hashes, shingle_n)
-    new_sh = new_sh.cache()
     corpus_bands = _band_frame(corpus_mins, num_hashes, num_bands)
     new_bands = _band_frame(new_mins, num_hashes, num_bands)
     cand = (
@@ -1026,7 +1036,6 @@ def lsh_candidate_quality(
     extra cost over a dedup run is nil because the verify join already
     computes every candidate's Jaccard."""
     hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
-    hsd = hsd.cache()
     bands = _band_frame(mins, num_hashes, num_bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1096,7 +1105,6 @@ def containment_neardup_pairs(
     candidates with containment ≥ threshold.
     """
     hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
-    hsd = hsd.cache()
     bands = _band_frame(mins, num_hashes, num_bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -55,7 +55,10 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
+        # lazy localCheckpoint, not cache: consumed by the count below,
+        # every iteration's join, and the returned frame — one
+        # materialization, blocks GC'd with the plan (ADVICE-r3 class)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:  # empty graph → empty ranks (not a divide-by-zero)
