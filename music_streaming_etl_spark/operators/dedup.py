@@ -1073,8 +1073,13 @@ def lsh_candidate_quality(
     return scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
         true_pair.cast("bigint").alias("n_true_pairs"),
+        # try_divide: zero candidates means a 0/0 precision; ANSI
+        # raises where the oracle yields NULL
         F.round(
-            true_pair.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            F.try_divide(
+                true_pair.cast("double"), F.count(F.lit(1)).cast("double")
+            ),
+            6,
         ).alias("precision_at_threshold"),
     )
 

@@ -161,6 +161,14 @@ def kmeans_codebook(
     v = v.cache()
     try:
         seeds = v.orderBy("id").limit(n_clusters).collect()
+        if not seeds:
+            # empty training corpus: return one zero-vector sentinel
+            # centroid so downstream expression trees stay typed
+            # (array_min over a LITERAL array — an empty book builds
+            # array() of VOID and the plan won't analyze). Training is
+            # empty only when the corpus is, so the assignment frame
+            # is empty too and the sentinel never labels a row.
+            return [(0, [0.0] * dim)]
         book = [(i, list(r["v"])) for i, r in enumerate(seeds)]
         for _ in range(iterations):
             assigned = v.withColumn("bucket", _nearest_bucket_expr(book))
@@ -432,7 +440,16 @@ def similarity_topk_pq(
     encoded = pq_encode(v, "id", "v", books, dim)
 
     sub_dim = dim // m_subspaces
-    qraw = query.select(as_double_vec(F.col(vec_col)).alias("qv")).collect()[0]["qv"]
+    qrows = query.select(as_double_vec(F.col(vec_col)).alias("qv")).collect()
+    if not qrows:
+        # no query vector -> no neighbors: typed empty result (rank is
+        # bigint to match global_topk), instead of IndexError
+        return vectors.select(
+            F.lit(0).cast("bigint").alias("rank"),
+            F.col(id_col).alias("id"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    qraw = qrows[0]["qv"]
     qn = sum(x * x for x in qraw) ** 0.5
     qrow = [x / qn for x in qraw]
     # tables[m][cid] = <q_m, centroid_{m,cid}> — M·K literal doubles
@@ -520,7 +537,16 @@ def similarity_topk_ivfpq(
     encoded = pq_encode(resid, "id", "r", books, dim, keep_cols=["bucket"])
 
     sub_dim = dim // m_subspaces
-    qraw = query.select(as_double_vec(F.col(vec_col)).alias("qv")).collect()[0]["qv"]
+    qrows = query.select(as_double_vec(F.col(vec_col)).alias("qv")).collect()
+    if not qrows:
+        # no query vector -> no neighbors: typed empty result (rank is
+        # bigint to match global_topk), instead of IndexError
+        return vectors.select(
+            F.lit(0).cast("bigint").alias("rank"),
+            F.col(id_col).alias("id"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    qraw = qrows[0]["qv"]
     qn = sum(x * x for x in qraw) ** 0.5
     qrow = [x / qn for x in qraw]
     # rank buckets by query·centroid, keep the best n_probe

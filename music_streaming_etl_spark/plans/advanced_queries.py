@@ -451,7 +451,12 @@ def q_pearson_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     return stats.select(
         F.col("n").cast("bigint").alias("n_customers"),
-        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("r_rev_orders"),
+        # try_divide: a degenerate corpus (one customer, or constant
+        # x/y) has a zero variance term; ANSI raises where the oracle
+        # yields NULL
+        F.round(
+            F.try_divide(num, F.sqrt(dx) * F.sqrt(dy)), 6
+        ).alias("r_rev_orders"),
     )
 
 
@@ -1064,9 +1069,14 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = daily.select(
         F.col("day"), F.col("c").alias("x")
     )
-    out = None
+    # one GROUPED aggregate over a lag-tagged pair union, not one
+    # ungrouped agg per lag: an ungrouped agg always emits a row, so a
+    # series too short for any lag-k overlap returned (lag, 0, NULL)
+    # where the oracle's GROUP BY lag over zero pairs returns no row —
+    # grouped, both engines drop pair-less lags identically
+    pairs = None
     for k in (1, 7):
-        pair = (
+        p = (
             lagged.alias("a")
             .join(
                 lagged.select(
@@ -1075,26 +1085,29 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("b"),
                 "day",
             )
+            .select(F.lit(k).cast("bigint").alias("lag"), "x", "y")
         )
-        stats = pair.agg(
-            F.lit(k).cast("bigint").alias("lag"),
-            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-            F.sum(d("x")).alias("sx"),
-            F.sum(d("y")).alias("sy"),
-            F.sum(d("x") * d("y")).alias("sxy"),
-            F.sum(d("x") * d("x")).alias("sxx"),
-            F.sum(d("y") * d("y")).alias("syy"),
-        )
-        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-        row = stats.select(
-            "lag",
-            F.col("n").cast("bigint").alias("n_pairs"),
-            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("acf"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        pairs = p if pairs is None else pairs.unionByName(p)
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+        F.sum(d("y") * d("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return stats.select(
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        # try_divide: a single aligned pair has zero variance terms;
+        # ANSI raises where the oracle yields NULL
+        F.round(
+            F.try_divide(num, F.sqrt(dx) * F.sqrt(dy)), 6
+        ).alias("acf"),
+    ).orderBy("lag")
 
 
 ORACLE_ACF = """

@@ -483,11 +483,16 @@ def q_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(SCRATCH, f"orders_part_{tag}")
+    src = _t(spark, sf_dir, "orders")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        src.write.mode("overwrite").partitionBy(
             "o_orderpriority"
         ).parquet(out)
-    back = spark.read.parquet(out).filter(
+    # explicit schema on the read-back: an empty source writes zero
+    # partition directories and schema inference has nothing to read
+    # (UNABLE_TO_INFER_SCHEMA); the writer's schema is authoritative
+    # either way — and skipping inference also saves a footer read
+    back = spark.read.schema(src.schema).parquet(out).filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     return back.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
@@ -2081,10 +2086,14 @@ def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = sums["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
     den = sums["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = num.cast("double") / den.cast("double")
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("n").cast("double")
+    # try_divide, not /: a single-day priority has den == 0, and ANSI
+    # Spark raises DIVIDE_BY_ZERO where the DuckDB oracle yields NULL
+    # (identical to / on every nonzero denominator)
+    slope = F.try_divide(num.cast("double"), den.cast("double"))
+    intercept = F.try_divide(
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double"),
+        F.col("n").cast("double"),
+    )
     return sums.select(
         "priority",
         F.col("n").cast("bigint").alias("n_days"),

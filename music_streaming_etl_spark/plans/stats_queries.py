@@ -208,8 +208,25 @@ def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n",
         F.round("mu", 6).alias("mean_price"),
-        F.round(F.expr("m3 / (m2 * sqrt(m2))"), 6).alias("skewness"),
-        F.round(F.expr("m4 / (m2 * m2) - 3.0"), 6).alias("excess_kurtosis"),
+        # try_divide + greatest(m2, 0): a single-row or constant-price
+        # group has m2 == 0 mathematically but float cancellation can
+        # land at -1e-18 — Spark's sqrt(neg) is NaN while DuckDB's
+        # RAISES; the clamp is on identically-computed doubles so both
+        # engines clamp the same cells to a NULL-yielding 0 denominator
+        F.round(
+            F.expr(
+                "try_divide(m3,"
+                " greatest(m2, 0.0d) * sqrt(greatest(m2, 0.0d)))"
+            ),
+            6,
+        ).alias("skewness"),
+        F.round(
+            F.expr(
+                "try_divide(m4, greatest(m2, 0.0d) * greatest(m2, 0.0d))"
+                " - 3.0"
+            ),
+            6,
+        ).alias("excess_kurtosis"),
     ).orderBy("o_orderpriority")
 
 
@@ -248,8 +265,8 @@ WITH pw AS (
 )
 SELECT o_orderpriority, n,
        ROUND(mu, 6) AS mean_price,
-       ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-       ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+       ROUND(m3 / (greatest(m2, 0.0) * sqrt(greatest(m2, 0.0))), 6) AS skewness,
+       ROUND(m4 / (greatest(m2, 0.0) * greatest(m2, 0.0)) - 3.0, 6) AS excess_kurtosis
 FROM m ORDER BY o_orderpriority
 """
 
@@ -298,20 +315,23 @@ def q_regression_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
         "double"
     )
-    slope = num / den
+    # try_divide throughout: a single-day priority has den == 0 (and a
+    # constant-revenue one deny == 0); ANSI Spark raises DIVIDE_BY_ZERO
+    # where the DuckDB oracle yields NULL
+    slope = F.try_divide(num, den)
     return s.select(
         "o_orderpriority",
         F.col("n").cast("bigint").alias("n_days"),
         F.round(slope, 6).alias("slope_cents_per_day"),
         F.round(
-            (
+            F.try_divide(
                 F.col("sy").cast("double")
-                - slope * F.col("sx").cast("double")
-            )
-            / F.col("n").cast("double"),
+                - slope * F.col("sx").cast("double"),
+                F.col("n").cast("double"),
+            ),
             6,
         ).alias("intercept_cents"),
-        F.round(num * num / (den * deny), 6).alias("r2"),
+        F.round(F.try_divide(num * num, den * deny), 6).alias("r2"),
     ).orderBy("o_orderpriority")
 
 
@@ -1012,9 +1032,11 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "b",
-            (F.col("swc").cast("double") / F.col("sw").cast("double")).alias(
-                "mean_b"
-            ),
+            # try_divide: a tiny resample can draw all-zero weights
+            # (sw == 0); ANSI raises where the oracle yields NULL
+            F.try_divide(
+                F.col("swc").cast("double"), F.col("sw").cast("double")
+            ).alias("mean_b"),
         )
     )
     # B-row frame: bounded window by design
@@ -1465,18 +1487,29 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "cum_pos",
         F.round(
-            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+            F.try_divide(
+                F.col("n_pos").cast("double"), F.col("n").cast("double")
+            ),
+            6,
         ).alias("pos_rate"),
+        # try_divide: a corpus with zero positives has pos_all == 0;
+        # ANSI raises where the oracle yields NULL
         F.round(
-            F.col("cum_pos").cast("double")
-            / F.col("pos_all").cast("double"),
+            F.try_divide(
+                F.col("cum_pos").cast("double"),
+                F.col("pos_all").cast("double"),
+            ),
             6,
         ).alias("cum_capture"),
         F.round(
-            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
-            / (
-                F.col("pos_all").cast("double")
-                / F.col("n_all").cast("double")
+            F.try_divide(
+                F.try_divide(
+                    F.col("n_pos").cast("double"), F.col("n").cast("double")
+                ),
+                F.try_divide(
+                    F.col("pos_all").cast("double"),
+                    F.col("n_all").cast("double"),
+                ),
             ),
             6,
         ).alias("lift"),
@@ -4341,8 +4374,12 @@ def _suggest_rules_frame(
     for c in _SUGGEST_COLS_CAT:
         if c in isin_cols:
             rules.append(
+                # dist >= 1: an IS_IN rule with an empty observed set
+                # (empty scan) is meaningless — and the engines render
+                # the empty set differently ('' vs NULL), so the rule
+                # is suppressed identically in both
                 F.when(
-                    F.col(f"dist_{c}") <= 10,
+                    (F.col(f"dist_{c}") >= 1) & (F.col(f"dist_{c}") <= 10),
                     F.struct(
                         F.lit(c).alias("column"),
                         F.lit("IS_IN").alias("rule"),
@@ -4497,8 +4534,8 @@ WITH one AS (
     '[' || CAST(min_o_custkey AS VARCHAR) || ', ' || CAST(max_o_custkey AS VARCHAR) || ']' FROM one
   UNION ALL SELECT 'o_totalprice', 'RANGE',
     '[' || CAST(min_o_totalprice AS VARCHAR) || ', ' || CAST(max_o_totalprice AS VARCHAR) || ']' FROM one
-  UNION ALL SELECT 'o_orderstatus', 'IS_IN', set_o_orderstatus FROM one WHERE dist_o_orderstatus <= 10
-  UNION ALL SELECT 'o_orderpriority', 'IS_IN', set_o_orderpriority FROM one WHERE dist_o_orderpriority <= 10
+  UNION ALL SELECT 'o_orderstatus', 'IS_IN', set_o_orderstatus FROM one WHERE dist_o_orderstatus BETWEEN 1 AND 10
+  UNION ALL SELECT 'o_orderpriority', 'IS_IN', set_o_orderpriority FROM one WHERE dist_o_orderpriority BETWEEN 1 AND 10
 )
 SELECT "column", rule, detail FROM rules ORDER BY "column", rule
 """
@@ -4568,11 +4605,18 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_all").alias("n_rows"),
         F.col("ssb").alias("ss_between"),
         F.col("ssw").alias("ss_within"),
+        # try_divide: k == 1 group or n_all == k (one row per group)
+        # zeroes a denominator; ANSI raises where the oracle yields NULL
         F.round(
-            (F.col("ssb").cast("double") / (F.col("k") - 1).cast("double"))
-            / (
-                F.col("ssw").cast("double")
-                / (F.col("n_all") - F.col("k")).cast("double")
+            F.try_divide(
+                F.try_divide(
+                    F.col("ssb").cast("double"),
+                    (F.col("k") - 1).cast("double"),
+                ),
+                F.try_divide(
+                    F.col("ssw").cast("double"),
+                    (F.col("n_all") - F.col("k")).cast("double"),
+                ),
             ),
             6,
         ).alias("f_stat"),
@@ -4656,8 +4700,12 @@ def q_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = per.crossJoin(F.broadcast(tot))
     ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
     nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
-    ea = nad * (ad + bd) / (nad + nbd)
-    eb = nbd * (ad + bd) / (nad + nbd)
+    # try_divide: a corpus where one language is absent has na or nb
+    # == 0 — the rate comparison below divides by both; ANSI raises
+    # where the oracle yields NULL (NULL >= x routes to the ELSE
+    # branch in both engines)
+    ea = F.try_divide(nad * (ad + bd), nad + nbd)
+    eb = F.try_divide(nbd * (ad + bd), nad + nbd)
     ll = F.lit(2.0) * (
         F.when(F.col("a") > 0, ad * F.log(ad / ea)).otherwise(F.lit(0.0))
         + F.when(F.col("b") > 0, bd * F.log(bd / eb)).otherwise(F.lit(0.0))
@@ -4667,7 +4715,10 @@ def q_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
         "b",
         F.round(
-            F.when(ad / nad >= bd / nbd, ll).otherwise(-ll), 6
+            F.when(
+                F.try_divide(ad, nad) >= F.try_divide(bd, nbd), ll
+            ).otherwise(-ll),
+            6,
         ).alias("signed_g2"),
     )
     return global_topk(
