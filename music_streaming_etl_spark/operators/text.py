@@ -625,7 +625,13 @@ def sparse_cosine_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+            # try_divide: a token in EVERY doc has idf ln(1) == 0; a
+            # doc of only such tokens has norm 0 and the cosine is 0/0
+            # — ANSI raises where the oracle yields NULL (which the
+            # threshold filter then drops in both engines)
+            F.round(
+                F.try_divide(F.col("dot"), F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

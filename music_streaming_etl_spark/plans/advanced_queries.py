@@ -947,9 +947,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         F.col("na").alias("n_early"),
         F.col("nb").alias("n_late"),
+        # try_divide: a corpus entirely inside one era has na or nb
+        # == 0 — ANSI raises where the oracle yields NULL
         F.round(
-            F.col("m.diff").cast("double")
-            / (F.col("na") * F.col("nb")).cast("double"),
+            F.try_divide(
+                F.col("m.diff").cast("double"),
+                (F.col("na") * F.col("nb")).cast("double"),
+            ),
             6,
         ).alias("ks_stat"),
         (-F.col("m.negv")).cast("bigint").alias("at_cents"),

@@ -3363,8 +3363,22 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_base",
         "n_new",
-        F.greatest(eps, F.col("n_base").cast("double") / F.col("t_base").cast("double")).alias("q"),
-        F.greatest(eps, F.col("n_new").cast("double") / F.col("t_new").cast("double")).alias("p"),
+        # try_divide: a corpus entirely inside one era has t_base or
+        # t_new == 0 — ANSI raises, while the oracle's NULL ratio is
+        # absorbed by greatest (BOTH engines' greatest skip NULLs), so
+        # the empty side floors to eps in both
+        F.greatest(
+            eps,
+            F.try_divide(
+                F.col("n_base").cast("double"), F.col("t_base").cast("double")
+            ),
+        ).alias("q"),
+        F.greatest(
+            eps,
+            F.try_divide(
+                F.col("n_new").cast("double"), F.col("t_new").cast("double")
+            ),
+        ).alias("p"),
     )
     contrib = withp.select(
         "bin", "n_base", "n_new",

@@ -916,7 +916,13 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmin",
         "vmax",
         F.round(meand, 6).alias("mean"),
-        F.round(F.sqrt(msqd - meand * meand), 6).alias("std"),
+        # greatest(var, 0): a constant dimension has variance 0
+        # mathematically but float cancellation can land at -1e-18 —
+        # Spark's sqrt(neg) is NaN while DuckDB's RAISES; the clamp
+        # input is computed identically so both engines emit std 0
+        F.round(
+            F.sqrt(F.greatest(msqd - meand * meand, F.lit(0.0))), 6
+        ).alias("std"),
     ).orderBy("dim")
 
 
@@ -937,9 +943,9 @@ WITH e AS (
 )
 SELECT dim, n_vals, vmin, vmax,
        ROUND(CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE), 6) AS mean,
-       ROUND(sqrt(CAST(sqq AS DOUBLE) / CAST(n_vals AS DOUBLE)
+       ROUND(sqrt(greatest(CAST(sqq AS DOUBLE) / CAST(n_vals AS DOUBLE)
                   - (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE))
-                    * (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE))), 6) AS std
+                    * (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE)), 0.0)), 6) AS std
 FROM a ORDER BY dim
 """
 
@@ -2037,7 +2043,11 @@ def q_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").cast("bigint").alias("n_rows"),
-        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("spearman_rho"),
+        # try_divide: constant x or y ranks (all-tied inputs) zero a
+        # variance term — ANSI raises where the oracle yields NULL
+        F.round(
+            F.try_divide(num, F.sqrt(dx) * F.sqrt(dy)), 6
+        ).alias("spearman_rho"),
     )
 
 
@@ -4180,7 +4190,10 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.round(po, 6).alias("observed_agreement"),
         F.round(pe, 6).alias("expected_agreement"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        # try_divide: when every doc lands in one agreement cell the
+        # expected agreement is 1 and kappa is 0/0 — ANSI raises where
+        # the oracle yields NULL
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
     )
 
 
@@ -4258,8 +4271,15 @@ def q_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "m",
         "v",
+        # try_divide: equal rates across every group (or a single
+        # group) give zero rate variance — ANSI raises where the
+        # oracle yields NULL, and the NULL prior propagates to a NULL
+        # shrunk_rate identically in both engines
         (
-            F.col("m") * (F.lit(1.0) - F.col("m")) / F.col("v") - F.lit(1.0)
+            F.try_divide(
+                F.col("m") * (F.lit(1.0) - F.col("m")), F.col("v")
+            )
+            - F.lit(1.0)
         ).alias("ab"),
     )
     j = per.crossJoin(F.broadcast(prior))

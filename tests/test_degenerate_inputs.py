@@ -91,6 +91,20 @@ EMPTY_KEYS = [
     "daily_autocorrelation",
 ]
 
+# keys that crashed or mismatched on the constant variant (unique
+# keys, every other value tied) before the fix
+CONSTANT_KEYS = [
+    "ks_drift",
+    "psi_drift",
+    "spearman_correlation",
+    "embedding_dim_stats",
+    "sparse_cosine_topk",
+    "cohens_kappa",
+    "eb_shrunk_rates",
+    "duplicate_spans",
+    "repetition_stats",
+]
+
 # engine-semantics divergence, documented not fixed
 GRANDTOTAL_DIVERGENT = [
     "cube_returnflag_status",
@@ -106,17 +120,7 @@ def degenerate_dirs(tmp_path_factory):
         os.path.dirname(__file__), "..", "scripts",
         "make_degenerate_testdata.py",
     ))
-    import pyarrow.parquet as pq
-
-    out = {}
-    for variant, n in (("empty", 0), ("tiny", 3)):
-        d = root / variant
-        d.mkdir()
-        for t in gen.TABLES:
-            tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
-            pq.write_table(tbl.slice(0, n), str(d / f"{t}.parquet"))
-        out[variant] = str(d)
-    return out
+    return gen.generate("/root/testdata/sf0.001", str(root), rows=3)
 
 
 def _oracle_con(sf_dir: str):
@@ -146,6 +150,11 @@ def test_tiny_inputs_match_oracle(spark, degenerate_dirs, key):
 @pytest.mark.parametrize("key", sorted(set(EMPTY_KEYS)))
 def test_empty_inputs_match_oracle(spark, degenerate_dirs, key):
     _check(spark, degenerate_dirs["empty"], key)
+
+
+@pytest.mark.parametrize("key", sorted(set(CONSTANT_KEYS)))
+def test_constant_inputs_match_oracle(spark, degenerate_dirs, key):
+    _check(spark, degenerate_dirs["constant"], key)
 
 
 @pytest.mark.parametrize("key", GRANDTOTAL_DIVERGENT)
