@@ -425,18 +425,22 @@ def minhash_index(
     within-doc collision odds (documented; the DuckDB oracle mirrors
     the same hash so both engines see the same sets).
 
-    The hashed-shingle frame is lazily localCheckpointed HERE: mins,
-    bands, and every caller's verify join all derive from it, so one
-    materialization feeds them all (cache()'s plan-matching gave the
-    same sharing but pinned the entry in the CacheManager until
-    clearCache — the per-SF selfcheck battery accumulated one such
-    entry per invocation, the ADVICE-r3 leak class; checkpoint blocks
-    are owned by the lineage cut and GC'd with the plan)."""
+    The hashed-shingle frame is CACHED here: mins, bands, and every
+    caller's verify join all derive from it, so cache()'s plan-match
+    gives them one shared materialization. cache, NOT a lazy
+    localCheckpoint: the 1000x probe (5M docs, ~250M hashed shingles)
+    KILLED the checkpoint version — blocks pushed to disk under
+    memory pressure were lost ("Block rdd_N does not exist"), and a
+    checkpoint, having cut its lineage, cannot recompute a lost
+    block; a cached block just recomputes. The CacheManager-lifetime
+    leak this trades against is owned by the batteries instead
+    (selfcheck clears the session cache between queries, as bench
+    always has)."""
     rows = _shingle_rows(df, id_col, text_col, shingle_n)
     hsd = (
         rows.select("id", _shingle_hash60(F.col("sh")).alias("h"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .cache()
     )
     hp = F.col("h") % F.lit(MINHASH_P)
     mins = hsd.groupBy("id").agg(

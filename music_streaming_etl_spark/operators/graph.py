@@ -55,10 +55,11 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        # lazy localCheckpoint, not cache: consumed by the count below,
-        # every iteration's join, and the returned frame — one
-        # materialization, blocks GC'd with the plan (ADVICE-r3 class)
-        .localCheckpoint(eager=False)
+        # cache, not localCheckpoint: consumed by the count below, every
+        # iteration's join, and the returned frame; a cached block
+        # recomputes if evicted where a lineage-cut checkpoint block is
+        # simply lost (measured at the 1000x minhash probe)
+        .cache()
     )
     n = nodes.count()
     if n == 0:  # empty graph → empty ranks (not a divide-by-zero)

@@ -598,12 +598,14 @@ def sparse_cosine_pairs(
             ).alias("w"),
         )
     )
-    # postings feed both the norms and the pair join; lazy
-    # localCheckpoint (not cache) so the materialized partitions are
-    # owned by the lineage cut and GC'd with the plan — repeated
-    # invocations (the per-sf selfcheck battery) can't accumulate
-    # never-unpersisted cache entries until LRU eviction (ADVICE r3)
-    weights = weights.localCheckpoint(eager=False)
+    # postings feed both the norms and the pair join. cache, not the
+    # r3-advice localCheckpoint suggestion: the 1000x minhash probe
+    # measured lazy-checkpoint blocks being LOST under memory pressure
+    # ("Block rdd_N does not exist" — a lineage-cut block cannot be
+    # recomputed, a cached one can). The cache-entry lifetime the
+    # advice flagged is owned by the batteries instead: selfcheck and
+    # bench clear the session cache between queries
+    weights = weights.cache()
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
     )

@@ -851,12 +851,11 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")
-    ).localCheckpoint(eager=False).hint("merge")
-    # ^ lazy checkpoint instead of cache (blocks GC'd with the plan, no
-    # CacheManager pinning across battery invocations — ADVICE-r3 leak
-    # class); the MERGE hint re-applies AFTER the lineage cut so the
-    # pair-lattice self-joins below still can't plan a broadcast off
-    # the checkpointed frame's unknown size
+        .hint("merge")  # the pair lattice self-joins below: same rule
+    ).cache()
+    # cache, not localCheckpoint: lost checkpoint blocks cannot be
+    # recomputed (lineage cut, measured at the 1000x minhash probe);
+    # lifetime is battery-owned (selfcheck/bench clearCache per query)
     # Apriori candidates: (u,v) + (v,w) with u < v < w, then require
     # the closing pair (u,w) frequent too
     uv, vw = pairs.alias("uv"), pairs.alias("vw")

@@ -2590,10 +2590,11 @@ def q_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # three frontier expansions consume it; lazy localCheckpoint, not
-    # cache — blocks die with the plan instead of pinning a CacheManager
-    # entry per battery invocation (ADVICE-r3 leak class)
-    edges = edges.localCheckpoint(eager=False)
+    # cache, not localCheckpoint: a lost checkpoint block cannot be
+    # recomputed (lineage cut) — the 1000x minhash probe measured that
+    # failure mode under memory pressure; cached blocks recompute.
+    # Lifetime is battery-owned (selfcheck/bench clearCache per query)
+    edges = edges.cache()  # three frontier expansions consume it
     src = edges.agg(F.min("u").alias("node"))
     n0 = src.select("node", F.lit(0).alias("dist"))
     n1 = edges.join(src.withColumnRenamed("node", "u"), "u").select(
@@ -2885,12 +2886,12 @@ def q_recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # checkpoint: each recursion step re-reads the edge view — without
-    # this the whole distinct+self-join pipeline replays once per
-    # iteration. Lazy localCheckpoint, not cache: the view replacement
-    # on the next invocation drops the only reference and the blocks
-    # are GC'd, where a cache entry would pin them until clearCache
-    edges.localCheckpoint(eager=False).createOrReplaceTempView("vr_edges")
+    # cache: each recursion step re-reads the edge view — without this
+    # the whole distinct+self-join pipeline replays once per iteration.
+    # cache, not localCheckpoint: a lost checkpoint block cannot be
+    # recomputed (lineage cut, measured at the 1000x minhash probe);
+    # lifetime is battery-owned (selfcheck/bench clearCache per query)
+    edges.cache().createOrReplaceTempView("vr_edges")
     return spark.sql(
         """
         WITH RECURSIVE reach(node, dist) AS (
@@ -3101,8 +3102,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 2)
         .select("u", "v")
     )
-    # lazy localCheckpoint, not cache (ADVICE-r3 leak class)
-    edges = edges.localCheckpoint(eager=False)
+    # cache, not localCheckpoint: lost checkpoint blocks cannot be
+    # recomputed (lineage cut); lifetime is battery-owned (clearCache)
+    edges = edges.cache()
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
         F.col("e1.u").alias("wu"), F.col("e1.v").alias("wv"), F.col("e2.v").alias("ww")

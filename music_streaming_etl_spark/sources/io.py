@@ -380,9 +380,9 @@ def scan_csv_permissive(
         .csv(list(paths))
         # Spark's lazy corrupt-column rule: the frame must be
         # materialized-stable before filtering on the corrupt col —
-        # a lazy localCheckpoint satisfies it the same way cache does,
-        # without pinning a CacheManager entry per invocation
-        .localCheckpoint(eager=False)
+        # cache() is the documented pattern, and unlike a lineage-cut
+        # checkpoint an evicted cached block recomputes
+        .cache()
     )
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(

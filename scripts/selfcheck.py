@@ -132,6 +132,11 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # the battery owns query-scoped cache lifetime (same rule
+            # as bench.py): queries cache() shared frames for
+            # recompute-safety, and this is where the entries die
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             n_pass += 1

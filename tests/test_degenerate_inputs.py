@@ -135,7 +135,10 @@ def _oracle_con(sf_dir: str):
 def _check(spark, sf_dir: str, key: str) -> None:
     sc = _load("selfcheck_mod_for_tests", _SC_PATH)
     fn, oracle = REGISTRY[key]
-    sdf = fn(spark, sf_dir).toPandas()
+    try:
+        sdf = fn(spark, sf_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()  # battery owns query-cache lifetime
     if oracle is None:
         return  # rows-only key: not raising IS the assertion
     odf = _oracle_con(sf_dir).execute(oracle).fetchdf()
