@@ -251,3 +251,113 @@ def test_popularity_index_matches_brute_force(spark):
         )
         want = round(plays[pk] / mp * 0.6 + listeners[pk] / ml * 0.4, 6)
         assert _close(r["popularity_index"], want), pk
+
+
+def test_quality_filter_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_quality_filter,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = {r["doc_id"]: r for r in q_quality_filter(spark, SF).collect()}
+    assert set(rows) == set(docs["doc_id"])
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _toks(text)
+        mwl = sum(len(t) for t in toks) / len(toks)
+        bigrams = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+        frac = (
+            max(bigrams.values()) / sum(bigrams.values()) if bigrams else None
+        )
+        r = rows[doc_id]
+        assert r["n_toks"] == len(toks)
+        assert _close(r["mean_word_len"], round(mwl, 6))
+        assert _close(
+            r["top_bigram_frac"], round(frac, 6) if frac is not None else None
+        )
+        keep = (
+            len(toks) >= 30
+            and 4.0 <= mwl <= 5.0
+            and (frac if frac is not None else 0.0) < 0.08
+        )
+        assert r["keep"] == int(keep), doc_id
+
+
+def test_domain_mixture_matches_brute_force(spark):
+    import hashlib
+
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_domain_mixture,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    weights = {"src0": 5000, "src1": 3000, "src2": 1500, "src3": 500}
+    n = Counter(docs["source"])
+    ntot = min(n[s] * 10000 // w for s, w in weights.items() if s in n)
+    thr = {
+        s: ((ntot * w // 10000) * 10000) // n[s]
+        for s, w in weights.items()
+        if s in n
+    }
+    want = set()
+    for doc_id, src in zip(docs["doc_id"], docs["source"]):
+        if src not in thr:
+            continue
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        if h % 10000 < thr[src]:
+            want.add(doc_id)
+    got = {r["doc_id"] for r in q_domain_mixture(spark, SF).collect()}
+    assert got == want
+
+
+def test_tfidf_top_terms_matches_brute_force(spark):
+    import math
+
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_tfidf_top_terms,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    occ = {d: Counter(_toks(t)) for d, t in zip(docs["doc_id"], docs["text"])}
+    df = Counter(t for c in occ.values() for t in c)
+    n_docs = len(occ)
+    got: dict = defaultdict(list)
+    for r in q_tfidf_top_terms(spark, SF).collect():
+        got[r["doc_id"]].append(r)
+    for d, tf in occ.items():
+        scored = sorted(
+            (
+                (-round(cnt * math.log(n_docs / df[t]), 6), t, cnt)
+                for t, cnt in tf.items()
+            ),
+        )[:5]
+        rs = sorted(got[d], key=lambda r: r["rank"])
+        assert len(rs) == len(scored), d
+        for r, (neg, term, cnt) in zip(rs, scored):
+            assert r["term"] == term and r["tf"] == cnt and r["df"] == df[term]
+            assert _close(r["tfidf"], -neg), (d, term)
+
+
+def test_duplicate_spans_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_duplicate_spans,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    spans = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        toks = _toks(t)
+        if len(toks) >= 5:
+            spans[d] = {
+                " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+            }
+    cnt = Counter(s for ss in spans.values() for s in ss)
+    rows = {r["doc_id"]: r for r in q_duplicate_spans(spark, SF).collect()}
+    assert set(rows) == {d for d, ss in spans.items() if ss}
+    for d, ss in spans.items():
+        shared = sum(1 for s in ss if cnt[s] > 1)
+        r = rows[d]
+        assert r["n_spans"] == len(ss)
+        assert r["n_shared_spans"] == shared
+        assert _close(r["dup_fraction"], round(shared / len(ss), 6)), d
