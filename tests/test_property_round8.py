@@ -361,3 +361,105 @@ def test_duplicate_spans_matches_brute_force(spark):
         assert r["n_spans"] == len(ss)
         assert r["n_shared_spans"] == shared
         assert _close(r["dup_fraction"], round(shared / len(ss), 6)), d
+
+
+def test_window_running_total_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_window_running_total,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): r["running_revenue"]
+        for r in q_window_running_total(spark, SF).collect()
+    }
+    assert len(got) == len(orders)
+    od = pd.to_datetime(orders["o_orderdate"]).dt.date
+    rows = sorted(
+        zip(orders["o_custkey"], od, orders["o_orderkey"],
+            orders["o_totalprice"]),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    run: dict = {}
+    for ck, _, ok, price in rows:
+        run[ck] = run.get(ck, Decimal(0)) + Decimal(str(price)).quantize(
+            Decimal("0.01")
+        )
+        assert _close(got[(ck, ok)], float(run[ck])), (ck, ok)
+
+
+def test_token_frequencies_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_token_frequencies,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt = Counter(t for txt in docs["text"] for t in _toks(txt))
+    want = sorted(((-n, t) for t, n in cnt.items()))[:50]
+    rows = sorted(q_token_frequencies(spark, SF).collect(),
+                  key=lambda r: r["rank"])
+    assert len(rows) == len(want)
+    for r, (neg, tok) in zip(rows, want):
+        assert (r["token"], r["n"]) == (tok, -neg), r["rank"]
+
+
+def test_revenue_deciles_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_revenue_deciles,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    rev: dict = defaultdict(Decimal)
+    for ck, price in zip(orders["o_custkey"], orders["o_totalprice"]):
+        rev[ck] += Decimal(str(price)).quantize(Decimal("0.01"))
+    ordered = sorted(rev.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+    n, k = len(ordered), 10
+    base, extra = divmod(n, k)
+    want: dict = {}
+    pos = 0
+    for tile in range(1, k + 1):
+        size = base + (1 if tile <= extra else 0)
+        chunk = ordered[pos : pos + size]
+        pos += size
+        if chunk:
+            want[tile] = (
+                len(chunk), float(sum(v for _, v in chunk)),
+            )
+    got = {
+        r["decile"]: (r["n_customers"], r["decile_revenue"])
+        for r in q_revenue_deciles(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for tile, (nc, tot) in want.items():
+        assert got[tile][0] == nc
+        assert _close(got[tile][1], tot, tol=1e-6), tile
+
+
+def test_percent_rank_cume_matches_brute_force(spark):
+    from music_streaming_etl_spark.plans.analytics_queries import (
+        q_percent_rank_cume,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    rev: dict = defaultdict(Decimal)
+    for ck, price in zip(orders["o_custkey"], orders["o_totalprice"]):
+        rev[ck] += Decimal(str(price)).quantize(Decimal("0.01"))
+    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    by_seg: dict = defaultdict(list)
+    for ck, v in rev.items():
+        if ck in seg:
+            by_seg[seg[ck]].append((float(v), ck))
+    got = {
+        (r["c_mktsegment"], r["custkey"]): (r["pct_rank"], r["cume"])
+        for r in q_percent_rank_cume(spark, SF).collect()
+    }
+    assert len(got) == sum(len(v) for v in by_seg.values())
+    for s, pairs in by_seg.items():
+        pairs.sort()
+        n = len(pairs)
+        for i, (_, ck) in enumerate(pairs):
+            pr = round(i / (n - 1), 6) if n > 1 else 0.0
+            cd = round((i + 1) / n, 6)
+            g = got[(s, ck)]
+            assert _close(g[0], pr) and _close(g[1], cd), (s, ck)
