@@ -119,6 +119,60 @@ def check_referential(
     return CheckResult(name, orphans == 0, {"orphans": orphans})
 
 
+def check_freshness(
+    df: DataFrame,
+    ts_col: str,
+    max_lag_hours: float,
+    as_of=None,
+    name: str = "freshness",
+) -> CheckResult:
+    """V7 — data freshness (claimed README.md:36, unimplemented in
+    the reference, same class as V5/V6): the newest ``ts_col`` value
+    must be within ``max_lag_hours`` of ``as_of`` (default: the
+    current wall clock — pass a pinned timestamp for reproducible
+    runs and tests). ONE max-aggregation, only the 1-row report
+    reaches the driver; on 100 TB inputs this is a scan-bound
+    map-side max with a single-row reduce.
+
+    Fails CLOSED: an empty input has no max timestamp and is treated
+    as stale (``passed=False``) — silence is the one freshness
+    failure mode a pipeline must never reward.
+    """
+    as_of_col = (
+        F.lit(as_of).cast("timestamp")
+        if as_of is not None
+        else F.current_timestamp()
+    )
+    # lag computed INSIDE the aggregate so both timestamps are
+    # interpreted in the same session timezone (driver-side
+    # ``datetime.timestamp()`` would re-interpret the naive value in
+    # the OS zone instead).
+    row = df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.max(F.col(ts_col)).alias("max_ts"),
+        (
+            F.unix_timestamp(as_of_col)
+            - F.unix_timestamp(F.max(F.col(ts_col)))
+        ).alias("lag_s"),
+    ).collect()[0]
+    if row["max_ts"] is None:
+        return CheckResult(
+            name, False, {"total_rows": row["total_rows"], "max_ts": None}
+        )
+    lag_s = row["lag_s"]
+    passed = lag_s <= max_lag_hours * 3600
+    return CheckResult(
+        name,
+        passed,
+        {
+            "total_rows": row["total_rows"],
+            "max_ts": row["max_ts"],
+            "lag_seconds": lag_s,
+            "max_lag_hours": max_lag_hours,
+        },
+    )
+
+
 def check_unique(
     df: DataFrame, keys: Sequence[str], name: str = "unique"
 ) -> CheckResult:

@@ -37,67 +37,20 @@ REGISTRY.update(REGISTRY_DECISION)
 # window slot. Every key stays covered by scripts/selfcheck.py
 # (cell-exact, all keys) regardless of position.
 _PRIORITY: list[str] = [
-    # ROUND-4 ROTATION (VERDICT r3 action item 1): the driver checks
-    # the FIRST 50 keys only, so this list is now exactly the
-    # never-driver-checked oracle-backed backlog, oldest-risk first —
-    # the 8 r3-new keys that slipped past position 50 last round, then
-    # the backlog in registry age order. Round 4 retires positions
-    # 1-50; round 5 inherits 51-100; round 6 finishes 101-114. ZERO
-    # new queries were added this round by design ("rotate, don't
-    # add") so the pool can only shrink. Every key here already
-    # passes the cell-exact DuckDB selfcheck (scripts/selfcheck.py)
-    # at sf0.001+sf0.01+--hostile; this rotation converts that
-    # builder-side evidence into driver-side CORRECTNESS rows.
-    "bitemporal_state_lookup",
-    "capped_running_balance",
-    "rolling_median_7d",
-    "cohort_ltv",
-    "frequent_triples",
-    "ks_drift",
-    "growth_accounting",
-    "daily_autocorrelation",
-    "cohort_retention",
-    "time_weighted_value",
-    "event_transitions",
-    "copurchase_pairs",
-    "pseudonymize_users",
-    "k_anonymity",
-    "sample_per_key",
-    "revenue_trend",
-    "entity_resolution",
-    "quantile_sketch_rollup",
-    "cms_frequency",
-    "funnel_conversion",
-    "variant_props_stats",
-    "lateral_top_orders",
-    "zorder_values",
-    "key_skew_profile",
-    "corpus_shuffle",
-    "dedup_clusters",
-    "dedup_clusters_twophase",
-    "dedup_canonical",
-    "training_corpus",
-    "sessionize_events",
-    "daily_active_users",
-    "event_interarrival",
-    "customer_retention",
-    "rolling_7day_revenue",
-    "asof_join_signup",
-    "range_join_windows",
-    "snapshot_diff",
-    "locf_fill",
-    "profile_table",
-    "duplicate_spans",
-    "semdedup",
-    "scd2_user_state",
-    "salted_skew_count",
-    "bucketed_join_revenue",
-    "domain_top_docs",
-    "pack_sequences",
-    "ref_pipeline_genre_kpis",
-    "unpivot_metrics",
-    "fuzzy_name_pairs",
-    "pii_redaction",
+    # ROUND-5 ROTATION (VERDICT r4 action item 1): round 4 retired
+    # backlog positions 1-50 (all green in CORRECTNESS_r04.json), so
+    # the front 50 of the old list are dropped and the window is now
+    # the remaining 64 never-driver-checked oracle-backed keys in the
+    # same age order — round 5 retires positions 1-50 here, round 6
+    # finishes the last 14 (welch_t_test ... attribution_position_
+    # based, pre-staged at the tail).  The single sanctioned new key
+    # this round (VERDICT r4 item 3) is `check_freshness`, placed at
+    # position 1 because new code is the riskiest and must earn a
+    # driver CORRECTNESS row immediately.  Every other key here
+    # already passes the cell-exact DuckDB selfcheck
+    # (scripts/selfcheck.py) at sf0.001+sf0.01+--hostile; the
+    # rotation converts builder-side evidence into driver rows.
+    "check_freshness",
     "quality_filter",
     "doc_chunks",
     "repetition_stats",

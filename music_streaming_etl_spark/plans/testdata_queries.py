@@ -503,6 +503,47 @@ FROM events
 """
 
 
+FRESHNESS_AS_OF = "2024-01-31 12:00:00"
+FRESHNESS_HORIZON_H = 48
+
+
+def q_check_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 — data freshness (claimed README.md:36, unimplemented in the
+    reference): newest event within 48h of a pinned as-of instant
+    (pinned, not ``now()``, so the result is reproducible and
+    oracle-checkable). One max-aggregate pass; ``fresh`` COALESCEs to
+    FALSE so an EMPTY table fails closed in both engines.
+
+    lag_seconds uses whole-second arithmetic (``unix_timestamp``
+    floors sub-second parts; the oracle mirrors with
+    ``floor(epoch(...))``) — double epoch micro-lag would hash-diverge
+    on microsecond representation."""
+    ev = _t(spark, sf_dir, "events")
+    as_of = F.lit(FRESHNESS_AS_OF).cast("timestamp")
+    max_ts = F.max("ts")
+    lag_s = F.unix_timestamp(as_of) - F.unix_timestamp(max_ts)
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        max_ts.alias("max_ts"),
+        lag_s.alias("lag_seconds"),
+        F.coalesce(
+            lag_s <= FRESHNESS_HORIZON_H * 3600, F.lit(False)
+        ).alias("fresh"),
+    )
+
+
+ORACLE_CHECK_FRESHNESS = f"""
+SELECT COUNT(*) AS total_rows,
+       MAX(ts) AS max_ts,
+       CAST(floor(epoch(TIMESTAMP '{FRESHNESS_AS_OF}')) AS BIGINT)
+         - CAST(floor(epoch(MAX(ts))) AS BIGINT) AS lag_seconds,
+       COALESCE(CAST(floor(epoch(TIMESTAMP '{FRESHNESS_AS_OF}')) AS BIGINT)
+         - CAST(floor(epoch(MAX(ts))) AS BIGINT) <= {FRESHNESS_HORIZON_H} * 3600,
+         FALSE) AS fresh
+FROM events
+"""
+
+
 def q_ddl_recreate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 — full-refresh load strategy (DROP+CREATE+COPY, ref
     :245-289) as an overwrite saveAsTable, read back from the
@@ -1005,6 +1046,7 @@ REGISTRY: dict = {
         " COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_l_shipdate"
         " FROM lineitem",
     ),
+    "check_freshness": (q_check_freshness, ORACLE_CHECK_FRESHNESS),
     "check_range": (
         q_check_range,
         "SELECT COUNT(CASE WHEN hour(ts) NOT BETWEEN 0 AND 23 THEN 1 END) AS out_of_range,"

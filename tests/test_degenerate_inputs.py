@@ -82,6 +82,7 @@ TINY_KEYS = [
 
 # keys that crashed or mismatched on the empty variant before the fix
 EMPTY_KEYS = [
+    "check_freshness",  # r5: empty input must fail CLOSED, same in oracle
     "suggest_constraints",
     "partitioned_sink_prune",
     "similarity_topk_pq",
@@ -158,6 +159,15 @@ def test_empty_inputs_match_oracle(spark, degenerate_dirs, key):
 @pytest.mark.parametrize("key", sorted(set(CONSTANT_KEYS)))
 def test_constant_inputs_match_oracle(spark, degenerate_dirs, key):
     _check(spark, degenerate_dirs["constant"], key)
+
+
+def test_freshness_fails_closed_on_empty(spark, degenerate_dirs):
+    """V7 contract: no rows → no max timestamp → NOT fresh. A missing
+    feed must never read as a healthy one (VERDICT r4 item 3)."""
+    fn, _ = REGISTRY["check_freshness"]
+    row = fn(spark, degenerate_dirs["empty"]).collect()[0]
+    assert row["total_rows"] == 0
+    assert row["fresh"] is False
 
 
 @pytest.mark.parametrize("key", GRANDTOTAL_DIVERGENT)

@@ -141,6 +141,22 @@ def test_observed_metrics_pass_on_clean_frame(spark, tmp_path):
     assert res.passed and res.details["total_rows"] == 2
 
 
+def test_check_freshness_fresh_stale_and_empty(spark):
+    """V7: lag vs a pinned as-of; empty input fails CLOSED."""
+    from music_streaming_etl_spark.operators.validation import check_freshness
+
+    df = spark.createDataFrame(
+        [("2024-01-30 23:00:00",), ("2024-01-15 00:00:00",)], "ts_s string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    as_of = "2024-01-31 12:00:00"
+    r = check_freshness(df, "ts", max_lag_hours=48, as_of=as_of)
+    assert r.passed and r.details["lag_seconds"] == 13 * 3600
+    r = check_freshness(df, "ts", max_lag_hours=2, as_of=as_of)
+    assert not r.passed
+    r = check_freshness(df.filter("ts IS NULL"), "ts", 48, as_of=as_of)
+    assert not r.passed and r.details["total_rows"] == 0
+
+
 def test_check_unique_clean_dup_and_null_keys(spark):
     from music_streaming_etl_spark.operators.validation import check_unique
 
