@@ -424,6 +424,30 @@ def test_minhash_verify_joins_exchange_longs_not_strings(spark, sf_dir):
             raise AssertionError(f"raw shingle string in a shuffle: {line}")
 
 
+def test_minhash_verify_regime_switch(spark, sf_dir, monkeypatch):
+    """The verify joins are size-CONDITIONAL (VERDICT r4 item 2): a
+    small corpus (measured cached bytes ≤ cap) broadcast-hints the
+    hsd/cnts projections — no sort-merge tax; forcing the cap to 0
+    reproduces the 100×-safe MERGE pin. The decision reads EXACT
+    materialized-cache bytes, never Catalyst's (undershooting)
+    estimate, so the forced broadcast cannot OOM at scale."""
+    from music_streaming_etl_spark.operators import dedup as D
+    from music_streaming_etl_spark.plans.extension_queries import (
+        q_dedup_minhash,
+    )
+
+    spark.catalog.clearCache()
+    try:
+        plan = _plan(q_dedup_minhash(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan  # small regime at test SF
+        spark.catalog.clearCache()
+        monkeypatch.setattr(D, "_VERIFY_BROADCAST_CAP", 0)
+        plan = _plan(q_dedup_minhash(spark, sf_dir))
+        assert "SortMergeJoin" in plan  # forced large regime
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_zorder_layout_single_shuffle(spark, sf_dir):
     """zorder_layout = one range exchange (plus the broadcast of the
     1-row span aggregate) — no second shuffle, no join on data."""
