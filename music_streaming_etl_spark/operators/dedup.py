@@ -375,6 +375,15 @@ def dedup_minhash_pairs(
     plain shuffle/join Catalyst plans and AQE rebalances at any
     corpus size; the hashed-shingle frame is cached because the
     signature and verify stages both consume it.
+
+    Cache lifetime (ADVICE r4): ``minhash_index`` cache()s the
+    hashed-shingle frame and does NOT unpersist it — the CALLER owns
+    the entry's lifetime. The repo's batteries (selfcheck, bench,
+    degenerate suite) clear the session cache after every query; a
+    long-lived session embedding this operator should
+    ``spark.catalog.clearCache()`` (or track and unpersist) once the
+    returned frame's consumers have run, or repeated invocations
+    accumulate one CacheManager entry each.
     """
     hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
     bands = _band_frame(mins, num_hashes, num_bands)
@@ -538,6 +547,11 @@ def dedup_incremental(
     re-shingled — per-batch cost is O(|batch| + collisions).
     ``corpus_shingles`` is the hashed (id, h) frame ``minhash_index``
     returns — 8 bytes/shingle on disk, long-typed verify joins.
+
+    Cache lifetime: each call cache()s the BATCH's hashed shingles via
+    ``minhash_index`` and never unpersists — an ingest LOOP must clear
+    or unpersist between batches (the repo's batteries clearCache()
+    per query) or it accumulates one CacheManager entry per batch.
     """
     new_sh, new_mins = minhash_index(new_docs, id_col, text_col, num_hashes, shingle_n)
     corpus_bands = _band_frame(corpus_mins, num_hashes, num_bands)
@@ -829,7 +843,12 @@ def embedding_neardup_pairs(
     tolerance class as the previous form, whose hash-agg F.sum over
     doubles was already partition-order dependent pre-round (and the
     DuckDB oracle's sequential fold a third order); all agree after
-    rounding away the accumulation ulps."""
+    rounding away the accumulation ulps. The rounding is
+    half-AWAY-FROM-ZERO (sign·floor(|x|·1e6 + 0.5)/1e6), matching
+    Spark's ROUND and the DuckDB oracle — ``np.round`` is banker's
+    half-to-even and would diverge on a cosine landing exactly on a
+    6dp midpoint (ADVICE r4). Ragged vector lengths raise with the
+    offending bucket named instead of numpy's shape error."""
     import pandas as pd
 
     id_dt = df.schema[id_col].dataType.simpleString()
@@ -839,6 +858,12 @@ def embedding_neardup_pairs(
         import numpy as np
 
         ids = pdf["__id"].to_numpy()
+        dims = {len(v) for v in pdf["__vec"]}
+        if len(dims) > 1:
+            raise ValueError(
+                f"embedding_neardup_pairs: ragged vector lengths {sorted(dims)} "
+                f"within one bucket (ids sample: {ids[:3].tolist()})"
+            )
         mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
         n = len(ids)
         if n < 2:
@@ -847,7 +872,8 @@ def embedding_neardup_pairs(
             )
         norms = np.sqrt((mat * mat).sum(axis=1))
         gram = mat @ mat.T
-        cos = np.round(gram / np.outer(norms, norms), 6)
+        raw = gram / np.outer(norms, norms)
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         iu, ju = np.triu_indices(n, k=1)
         keep = cos[iu, ju] >= threshold
         ia, ib = ids[iu[keep]], ids[ju[keep]]
@@ -1083,7 +1109,8 @@ def lsh_candidate_quality(
     Candidates with an EMPTY intersection still count (coalesce 0) —
     dropping them would overstate precision.
 
-    Same exploded/codegen pipeline as ``dedup_minhash_pairs``; the
+    Same exploded/codegen pipeline as ``dedup_minhash_pairs``,
+    including its caller-owned cache entry (see that docstring); the
     extra cost over a dedup run is nil because the verify join already
     computes every candidate's Jaccard."""
     hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
@@ -1158,7 +1185,9 @@ def containment_neardup_pairs(
     denominator changes — so the scale shape is identical.
 
     Returns (id_a, id_b, containment, jaccard_sim), id_a < id_b, for
-    candidates with containment ≥ threshold.
+    candidates with containment ≥ threshold. Cache lifetime is
+    caller-owned exactly as in ``dedup_minhash_pairs`` (see that
+    docstring).
     """
     hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
     bands = _band_frame(mins, num_hashes, num_bands)

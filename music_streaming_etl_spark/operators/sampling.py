@@ -187,7 +187,19 @@ def weighted_sample_topk(
     never a single-partition window.
 
     Weights must be > 0; rows with NULL/non-positive weight are
-    dropped (standard E-S domain)."""
+    dropped (standard E-S domain).
+
+    Bounded-weight-ratio assumption (ADVICE r4): the 6dp quantization
+    guarantee holds while max_w/w stays below ~1e9. Past that the key
+    magnitude (≳1e10) has a double ulp larger than the 1e-6 rounding
+    quantum, so round() is a no-op there and a 1-ulp libm ``ln``
+    difference scaled by max_w/w can in principle flip a rank across
+    engines. Such rows carry ~1e-9 of the max row's selection
+    probability — they only surface in a top-k when k approaches the
+    corpus size. If your corpus genuinely spans >9 orders of magnitude
+    of weight AND you need bit-portable ranks in that tail, pre-clamp
+    the ratio (e.g. floor weights at max_w/1e8) or bucket the weights
+    before sampling."""
     from .ranking import global_topk
 
     c = F.col(key)

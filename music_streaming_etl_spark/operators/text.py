@@ -204,6 +204,20 @@ def winnow_fingerprints(
        (id, fp) distinct."""
     from pyspark.sql import Window as W
 
+    # int64-overflow guard (ADVICE r4): the gram hash's worst case is
+    # Σ_{i<k} max_codepoint·131^i with max_codepoint = 0x10FFFF (the
+    # ``ascii()`` of any Unicode char), so for k ≥ 8 a non-ASCII text
+    # overflows a long and ANSI Spark raises ARITHMETIC_OVERFLOW
+    # mid-job (the "max ≈ 2^52" note above is the DEFAULT k=5). Fail
+    # at construction with the bound spelled out instead.
+    worst = sum(0x10FFFF * 131**i for i in range(k))
+    if worst >= 2**63:
+        raise ValueError(
+            f"winnow_fingerprints: k={k} can overflow the int64 gram "
+            f"hash on non-ASCII text (worst case {worst} ≥ 2^63); "
+            "max supported k is 7"
+        )
+
     norm = df.select(
         F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm")
     ).filter(F.length("__norm") >= k)

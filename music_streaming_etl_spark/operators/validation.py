@@ -73,11 +73,17 @@ def uncastable(col, cast_type: str):
     catching a Java exception, so a column where EVERY row fails (the
     cast-as-assertion worst case — e.g. a JSON ``props`` column
     checked against bigint) pays an exception per row — measured
-    67.2s for 10M rows vs 0.8s for the same count via ``rlike``. The
-    gate regex is a proper SUPERSET of Spark's castable-integral
-    grammar (verified: whitespace-trimmed ``[+-]?digits``; the only
-    gate-passing-but-uncastable strings are int64 overflows, which
-    fall through to the real try_cast), so results are bit-identical.
+    67.2s for 10M rows vs 0.8s for the same count via ``rlike``.
+
+    Grammar note (ADVICE r4): the gate follows the DUCKDB-oracle
+    try_cast grammar, which is slightly STRICTER than Spark's — Spark
+    trims every char ≤ 0x20 before casting (``try_cast('\\x0142' as
+    bigint)`` = 42) while Java ``\\s`` (and DuckDB) reject
+    control-char-padded integers, so the gated check counts those as
+    violations exactly as the oracle does. For ordinary
+    whitespace-trimmed ``[+-]?digits`` the gate is a superset of the
+    castable grammar and the only gate-passing-but-uncastable strings
+    are int64 overflows, which fall through to the real try_cast.
     """
     c = F.col(col) if isinstance(col, str) else col
     if cast_type.lower() in _INTEGRAL_TYPES:

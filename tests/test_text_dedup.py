@@ -89,6 +89,37 @@ def test_embedding_neardup_identical_vectors(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
+def test_embedding_neardup_ragged_vectors_raise(spark):
+    """ADVICE r4: ragged vector lengths within a bucket must raise a
+    named error, not numpy's opaque shape failure (or the silent
+    tolerance of the old positional-join form)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    with _pytest.raises(Exception, match="ragged vector lengths"):
+        embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.5, bucket_col="label"
+        ).collect()
+
+
+def test_winnow_k_overflow_guard(spark):
+    """ADVICE r4: k ≥ 8 can overflow the int64 polynomial gram hash
+    on non-ASCII text — construction must fail with the bound named,
+    not ARITHMETIC_OVERFLOW mid-job."""
+    import pytest as _pytest
+
+    from music_streaming_etl_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max supported k is 7"):
+        winnow_fingerprints(df, "doc_id", "text", k=8)
+    # k=7 stays inside int64 even at codepoint 0x10FFFF
+    assert winnow_fingerprints(df, "doc_id", "text", k=7).count() > 0
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [
