@@ -913,6 +913,7 @@ def main() -> None:
         "wilson_ci": "events",
         "check_range": "events",
         "check_types": "events",
+        "check_freshness": "events",
         # orders-backed (materialize_orders symlinks customer)
         "agg_mode": "orders",
         "anti_join_orphans": "orders",
