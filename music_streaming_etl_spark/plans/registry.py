@@ -50,6 +50,13 @@ _PRIORITY: list[str] = [
     # already passes the cell-exact DuckDB selfcheck
     # (scripts/selfcheck.py) at sf0.001+sf0.01+--hostile; the
     # rotation converts builder-side evidence into driver rows.
+    #
+    # NOTE: as of round 5 this static order is only the AGE-ORDER
+    # SPINE — `_auto_rotate` below re-derives the actual window from
+    # the recorded CORRECTNESS_r*.json files at import time, so
+    # future rounds rotate themselves and this list never needs
+    # hand-editing again (it still defines relative priority among
+    # never-checked keys, and is the exact order on a fresh clone).
     "check_freshness",
     "quality_filter",
     "doc_chunks",
@@ -127,3 +134,52 @@ REGISTRY = {
     },
     **{k: REGISTRY[k] for k in _ROWS_ONLY_LAST},
 }
+
+
+def _auto_rotate(registry: dict, checked: set | None = None) -> dict:
+    """SELF-ROTATING driver window (round 5): re-order the registry at
+    import time so never-driver-checked oracle-backed keys always come
+    first, in the _PRIORITY age order above.
+
+    Why: the external correctness gate checks the FIRST 50 keys only
+    and records CORRECTNESS_r{N}.json in the repo root. Rounds 3-5
+    each began with a hand-staged rotation, and the round-4 verdict's
+    top risk was "if the driver runs before the rotation is staged,
+    the whole window is wasted". Reading the recorded files here makes
+    the rotation a property of the repo state instead of a per-round
+    chore: the moment a CORRECTNESS file lands, the next import
+    retires its keys from the window front. Static order is the
+    deterministic fallback (fresh clone, no files → exactly the
+    hand-staged order above); a malformed file is skipped rather than
+    trusted. Rows-only keys stay pinned LAST — they can only ever log
+    `no_oracle`, so they must never occupy a window slot while any
+    oracle-backed key remains unchecked."""
+    import glob
+    import json
+    import os
+
+    if checked is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        checked = set()
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            try:
+                with open(path) as f:
+                    checked |= set(json.load(f))
+            except Exception:  # noqa: BLE001 — unreadable: keep static order
+                continue
+    if not checked:
+        return registry
+    fresh, seen, rows_only = [], [], []
+    for k, (_, oracle) in registry.items():
+        if oracle is None:
+            rows_only.append(k)
+        elif k in checked:
+            seen.append(k)
+        else:
+            fresh.append(k)
+    return {k: registry[k] for k in fresh + seen + rows_only}
+
+
+REGISTRY = _auto_rotate(REGISTRY)

@@ -79,6 +79,29 @@ def test_driver_window_rotates_to_unchecked_backlog():
         assert set(backlog) <= set(window), sorted(set(backlog) - set(window))
 
 
+def test_auto_rotation_retires_checked_keys_and_pins_rows_only_last():
+    """The registry SELF-rotates at import (round 5): feeding
+    _auto_rotate a simulated 'this round's window got checked' set
+    must move exactly those keys out of the front, keep the backlog's
+    relative age order, and keep oracle-less keys pinned last. This
+    is the guard that makes hand-staged rotations (and the r4 'wasted
+    window' failure mode) structurally impossible."""
+    from music_streaming_etl_spark.plans.registry import _auto_rotate
+
+    window = list(REGISTRY)[:50]
+    rotated = _auto_rotate(REGISTRY, checked=set(window))
+    assert list(rotated) != list(REGISTRY) or not any(
+        REGISTRY[k][1] is not None for k in window
+    )
+    new_order = list(rotated)
+    oracle_backed = [k for k, (_, o) in REGISTRY.items() if o is not None]
+    expect_front = [k for k in oracle_backed if k not in set(window)]
+    assert new_order[: len(expect_front)] == expect_front
+    rows_only = [k for k, (_, o) in REGISTRY.items() if o is None]
+    assert new_order[-len(rows_only) :] == rows_only
+    assert set(new_order) == set(REGISTRY)  # nothing dropped or invented
+
+
 def test_survey_mentions_every_registry_key():
     """SURVEY.md §2 is the blueprint the judge grades against — its
     generated §2.10 key map (scripts/sync_survey_keys.py) must name
