@@ -47,9 +47,11 @@ COMMENT = {
         "bucket + residual range filter — no BroadcastNestedLoopJoin."
     ),
     "fuzzy_name_pairs": (
-        "Blocked levenshtein linkage: union of slice projections "
-        "self-joins on (slice, length, key) — candidates only — then the "
-        "exact edit distance verifies; the O(n^2) cross join never plans."
+        "Blocked levenshtein linkage (SymSpell symmetric-delete form): "
+        "each side explodes to its deletion-key set (Generate), "
+        "distinct-aggregates, and the sides meet on an EQUI key — "
+        "candidates only — then the exact edit distance verifies; the "
+        "O(n^2) cross join never plans."
     ),
     "dedup_clusters": (
         "Connected components (final round shown): edges join labels on "
