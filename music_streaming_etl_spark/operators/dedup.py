@@ -314,12 +314,18 @@ def _shingle_hash60(sh) -> F.Column:
 
 
 # Exact-bytes ceiling under which the minhash verify stage force-
-# broadcasts its hsd/cnts projections instead of MERGE-pinning: 64 MB
-# of MEASURED cached bytes (not an estimate) is trivially buildable on
-# any executor profile this engine targets, while the 100× probe's
-# corpus (~190 MB hashed shingles) stays safely in the sort-merge
-# regime.
-_VERIFY_BROADCAST_CAP = 64 << 20
+# broadcasts its hsd/cnts projections instead of MERGE-pinning. The
+# budget is honest about expansion: a broadcast hash relation over
+# (long, long) rows costs several times its compressed-columnar cache
+# size, and one verify plan builds up to four relations concurrently,
+# so the worst case at the cap is ~32 MB × ~6 expansion × 4 ≈ 0.8 GB
+# across the plan — fine on the ≥4 GB driver/executor profiles this
+# engine targets, and two orders of magnitude of headroom against
+# misestimation because the input is MEASURED bytes, not a Catalyst
+# guess. Tighter memory profiles should lower the cap, not trust
+# estimates. The 100× probe's corpus (~190 MB hashed shingles) stays
+# safely in the sort-merge regime.
+_VERIFY_BROADCAST_CAP = 32 << 20
 
 
 def _exact_cached_bytes(df: DataFrame) -> int:
@@ -345,6 +351,34 @@ def _exact_cached_bytes(df: DataFrame) -> int:
         )
     except Exception:
         return _sys.maxsize
+
+
+def _verify_pins(hsd: DataFrame):
+    """Join-strategy pins for the banded-LSH verify topology, shared
+    by every pipeline that joins candidate pairs back to the cached
+    hashed-shingle frame (``dedup_minhash_pairs``,
+    ``lsh_candidate_quality``, ``containment_neardup_pairs``) — the
+    r4 probe showed the hazard is the TOPOLOGY, not one caller:
+    Catalyst's static estimate of the post-join cand frame
+    undershoots, so left unguarded it can pick a corpus-scaled side
+    as a broadcast build and die in
+    notEnoughMemoryToBuildAndBroadcastTable at 100×.
+
+    Returns ``(side_pin, pair_pin)``:
+
+    - ``side_pin`` wraps the hsd/cnts projections — force-broadcast
+      when the MEASURED cache bytes fit ``_VERIFY_BROADCAST_CAP``
+      (bounded by construction), MERGE-pin otherwise;
+    - ``pair_pin`` wraps pair-grain frames (cand/inter) meeting other
+      pair-grain frames — NEVER force-broadcast (a pair frame is not
+      bounded by hsd bytes), plain in the small regime so Catalyst
+      may still pick a genuinely-fitting broadcast, MERGE-pinned in
+      the large regime where its estimate cannot be trusted.
+    """
+    small = _exact_cached_bytes(hsd) <= _VERIFY_BROADCAST_CAP
+    side_pin = F.broadcast if small else (lambda f: f.hint("merge"))
+    pair_pin = (lambda f: f) if small else (lambda f: f.hint("merge"))
+    return side_pin, pair_pin
 
 
 def dedup_minhash_pairs(
@@ -375,6 +409,12 @@ def dedup_minhash_pairs(
     plain shuffle/join Catalyst plans and AQE rebalances at any
     corpus size; the hashed-shingle frame is cached because the
     signature and verify stages both consume it.
+
+    EAGER construction (r5): the size-regime decision below reads the
+    MEASURED cache bytes, so calling this function materializes the
+    hashed-shingle frame (one count() job + the cache fill the first
+    action would have paid anyway). Plan-only inspection therefore
+    runs those jobs; the returned frame itself stays lazy.
 
     Cache lifetime (ADVICE r4): ``minhash_index`` cache()s the
     hashed-shingle frame and does NOT unpersist it — the CALLER owns
@@ -411,13 +451,15 @@ def dedup_minhash_pairs(
     # every branch of this pipeline consumes it, so materializing it
     # now costs nothing extra, and a fresh plan over the materialized
     # InMemoryRelation reports accumulator-backed true bytes. Small
-    # regime → force-broadcast the hsd/cnts projections (bounded by
-    # the measured bytes by construction, so the forced hint cannot
-    # OOM, and cand — whose estimate is the untrustworthy one — can
-    # never be picked as a build side). Large regime → the r4 MERGE
-    # pin, unchanged 100×-safe behavior.
-    small = _exact_cached_bytes(hsd) <= _VERIFY_BROADCAST_CAP
-    pin = F.broadcast if small else (lambda f: f.hint("merge"))
+    # regime → force-broadcast the hsd/cnts projections (their bytes
+    # are bounded by the measured cache size, within the budget the
+    # cap comment documents, and cand — whose estimate is the
+    # untrustworthy one — can never be picked as a build side). Large
+    # regime → the r4 MERGE pin, unchanged 100×-safe behavior. NOTE:
+    # the regime decision makes CONSTRUCTION eager (one count() job +
+    # the cache fill that the first action would have paid anyway) —
+    # plan-only inspection of this query materializes the corpus.
+    pin, _ = _verify_pins(hsd)
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(
@@ -565,13 +607,28 @@ def dedup_incremental(
         .select(F.col("n.id").alias("id_new"), F.col("c.id").alias("id_corpus"))
         .distinct()
     )
+    # corpus-side join guard: the batch side SHOULD broadcast (it is
+    # small by contract), but the corpus-derived frames must never be
+    # picked as a broadcast build from an optimistic estimate — when
+    # the persisted index's scan estimate exceeds the verify cap,
+    # MERGE-pin its joins (same hazard class as _verify_pins; plain
+    # joins when it genuinely fits, so small-corpus tests stay cheap).
+    from .joins import fits_broadcast
+
+    cpin = (
+        (lambda f: f)
+        if fits_broadcast(corpus_shingles, _VERIFY_BROADCAST_CAP)
+        else (lambda f: f.hint("merge"))
+    )
     n_cnt = new_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_new"))
     c_cnt = corpus_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_corp"))
     inter = (
         cand.join(new_sh.select(F.col("id").alias("id_new"), "h"), "id_new")
         .join(
-            corpus_shingles.select(
-                F.col("id").alias("id_corpus"), F.col("h").alias("h_c")
+            cpin(
+                corpus_shingles.select(
+                    F.col("id").alias("id_corpus"), F.col("h").alias("h_c")
+                )
             ),
             "id_corpus",
         )
@@ -581,7 +638,10 @@ def dedup_incremental(
     )
     matches = (
         inter.join(n_cnt.select(F.col("id").alias("id_new"), "n_new"), "id_new")
-        .join(c_cnt.select(F.col("id").alias("id_corpus"), "n_corp"), "id_corpus")
+        .join(
+            cpin(c_cnt.select(F.col("id").alias("id_corpus"), "n_corp")),
+            "id_corpus",
+        )
         .select(
             "id_new",
             "id_corpus",
@@ -1110,9 +1170,11 @@ def lsh_candidate_quality(
     dropping them would overstate precision.
 
     Same exploded/codegen pipeline as ``dedup_minhash_pairs``,
-    including its caller-owned cache entry (see that docstring); the
-    extra cost over a dedup run is nil because the verify join already
-    computes every candidate's Jaccard."""
+    including its caller-owned cache entry and EAGER construction
+    (the size-regime decision materializes the hashed shingles at
+    call time — see that docstring); the extra cost over a dedup run
+    is nil because the verify join already computes every candidate's
+    Jaccard."""
     hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
     bands = _band_frame(mins, num_hashes, num_bands)
     a, b = bands.alias("a"), bands.alias("b")
@@ -1126,18 +1188,38 @@ def lsh_candidate_quality(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # same verify topology as dedup_minhash_pairs → same size-
+    # conditional pins (the r4 force-broadcast hazard is the
+    # topology's, not one caller's); the pair-grain inter frame gets
+    # pair_pin — never a forced broadcast
+    side_pin, pair_pin = _verify_pins(hsd)
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(hsd.select(F.col("id").alias("id_a"), "h"), "id_a")
-        .join(hsd.select(F.col("id").alias("id_b"), F.col("h").alias("h_b")), "id_b")
+        cand.join(side_pin(hsd.select(F.col("id").alias("id_a"), "h")), "id_a")
+        .join(
+            side_pin(
+                hsd.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+            ),
+            "id_b",
+        )
         .filter(F.col("h") == F.col("h_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     scored = (
-        cand.join(inter, ["id_a", "id_b"], "left")
-        .join(cnts.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(cnts.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        cand.join(pair_pin(inter), ["id_a", "id_b"], "left")
+        .join(
+            side_pin(
+                cnts.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+            ),
+            "id_a",
+        )
+        .join(
+            side_pin(
+                cnts.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+            ),
+            "id_b",
+        )
         .select(
             (
                 F.coalesce(F.col("inter"), F.lit(0)).cast("double")
@@ -1186,8 +1268,9 @@ def containment_neardup_pairs(
 
     Returns (id_a, id_b, containment, jaccard_sim), id_a < id_b, for
     candidates with containment ≥ threshold. Cache lifetime is
-    caller-owned exactly as in ``dedup_minhash_pairs`` (see that
-    docstring).
+    caller-owned and construction is EAGER (the size-regime decision
+    materializes the hashed shingles at call time), exactly as in
+    ``dedup_minhash_pairs`` (see that docstring).
     """
     hsd, mins = minhash_index(df, id_col, text_col, num_hashes, shingle_n)
     bands = _band_frame(mins, num_hashes, num_bands)
@@ -1202,17 +1285,35 @@ def containment_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # same verify topology as dedup_minhash_pairs → same size-
+    # conditional pins (see _verify_pins)
+    side_pin, _ = _verify_pins(hsd)
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(hsd.select(F.col("id").alias("id_a"), "h"), "id_a")
-        .join(hsd.select(F.col("id").alias("id_b"), F.col("h").alias("h_b")), "id_b")
+        cand.join(side_pin(hsd.select(F.col("id").alias("id_a"), "h")), "id_a")
+        .join(
+            side_pin(
+                hsd.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+            ),
+            "id_b",
+        )
         .filter(F.col("h") == F.col("h_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     scored = (
-        inter.join(cnts.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(cnts.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        inter.join(
+            side_pin(
+                cnts.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+            ),
+            "id_a",
+        )
+        .join(
+            side_pin(
+                cnts.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",

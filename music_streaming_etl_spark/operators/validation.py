@@ -166,6 +166,19 @@ def check_freshness(
             name, False, {"total_rows": row["total_rows"], "max_ts": None}
         )
     lag_s = row["lag_s"]
+    if lag_s is None:
+        # an unparseable as_of casts to NULL under try semantics —
+        # fail CLOSED with the cause named rather than crash on a
+        # None comparison (under ANSI the cast raises before this)
+        return CheckResult(
+            name,
+            False,
+            {
+                "total_rows": row["total_rows"],
+                "max_ts": row["max_ts"],
+                "err": f"as_of {as_of!r} is not a valid timestamp",
+            },
+        )
     passed = lag_s <= max_lag_hours * 3600
     return CheckResult(
         name,

@@ -41,9 +41,10 @@ _PRIORITY: list[str] = [
     # backlog positions 1-50 (all green in CORRECTNESS_r04.json), so
     # the front 50 of the old list are dropped and the window is now
     # the remaining 64 never-driver-checked oracle-backed keys in the
-    # same age order — round 5 retires positions 1-50 here, round 6
-    # finishes the last 14 (welch_t_test ... attribution_position_
-    # based, pre-staged at the tail).  The single sanctioned new key
+    # same age order — round 5 retires positions 1-50 here
+    # (check_freshness + backlog 1-49), round 6 finishes the last 15
+    # (suggest_constraints ... attribution_position_based, pre-staged
+    # at the tail).  The single sanctioned new key
     # this round (VERDICT r4 item 3) is `check_freshness`, placed at
     # position 1 because new code is the riskiest and must earn a
     # driver CORRECTNESS row immediately.  Every other key here
@@ -166,9 +167,27 @@ def _auto_rotate(registry: dict, checked: set | None = None) -> dict:
         for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
             try:
                 with open(path) as f:
-                    checked |= set(json.load(f))
+                    recorded = json.load(f)
             except Exception:  # noqa: BLE001 — unreadable: keep static order
                 continue
+            # Only a GREEN row retires a key (rows+schema+hash all
+            # true, no error). A key whose recorded check FAILED must
+            # rotate back to the window front with the never-checked
+            # pool — counting mere presence would permanently exile a
+            # failed key from re-checking after its fix (r1's two
+            # hash-mismatches only went green in r2 because the
+            # hand-staged rotation re-exposed them).
+            for key, row in recorded.items():
+                try:
+                    if (
+                        row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match")
+                        and row.get("err") is None
+                    ):
+                        checked.add(key)
+                except AttributeError:  # non-dict row: don't retire
+                    continue
     if not checked:
         return registry
     fresh, seen, rows_only = [], [], []

@@ -65,7 +65,18 @@ def test_driver_window_rotates_to_unchecked_backlog():
     checked: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         with open(path) as f:
-            checked |= set(json.load(f).keys())
+            for key, row in json.load(f).items():
+                # green rows only — same retirement rule as
+                # registry._auto_rotate: a recorded FAILURE must keep
+                # the key in the re-check pool, not retire it
+                if (
+                    isinstance(row, dict)
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and row.get("err") is None
+                ):
+                    checked.add(key)
     if not checked:  # fresh clone without driver artifacts
         return
     oracle_backed = [k for k, (_, o) in REGISTRY.items() if o is not None]
