@@ -4597,27 +4597,34 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representable) while Spark rounds via BigDecimal — floor of the
     # identical IEEE quotient is the only engine-unambiguous quantum
     # at this magnitude, and ±1 dollar² is noise against 1e13 sums.
+    # DECIMAL(38,0), not BIGINT, carries the quantized terms: the r5
+    # 1000× probe (150M orders) measured S_g²/n_g ≈ 1.8e19 — past
+    # int64 — and ANSI Spark raised ARITHMETIC_OVERFLOW on the cast
+    # (DuckDB's would have failed the same way). The floor itself is
+    # still computed on the identical IEEE double on both engines, so
+    # the quantized value is engine-identical; only the carrier type
+    # widened.
     term = F.floor(
         F.col("s").cast("double")
         * F.col("s").cast("double")
         / F.col("n").cast("double")
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     tot = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("n").cast("bigint").alias("n_all"),
         F.sum("s").cast("decimal(38,2)").alias("s_all"),
         F.sum("ss").cast("decimal(38,4)").alias("ss_all"),
-        F.sum(term).cast("bigint").alias("sg"),
+        F.sum(term).cast("decimal(38,0)").alias("sg"),
     )
     grand = F.floor(
         F.col("s_all").cast("double")
         * F.col("s_all").cast("double")
         / F.col("n_all").cast("double")
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     wide = tot.select(
         "k",
         "n_all",
-        (F.col("sg") - grand).cast("bigint").alias("ssb"),
+        (F.col("sg") - grand).cast("decimal(38,0)").alias("ssb"),
         (F.col("ss_all") - F.col("sg")).cast("decimal(30,4)").alias("ssw"),
     )
     return wide.select(
@@ -4658,15 +4665,15 @@ WITH g AS (
          CAST(SUM(s) AS DECIMAL(38,2)) AS s_all,
          CAST(SUM(ss) AS DECIMAL(38,4)) AS ss_all,
          CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                             / CAST(n AS DOUBLE)) AS BIGINT))
-              AS BIGINT) AS sg
+                             / CAST(n AS DOUBLE)) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sg
   FROM g
 )
 , wide AS (
   SELECT k, n_all,
          CAST(sg - CAST(floor(CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
-                              / CAST(n_all AS DOUBLE)) AS BIGINT)
-              AS BIGINT) AS ssb,
+                              / CAST(n_all AS DOUBLE)) AS DECIMAL(38,0))
+              AS DECIMAL(38,0)) AS ssb,
          CAST(ss_all - sg AS DECIMAL(30,4)) AS ssw
   FROM tot
 )
