@@ -172,11 +172,23 @@ def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population skewness and excess kurtosis of order value per
     priority — NOT Spark's ``skewness()``/``kurtosis()`` builtins,
     whose double accumulation is partition-order-dependent: the
-    central moments are expanded into raw power sums Σx..Σx⁴ held
-    EXACTLY in decimal (price as DECIMAL(8,2): x⁴ is DECIMAL(35,8),
-    inside the 38-digit exactness bound at any realistic SF), so the
-    one map-side-combined shuffle is bit-reproducible and the float
-    math is five scalar ops per group at the end."""
+    central moments are expanded into raw power sums Σx..Σx⁴ held in
+    decimal, so the one map-side-combined shuffle is bit-reproducible
+    and the float math is five scalar ops per group at the end.
+
+    Carrier capacity (r5 audit, the anova-overflow trap class): Σx⁴
+    at full 8-dp scale caps at 10³⁰ — only ~4×10⁸ rows/group of
+    ~5e5-priced orders (the 1000× probe measured 3.75e29, a 2.7×
+    margin). The x⁴ terms therefore ride at 2-dp scale
+    (DECIMAL(38,2): 10³⁶ integer capacity → ~10¹³ rows/group,
+    petascale-safe). Each term's 8dp→2dp rounding costs ≤0.005
+    absolute per row; both engines round the SAME terms, and even if
+    their midpoint conventions ever disagreed, the accumulated
+    divergence (≤0.01·rows) sits ORDERS below one double ulp of the
+    Σx⁴ magnitude it feeds (ulp ≈ 6e13 at 3.75e29 — divergence could
+    only surface past ~10¹⁵ rows/group, beyond the carrier itself),
+    so the emitted doubles are bit-identical to the full-scale form.
+    Σx..Σx³ keep full scale (Σx³ caps at ~3×10¹⁵ rows/group)."""
     orders = _t(spark, sf_dir, "orders")
     p = F.col("o_totalprice").cast("decimal(8,2)")
     agg = orders.groupBy("o_orderpriority").agg(
@@ -184,7 +196,9 @@ def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(p).cast("decimal(38,2)").alias("s1"),
         F.sum(p * p).cast("decimal(38,4)").alias("s2"),
         F.sum(p * p * p).cast("decimal(38,6)").alias("s3"),
-        F.sum(p * p * p * p).cast("decimal(38,8)").alias("s4"),
+        F.sum((p * p * p * p).cast("decimal(38,2)"))
+        .cast("decimal(38,2)")
+        .alias("s4"),
     )
     # fixed-order double formulas, mirrored textually in the oracle
     mom = agg.selectExpr(
@@ -238,7 +252,7 @@ WITH pw AS (
          CAST(p * p AS DECIMAL(19,4)) AS p2,
          CAST(CAST(p * p AS DECIMAL(19,4)) * p AS DECIMAL(29,6)) AS p3,
          CAST(CAST(CAST(p * p AS DECIMAL(19,4)) * p AS DECIMAL(29,6)) * p
-              AS DECIMAL(38,8)) AS p4
+              AS DECIMAL(38,2)) AS p4
   FROM (SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(8,2)) AS p
         FROM orders)
 ), a AS (
@@ -247,7 +261,7 @@ WITH pw AS (
          CAST(SUM(p) AS DECIMAL(38,2)) AS s1,
          CAST(SUM(p2) AS DECIMAL(38,4)) AS s2,
          CAST(SUM(p3) AS DECIMAL(38,6)) AS s3,
-         CAST(SUM(p4) AS DECIMAL(38,8)) AS s4
+         CAST(SUM(p4) AS DECIMAL(38,2)) AS s4
   FROM pw
   GROUP BY 1
 ), m AS (

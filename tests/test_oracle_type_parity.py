@@ -104,7 +104,15 @@ def test_oracle_types_match_spark_schema(spark, sf_dir, duck):
             st = spark_types.get(col.lower())
             if (name, "*") in ALLOWED or (name, col.lower()) in ALLOWED:
                 continue
-            if dt == "hugeint" or dt.startswith("decimal(38,"):
+            if dt == "hugeint" or (
+                dt.startswith("decimal(38,") and dt != st
+            ):
+                # max-precision decimal / hugeint usually means DuckDB
+                # silently auto-widened a SUM the Spark side didn't —
+                # but a decimal(38,x) that BOTH engines declare
+                # explicitly (e.g. anova's ss_between, widened
+                # deliberately after the r5 int64-overflow fix) is a
+                # matched carrier, not a drift smell
                 problems.append(
                     f"{name}.{col}: oracle widened to {dtype} "
                     f"(spark={st}) — cast the SUM/expr explicitly"
