@@ -188,7 +188,7 @@ def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σx⁴ magnitude it feeds (ulp ≈ 6e13 at 3.75e29 — divergence could
     only surface past ~10¹⁵ rows/group, beyond the carrier itself),
     so the emitted doubles are bit-identical to the full-scale form.
-    Σx..Σx³ keep full scale (Σx³ caps at ~3×10¹⁵ rows/group)."""
+    Σx..Σx³ keep full scale (Σx³ caps at ~8×10¹⁴ rows/group)."""
     orders = _t(spark, sf_dir, "orders")
     p = F.col("o_totalprice").cast("decimal(8,2)")
     agg = orders.groupBy("o_orderpriority").agg(
