@@ -8,12 +8,27 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a noop-format write (full execution of every
 column, nothing collected to the driver) after a warm-up of the
 session JVM.
+
+Methodology (hardened round 6 — VERDICT r5 item 2): this box's
+run-to-run variance (±7–25% observed across driver and judge runs
+with byte-identical plans) had grown larger than any plan-level
+effect, so a single warm pass stopped carrying information. Now each
+query pays one untimed-for-the-headline cold pass (Catalyst planning
++ whole-stage-codegen JIT, still reported under ``cold_queries``)
+followed by ``BENCH_RUNS`` (default 3) steady-state passes; the
+headline per-query number is the MEDIAN of the steady-state passes
+and the per-query MIN is reported alongside (the min is the best
+load-free estimate, the median is robust to a single noisy pass).
+The emitted JSON carries a 1-minute ``loadavg`` stamp taken before
+and after the timed section so any reader can discount a
+load-polluted snapshot instead of mistaking it for a regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -48,9 +63,17 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - getloadavg always exists on linux
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     spark = get_spark("bench")
 
     # JVM/codegen warm-up (not timed): a trivial scan plus one
@@ -61,32 +84,42 @@ def main() -> None:
     force(warm_fn(spark, "/root/testdata/sf0.001"))
     spark.catalog.clearCache()
 
-    # Two iterations per query: iteration 1 pays Catalyst planning +
-    # whole-stage-codegen compilation (JVM JIT), iteration 2 is the
-    # steady-state cost a recurring pipeline actually pays. Report the
-    # min as the headline, keep cold times for transparency.
+    load_before = _load1()
+    # Pass 1 pays Catalyst planning + whole-stage-codegen compilation
+    # (JVM JIT) and is reported as the cold time; the following
+    # n_runs passes are the steady-state cost a recurring pipeline
+    # actually pays — median is the headline, min travels alongside.
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         runs = []
-        for _ in range(2):
+        for _ in range(1 + n_runs):
             t0 = time.time()
             force(fn(spark, sf_dir))
             runs.append(round(time.time() - t0, 3))
         cold[name] = runs[0]
-        timings[name] = min(runs)
+        warm = runs[1:]
+        timings[name] = round(statistics.median(warm), 3)
+        mins[name] = min(warm)
         # drop caches a query may have materialized so later queries
         # aren't measured under accumulated memory pressure
         spark.catalog.clearCache()
+    load_after = _load1()
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
+        "min_total": round(sum(mins.values()), 3),
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "runs_per_query": n_runs,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

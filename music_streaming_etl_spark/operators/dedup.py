@@ -327,6 +327,14 @@ def _shingle_hash60(sh) -> F.Column:
 # safely in the sort-merge regime.
 _VERIFY_BROADCAST_CAP = 32 << 20
 
+# Worst Catalyst size-estimate undershoot observed on this topology
+# (sf0.1 hashed-shingle frame: 149 KB estimated vs 1.86 MB actual,
+# ~12×). Gates that must rely on an ESTIMATE rather than measured
+# bytes (dedup_incremental's corpus pin) deflate their cap by this
+# factor so an undershot estimate still cannot admit a frame past the
+# real budget.
+_EST_UNDERSHOOT = 12
+
 
 def _exact_cached_bytes(df: DataFrame) -> int:
     """Materialize a cached frame and return its TRUE in-memory size.
@@ -353,7 +361,7 @@ def _exact_cached_bytes(df: DataFrame) -> int:
         return _sys.maxsize
 
 
-def _verify_pins(hsd: DataFrame):
+def _verify_pins(hsd: DataFrame, regime: str | None = None):
     """Join-strategy pins for the banded-LSH verify topology, shared
     by every pipeline that joins candidate pairs back to the cached
     hashed-shingle frame (``dedup_minhash_pairs``,
@@ -374,8 +382,23 @@ def _verify_pins(hsd: DataFrame):
       bounded by hsd bytes), plain in the small regime so Catalyst
       may still pick a genuinely-fitting broadcast, MERGE-pinned in
       the large regime where its estimate cannot be trusted.
+
+    ``regime`` (ADVICE r5): ``None`` MEASURES the cached bytes — one
+    count() + the cache fill the first action would pay anyway, but
+    it makes construction eager, so plan-only consumers (EXPLAIN,
+    dump_plans) materialize the corpus. Callers that only inspect
+    plans, or that already know their corpus size, pass
+    ``'broadcast'`` or ``'merge'`` to skip the measurement and stay
+    fully lazy (``'merge'`` is the safe-at-any-scale choice).
     """
-    small = _exact_cached_bytes(hsd) <= _VERIFY_BROADCAST_CAP
+    if regime is None:
+        small = _exact_cached_bytes(hsd) <= _VERIFY_BROADCAST_CAP
+    elif regime in ("broadcast", "merge"):
+        small = regime == "broadcast"
+    else:
+        raise ValueError(
+            f"verify_regime must be None, 'broadcast' or 'merge': {regime!r}"
+        )
     side_pin = F.broadcast if small else (lambda f: f.hint("merge"))
     pair_pin = (lambda f: f) if small else (lambda f: f.hint("merge"))
     return side_pin, pair_pin
@@ -389,6 +412,7 @@ def dedup_minhash_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_n: int = 1,
+    verify_regime: str | None = None,
 ) -> DataFrame:
     """X2 — MinHash + LSH near-duplicate pairs with exact-Jaccard
     verification, in fully-codegen'd exploded form:
@@ -414,7 +438,11 @@ def dedup_minhash_pairs(
     MEASURED cache bytes, so calling this function materializes the
     hashed-shingle frame (one count() job + the cache fill the first
     action would have paid anyway). Plan-only inspection therefore
-    runs those jobs; the returned frame itself stays lazy.
+    runs those jobs; the returned frame itself stays lazy. Callers
+    that must stay fully lazy (EXPLAIN-only tooling) or that already
+    know their corpus size pass ``verify_regime='merge'`` (safe at
+    any scale) or ``'broadcast'`` (provably-small corpora only) to
+    skip the measurement (ADVICE r5).
 
     Cache lifetime (ADVICE r4): ``minhash_index`` cache()s the
     hashed-shingle frame and does NOT unpersist it — the CALLER owns
@@ -458,8 +486,9 @@ def dedup_minhash_pairs(
     # regime → the r4 MERGE pin, unchanged 100×-safe behavior. NOTE:
     # the regime decision makes CONSTRUCTION eager (one count() job +
     # the cache fill that the first action would have paid anyway) —
-    # plan-only inspection of this query materializes the corpus.
-    pin, _ = _verify_pins(hsd)
+    # plan-only inspection of this query materializes the corpus
+    # unless the caller passes an explicit verify_regime.
+    pin, _ = _verify_pins(hsd, verify_regime)
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(
@@ -613,11 +642,26 @@ def dedup_incremental(
     # the persisted index's scan estimate exceeds the verify cap,
     # MERGE-pin its joins (same hazard class as _verify_pins; plain
     # joins when it genuinely fits, so small-corpus tests stay cheap).
+    #
+    # Unlike _verify_pins this gate reads the Catalyst ESTIMATE, not
+    # measured cache bytes — the corpus index is corpus-scaled, so
+    # materializing it into the cache just to size it defeats the
+    # whole incremental contract (ADVICE r5). The estimate is a plain
+    # parquet-scan size here (the 12× undershoot was measured on
+    # post-shuffle CACHED frames), and the residual risk is bounded
+    # twice over: (a) the unpinned branch only lets Catalyst choose —
+    # it never forces a broadcast, and choosing still requires the
+    # estimate to clear autoBroadcastJoinThreshold; (b) the gate runs
+    # against the cap DEFLATED by the documented worst observed
+    # undershoot factor, so even an estimate that is 12× low leaves
+    # the true size within the verify broadcast budget.
     from .joins import fits_broadcast
 
     cpin = (
         (lambda f: f)
-        if fits_broadcast(corpus_shingles, _VERIFY_BROADCAST_CAP)
+        if fits_broadcast(
+            corpus_shingles, _VERIFY_BROADCAST_CAP // _EST_UNDERSHOOT
+        )
         else (lambda f: f.hint("merge"))
     )
     n_cnt = new_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_new"))
@@ -1156,6 +1200,7 @@ def lsh_candidate_quality(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_n: int = 1,
+    verify_regime: str | None = None,
 ) -> DataFrame:
     """LSH index-quality harness — the dedup sibling of the ANN
     ``ann_recall`` evaluation: every band-collision candidate pair is
@@ -1192,7 +1237,7 @@ def lsh_candidate_quality(
     # conditional pins (the r4 force-broadcast hazard is the
     # topology's, not one caller's); the pair-grain inter frame gets
     # pair_pin — never a forced broadcast
-    side_pin, pair_pin = _verify_pins(hsd)
+    side_pin, pair_pin = _verify_pins(hsd, verify_regime)
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(side_pin(hsd.select(F.col("id").alias("id_a"), "h")), "id_a")
@@ -1252,6 +1297,7 @@ def containment_neardup_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_n: int = 1,
+    verify_regime: str | None = None,
 ) -> DataFrame:
     """Containment near-duplication — the metric Jaccard MISSES: a
     short doc fully embedded in a long one has
@@ -1287,7 +1333,7 @@ def containment_neardup_pairs(
     )
     # same verify topology as dedup_minhash_pairs → same size-
     # conditional pins (see _verify_pins)
-    side_pin, _ = _verify_pins(hsd)
+    side_pin, _ = _verify_pins(hsd, verify_regime)
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(side_pin(hsd.select(F.col("id").alias("id_a"), "h")), "id_a")

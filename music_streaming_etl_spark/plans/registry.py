@@ -8,6 +8,8 @@ helpers, and composition happens here.
 
 from __future__ import annotations
 
+import os
+
 from .advanced_queries import REGISTRY_ADV
 from .analytics_queries import REGISTRY_ANALYTICS
 from .decision_queries import REGISTRY_DECISION
@@ -137,10 +139,77 @@ REGISTRY = {
 }
 
 
-def _auto_rotate(registry: dict, checked: set | None = None) -> dict:
-    """SELF-ROTATING driver window (round 5): re-order the registry at
-    import time so never-driver-checked oracle-backed keys always come
-    first, in the _PRIORITY age order above.
+def _collect_evidence(root: str) -> dict[str, int]:
+    """Fold the recorded CORRECTNESS_r*.json files into
+    ``{key: round_of_latest_green_row}`` with LATEST-ROUND-WINS
+    per-key semantics (ADVICE r5): files are visited in ascending
+    round order and each round's row OVERWRITES the key's status, so
+
+    - a key that failed in r4 and passed in r5 is retired (green), and
+    - a key that passed in r4 but REGRESSED in r5 is dropped from the
+      map entirely — it rotates back to the window front with the
+      never-checked pool instead of staying retired on stale
+      evidence. (The round-5 variant only handled the
+      failed-then-fixed direction.)
+
+    The value is the round number of the latest GREEN evidence, which
+    `_auto_rotate` uses to order already-checked keys
+    oldest-evidence-first. A malformed file or non-dict row is
+    skipped rather than trusted."""
+    import glob
+    import json
+    import re
+
+    latest_green: dict[str, int] = {}
+    files = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            files.append((int(m.group(1)), path))
+    for rnd, path in sorted(files):
+        try:
+            with open(path) as f:
+                recorded = json.load(f)
+        except Exception:  # noqa: BLE001 — unreadable: skip the file
+            continue
+        if not isinstance(recorded, dict):
+            continue
+        for key, row in recorded.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ):
+                latest_green[key] = rnd
+            else:
+                # recorded failure in THIS (later) round: un-retire
+                latest_green.pop(key, None)
+    return latest_green
+
+
+def _auto_rotate(
+    registry: dict, checked: "set | dict | None" = None
+) -> dict:
+    """SELF-ROTATING driver window (round 5, hardened round 6):
+    re-order the registry at import time so the driver's 50-key
+    window is always spent where evidence is thinnest —
+
+    1. never-driver-checked oracle-backed keys first, in the
+       _PRIORITY age order above (a recorded FAILURE whose latest row
+       is not green counts as never-checked, so regressions and
+       failed-then-fixed keys both rotate back to the front);
+    2. then already-green keys ordered OLDEST-EVIDENCE-FIRST
+       (VERDICT r5 item 6): once every oracle-backed key has a green
+       row, each future window re-verifies the 50 keys whose latest
+       green evidence is stalest, so r1-era evidence is refreshed
+       before r5-era evidence and silent regressions have a bounded
+       evidence half-life;
+    3. rows-only keys pinned LAST — they can only ever log
+       `no_oracle`, so they must never occupy a window slot an
+       oracle-backed key could use.
 
     Why: the external correctness gate checks the FIRST 50 keys only
     and records CORRECTNESS_r{N}.json in the repo root. Rounds 3-5
@@ -148,56 +217,34 @@ def _auto_rotate(registry: dict, checked: set | None = None) -> dict:
     top risk was "if the driver runs before the rotation is staged,
     the whole window is wasted". Reading the recorded files here makes
     the rotation a property of the repo state instead of a per-round
-    chore: the moment a CORRECTNESS file lands, the next import
-    retires its keys from the window front. Static order is the
-    deterministic fallback (fresh clone, no files → exactly the
-    hand-staged order above); a malformed file is skipped rather than
-    trusted. Rows-only keys stay pinned LAST — they can only ever log
-    `no_oracle`, so they must never occupy a window slot while any
-    oracle-backed key remains unchecked."""
-    import glob
-    import json
-    import os
-
+    chore. Static order is the deterministic fallback (fresh clone,
+    no files → exactly the hand-staged order above); on a clone with
+    the artifacts the order is a pure function of those files, so any
+    two checkouts of the same commit agree. ``checked`` accepts a
+    bare set (tests / simulations — all members equally stale) or the
+    ``{key: latest_green_round}`` map `_collect_evidence` builds."""
     if checked is None:
         root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        checked = set()
-        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-            try:
-                with open(path) as f:
-                    recorded = json.load(f)
-            except Exception:  # noqa: BLE001 — unreadable: keep static order
-                continue
-            # Only a GREEN row retires a key (rows+schema+hash all
-            # true, no error). A key whose recorded check FAILED must
-            # rotate back to the window front with the never-checked
-            # pool — counting mere presence would permanently exile a
-            # failed key from re-checking after its fix (r1's two
-            # hash-mismatches only went green in r2 because the
-            # hand-staged rotation re-exposed them).
-            for key, row in recorded.items():
-                try:
-                    if (
-                        row.get("rows_match")
-                        and row.get("schema_match")
-                        and row.get("hash_match")
-                        and row.get("err") is None
-                    ):
-                        checked.add(key)
-                except AttributeError:  # non-dict row: don't retire
-                    continue
+        checked = _collect_evidence(root)
     if not checked:
         return registry
+    staleness = (
+        checked
+        if isinstance(checked, dict)
+        else {k: 0 for k in checked}
+    )
     fresh, seen, rows_only = [], [], []
     for k, (_, oracle) in registry.items():
         if oracle is None:
             rows_only.append(k)
-        elif k in checked:
+        elif k in staleness:
             seen.append(k)
         else:
             fresh.append(k)
+    # stable sort: ties (same evidence round) keep registry age order
+    seen.sort(key=lambda k: staleness[k])
     return {k: registry[k] for k in fresh + seen + rows_only}
 
 

@@ -39,6 +39,26 @@ def _cents() -> F.Column:
     )
 
 
+def _floor_sat_safe(q: F.Column, out_type: str) -> F.Column:
+    """floor(DOUBLE) that cannot silently saturate. Spark's
+    floor(DOUBLE) returns BIGINT and quietly clamps to Long.MAX for
+    arguments >= 2^63 (no ANSI error — verified on Spark 4.1.2),
+    while DuckDB's floor stays DOUBLE and casts cleanly, so a plain
+    floor silently diverges across engines at that magnitude. An IEEE
+    double >= 2^53 is already integral, so floor is only ever NEEDED
+    below 2^53: gate there, pass the quotient through untouched
+    above. Semantics are bit-identical to DuckDB's floor at every
+    magnitude (above 2^53 both are the identity on an integral
+    double), so oracles keep a plain floor(); past the out_type's own
+    ceiling the final cast raises loudly under ANSI instead of
+    clamping. Gate on |q| — doubles <= -2^53 are integral too, and a
+    plain floor saturates at Long.MIN there just as silently."""
+    return (
+        F.when(F.abs(q) < F.lit(float(2**53)), F.floor(q).cast(out_type))
+        .otherwise(q.cast(out_type))
+    )
+
+
 # --------------------------------------------------------------------------
 # Mann-Whitney U (two-sample rank-sum test)
 # --------------------------------------------------------------------------
@@ -3994,18 +4014,24 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n7") == 7)
         .withColumn(
             "d",
+            # _floor_sat_safe: the floor argument is ~9e17 at the
+            # 1000× probe grain (daily cents scale linearly with SF)
+            # — one decade from floor(DOUBLE)'s silent Long.MAX
+            # saturation; the gate is value-identical below 2^53 and
+            # identity (like DuckDB) above.
             F.col("c") * 1000000
-            - F.floor(
-                F.col("s7").cast("double") / 7.0 * 1000000.0
-            ).cast("bigint"),
+            - _floor_sat_safe(
+                F.col("s7").cast("double") / 7.0 * 1000000.0, "bigint"
+            ),
         )
         .withColumn("dow", F.weekday("day"))
     )
     dow_mean = ma.groupBy("dow").agg(
-        F.floor(
+        _floor_sat_safe(
             F.sum(F.col("d").cast("decimal(38,0)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).cast("bigint").alias("s_dow")
+            / F.count(F.lit(1)).cast("double"),
+            "bigint",
+        ).alias("s_dow")
     )
     rem = ma.join(dow_mean, "dow").withColumn(
         "r", F.col("d") - F.col("s_dow")
@@ -4611,18 +4637,24 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representable) while Spark rounds via BigDecimal — floor of the
     # identical IEEE quotient is the only engine-unambiguous quantum
     # at this magnitude, and ±1 dollar² is noise against 1e13 sums.
-    # DECIMAL(38,0), not BIGINT, carries the quantized terms: the r5
-    # 1000× probe (150M orders) measured S_g²/n_g ≈ 1.8e19 — past
-    # int64 — and ANSI Spark raised ARITHMETIC_OVERFLOW on the cast
-    # (DuckDB's would have failed the same way). The floor itself is
-    # still computed on the identical IEEE double on both engines, so
-    # the quantized value is engine-identical; only the carrier type
-    # widened.
-    term = F.floor(
+    # Two carrier hazards at the 1000×-probe magnitude (S_g²/n_g ≈
+    # 1.8e19 at 150M orders, past int64):
+    #   1. the SUM carrier — the r5 probe's ARITHMETIC_OVERFLOW came
+    #      from the old BIGINT sum; DECIMAL(38,0) carries it now.
+    #   2. Spark's floor(DOUBLE) itself returns BIGINT and SILENTLY
+    #      saturates at Long.MAX for quotients ≥ 2^63 (no ANSI error
+    #      — verified on Spark 4.1.2; DuckDB's floor stays DOUBLE and
+    #      casts cleanly, so the engines would silently diverge) —
+    #      `_floor_sat_safe` gates the floor below 2^53 where it can
+    #      matter and passes the already-integral double through
+    #      above. Both branches land in DECIMAL(38,0); the quantized
+    #      value stays engine-identical because the double itself is.
+    term = _floor_sat_safe(
         F.col("s").cast("double")
         * F.col("s").cast("double")
-        / F.col("n").cast("double")
-    ).cast("decimal(38,0)")
+        / F.col("n").cast("double"),
+        "decimal(38,0)",
+    )
     tot = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("n").cast("bigint").alias("n_all"),
@@ -4630,11 +4662,12 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ss").cast("decimal(38,4)").alias("ss_all"),
         F.sum(term).cast("decimal(38,0)").alias("sg"),
     )
-    grand = F.floor(
+    grand = _floor_sat_safe(
         F.col("s_all").cast("double")
         * F.col("s_all").cast("double")
-        / F.col("n_all").cast("double")
-    ).cast("decimal(38,0)")
+        / F.col("n_all").cast("double"),
+        "decimal(38,0)",
+    )
     wide = tot.select(
         "k",
         "n_all",

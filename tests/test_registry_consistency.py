@@ -113,6 +113,60 @@ def test_auto_rotation_retires_checked_keys_and_pins_rows_only_last():
     assert set(new_order) == set(REGISTRY)  # nothing dropped or invented
 
 
+def test_auto_rotation_orders_checked_keys_oldest_evidence_first():
+    """VERDICT r5 item 6: once every oracle-backed key is green,
+    future windows must re-verify stalest evidence first. Simulate a
+    fully-green registry with staggered evidence rounds and assert
+    the rotated order is ascending in evidence round (stable within a
+    round), with rows-only keys still pinned last."""
+    from music_streaming_etl_spark.plans.registry import _auto_rotate
+
+    oracle_backed = [k for k, (_, o) in REGISTRY.items() if o is not None]
+    rows_only = [k for k, (_, o) in REGISTRY.items() if o is None]
+    # stripe evidence rounds 1..5 across the oracle-backed keys
+    staleness = {k: 1 + (i % 5) for i, k in enumerate(oracle_backed)}
+    rotated = list(_auto_rotate(REGISTRY, checked=staleness))
+    got_rounds = [staleness[k] for k in rotated if k in staleness]
+    assert got_rounds == sorted(got_rounds), "not oldest-evidence-first"
+    assert rotated[-len(rows_only):] == rows_only
+    # stability: within one evidence round, original registry age
+    # order is preserved
+    per_round_order = [k for k in rotated if staleness.get(k) == 1]
+    original = [k for k in REGISTRY if staleness.get(k) == 1]
+    assert per_round_order == original
+
+
+def test_evidence_fold_is_latest_round_wins(tmp_path):
+    """ADVICE r5: a key green in r4 but with a recorded FAILURE in r5
+    must rotate back to the window front (un-retired); green-after-
+    fail retires; a malformed file or non-dict row is skipped."""
+    import json
+
+    from music_streaming_etl_spark.plans.registry import _collect_evidence
+
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({
+        "regressed": {"rows_match": True, "schema_match": True,
+                      "hash_match": True, "err": None},
+        "fixed": {"rows_match": False, "schema_match": True,
+                  "hash_match": False, "err": "boom"},
+        "stable": {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        "regressed": {"rows_match": True, "schema_match": False,
+                      "hash_match": False, "err": None},
+        "fixed": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None},
+        "weird": "not-a-dict",
+    }))
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{malformed")
+    ev = _collect_evidence(str(tmp_path))
+    assert "regressed" not in ev, "latest recorded failure must un-retire"
+    assert ev["fixed"] == 5
+    assert ev["stable"] == 4
+    assert "weird" not in ev
+
+
 def test_survey_mentions_every_registry_key():
     """SURVEY.md §2 is the blueprint the judge grades against — its
     generated §2.10 key map (scripts/sync_survey_keys.py) must name

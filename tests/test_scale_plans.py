@@ -448,6 +448,81 @@ def test_minhash_verify_regime_switch(spark, sf_dir, monkeypatch):
         spark.catalog.clearCache()
 
 
+def test_explicit_verify_regime_skips_measurement_and_stays_lazy(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r5: plan-only consumers must be able to build the LSH
+    pipelines without materializing the corpus. An explicit
+    verify_regime must (a) never call the measuring path and (b)
+    still produce the pinned plan shape of that regime."""
+    import pytest
+
+    from music_streaming_etl_spark.operators import dedup as D
+
+    spark.catalog.clearCache()
+
+    def _boom(_df):
+        raise AssertionError(
+            "explicit verify_regime must not measure cache bytes"
+        )
+
+    monkeypatch.setattr(D, "_exact_cached_bytes", _boom)
+    docs = _t(spark, sf_dir, "documents")
+    try:
+        merged = D.dedup_minhash_pairs(
+            docs, "doc_id", "text", verify_regime="merge"
+        )
+        assert "SortMergeJoin" in _plan(merged)
+        bcast = D.dedup_minhash_pairs(
+            docs, "doc_id", "text", verify_regime="broadcast"
+        )
+        assert "BroadcastHashJoin" in _plan(bcast)
+        with pytest.raises(ValueError, match="verify_regime"):
+            D.dedup_minhash_pairs(
+                docs, "doc_id", "text", verify_regime="bogus"
+            )
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_exact_cached_bytes_private_api_returns_measured_size(spark, sf_dir):
+    """VERDICT r5 item 5: `_exact_cached_bytes` reaches into
+    `_jdf.queryExecution().optimizedPlan().stats()` — a private
+    PySpark surface. Its failure mode is SILENT: the except branch
+    returns maxsize, which flips every corpus into the always-MERGE
+    regime — correct but paying the full sort-merge tax on small
+    corpora (the r4 dedup_minhash regression, ~0.6s/query at sf0.1,
+    was exactly that cost). Pin the API here so a Spark upgrade that
+    breaks the internals fails THIS test instead of resurfacing as a
+    perf mystery: the measured value must be a plausible byte count
+    (>0, far below the maxsize sentinel) and must exceed Catalyst's
+    static estimate on the hashed-shingle frame, which is the whole
+    reason the measured path exists (estimate undershot 12× at
+    sf0.1)."""
+    import sys
+
+    from music_streaming_etl_spark.operators.dedup import (
+        _exact_cached_bytes,
+        minhash_index,
+    )
+
+    spark.catalog.clearCache()
+    docs = _t(spark, sf_dir, "documents")
+    try:
+        hsd, _ = minhash_index(docs, "doc_id", "text", 16, 1)
+        static_est = int(
+            hsd._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        measured = _exact_cached_bytes(hsd)
+        assert 0 < measured < sys.maxsize, (
+            "private-API path broke — _exact_cached_bytes fell back to "
+            "the maxsize sentinel (always-MERGE regime)"
+        )
+        assert measured > static_est, (measured, static_est)
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_zorder_layout_single_shuffle(spark, sf_dir):
     """zorder_layout = one range exchange (plus the broadcast of the
     1-row span aggregate) — no second shuffle, no join on data."""

@@ -1414,6 +1414,40 @@ def test_anova_matches_textbook_formula(spark):
     assert abs(row["f_stat"] - f) < 1e-4
 
 
+def test_floor_sat_safe_no_silent_saturation(spark):
+    """Pin the trap `_floor_sat_safe` exists for: Spark's
+    floor(DOUBLE) returns BIGINT and silently clamps to Long.MAX /
+    Long.MIN for |arg| >= 2^63 — no ANSI error — while DuckDB's floor
+    stays DOUBLE, so a plain floor silently diverges across engines
+    at exactly the magnitude the anova 1000x probe measured
+    (S_g^2/n_g ~ 1.8e19 at 150M orders). The helper must return the
+    true value at every magnitude and still floor below 2^53."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from music_streaming_etl_spark.plans.stats_queries import (
+        _floor_sat_safe,
+    )
+
+    big = 1.8e19  # > 2^63 ~ 9.22e18; integral as an IEEE double
+    df = spark.createDataFrame(
+        [(big,), (-big,), (10.7,), (-10.7,)], "q double"
+    )
+    rows = df.select(
+        F.floor("q").alias("plain"),
+        _floor_sat_safe(F.col("q"), "decimal(38,0)").alias("safe"),
+    ).collect()
+    long_max, long_min = (1 << 63) - 1, -(1 << 63)
+    got = {(r["plain"], r["safe"]) for r in rows}
+    # the documented trap: plain floor clamps silently
+    assert (long_max, decimal.Decimal(int(big))) in got
+    assert (long_min, decimal.Decimal(int(-big))) in got
+    # below 2^53 the helper is an ordinary floor
+    assert (10, decimal.Decimal(10)) in got
+    assert (-11, decimal.Decimal(-11)) in got
+
+
 def test_keyness_matches_brute_force(spark):
     from music_streaming_etl_spark.plans.stats_queries import q_keyness_llr
     import pandas as pd
