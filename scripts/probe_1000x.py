@@ -1,0 +1,98 @@
+"""1000× generate→probe→DELETE sweep (VERDICT r5 item 4).
+
+The standing `scale_probe.py` keeps its 1×/10×/100× corpora on disk
+so curves are re-runnable; a 600M-row lineitem materialization
+(~11 GB parquet + shuffle space) cannot coexist with them inside this
+box's ~37 GB free. This harness probes one op at a time with a
+strict per-key disk budget: materialize the multiplied corpus, warm
+once, time once (same warm+timed methodology as scale_probe.main),
+then DELETE the corpus before the next key — the corpora never
+coexist.
+
+Usage: python scripts/probe_1000x.py [sf_dir] [mult] [op ...]
+  ops default to the two keys the r5 sweep left at 100× for disk
+  reasons: tpch_q1_piped (baskets corpus) and item_jaccard (star
+  corpus). One JSON line to stdout; progress on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
+
+from scale_probe import (  # noqa: E402
+    materialize_baskets,
+    materialize_star,
+)
+
+from music_streaming_etl_spark.plans.decision_queries import (  # noqa: E402
+    q_item_jaccard,
+)
+from music_streaming_etl_spark.plans.stats_queries import (  # noqa: E402
+    q_tpch_q1_piped,
+)
+from music_streaming_etl_spark.plans.testdata_queries import (  # noqa: E402
+    SCRATCH,
+    _t,
+)
+from music_streaming_etl_spark.session import get_spark  # noqa: E402
+
+# op -> (query fn, materializer, corpus subdir prefix, base table)
+PROBES = {
+    "tpch_q1_piped": (q_tpch_q1_piped, materialize_baskets, "bask", "lineitem"),
+    "item_jaccard": (q_item_jaccard, materialize_star, "star", "lineitem"),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    ops = sys.argv[3:] or list(PROBES)
+    spark = get_spark("probe-1000x")
+    base_rows = {
+        t: _t(spark, sf_dir, t).count()
+        for t in {PROBES[op][3] for op in ops}
+    }
+    out = {"sf_dir": sf_dir, "mult": mult, "ops": {}}
+    for op in ops:
+        fn, mat, prefix, base_tbl = PROBES[op]
+        corpus = os.path.join(SCRATCH, "scale_probe", f"{prefix}_x{mult}")
+        try:
+            t0 = time.time()
+            d = mat(spark, sf_dir, mult)
+            print(
+                f"  {op}: materialized x{mult} in {time.time() - t0:.0f}s",
+                file=sys.stderr,
+            )
+            df = fn(spark, d)
+            df.write.format("noop").mode("overwrite").save()  # warm-up
+            t0 = time.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            wall = round(time.time() - t0, 2)
+            n_rows = mult * base_rows[base_tbl]
+            out["ops"][op] = {
+                "mult": mult,
+                "input_rows": n_rows,
+                "sec": wall,
+                "rows_per_sec": int(n_rows / wall) if wall > 0 else None,
+            }
+            print(
+                f"  {op:<20} {mult:>5}x  {n_rows:>13,} rows  {wall:>8.2f}s",
+                file=sys.stderr,
+            )
+        finally:
+            spark.catalog.clearCache()
+            shutil.rmtree(corpus, ignore_errors=True)
+            print(f"  {op}: corpus deleted", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

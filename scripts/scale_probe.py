@@ -310,7 +310,12 @@ def materialize_baskets(spark, sf_dir: str, mult: int) -> str:
         os.makedirs(out)
         m = F.col("_m")
         (
+            # repartition(32) BEFORE the multiply (as materialize_star
+            # does): the sf0.1 parquet has only 3 row groups, so an
+            # unrepartitioned crossJoin writes the multiplied corpus
+            # on 3 tasks — at 1000× that serializes a 600M-row write
             _t(spark, sf_dir, "lineitem")
+            .repartition(32)
             .crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
             .withColumn("l_orderkey", F.col("l_orderkey") * mult + m)
             .drop("_m")
