@@ -64,6 +64,12 @@ def main() -> None:
     for op in ops:
         fn, mat, prefix, base_tbl = PROBES[op]
         corpus = os.path.join(SCRATCH, "scale_probe", f"{prefix}_x{mult}")
+        # only delete a corpus THIS run materialized — at small mults
+        # the materializer returns scale_probe.py's standing (kept-
+        # on-disk, re-runnable) corpora untouched, and deleting those
+        # would silently charge the next scale_probe run their full
+        # re-materialization cost
+        preexisting = os.path.exists(os.path.join(corpus, "_done"))
         try:
             t0 = time.time()
             d = mat(spark, sf_dir, mult)
@@ -87,10 +93,17 @@ def main() -> None:
                 f"  {op:<20} {mult:>5}x  {n_rows:>13,} rows  {wall:>8.2f}s",
                 file=sys.stderr,
             )
+        except Exception as e:  # noqa: BLE001 — keep earlier ops' results
+            # a later op's failure (e.g. disk exhaustion during its
+            # materialize) must not discard measurements already paid
+            # for — record the error and emit the partial JSON
+            out["ops"][op] = {"mult": mult, "error": str(e)[:500]}
+            print(f"  {op}: FAILED — {e}", file=sys.stderr)
         finally:
             spark.catalog.clearCache()
-            shutil.rmtree(corpus, ignore_errors=True)
-            print(f"  {op}: corpus deleted", file=sys.stderr)
+            if not preexisting:
+                shutil.rmtree(corpus, ignore_errors=True)
+                print(f"  {op}: corpus deleted", file=sys.stderr)
     print(json.dumps(out))
 
 

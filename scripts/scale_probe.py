@@ -48,7 +48,14 @@ def materialize(spark, sf_dir: str, mult: int) -> str:
     if not os.path.exists(os.path.join(out, "_done")):
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
-        li = _t(spark, sf_dir, "lineitem")
+        # repartition(32) before the multiply: the sf0.1 parquet has
+        # only 3 row groups, so an unrepartitioned crossJoin writes
+        # (and every probe then scans) the corpus on 3 tasks — the
+        # layout artifact the r6 tpch_q1_piped re-measure quantified
+        # at ~9× (see SCALE.md). All fact-scale materializers write at
+        # 32 partitions now; curves recorded before r6 carry the old
+        # layout (noted in SCALE.md).
+        li = _t(spark, sf_dir, "lineitem").repartition(32)
         big = li.crossJoin(spark.range(mult).select(F.col("id").alias("_m"))).drop("_m")
         big.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
         for t in ("orders", "customer"):
@@ -68,7 +75,7 @@ def materialize_llm(spark, sf_dir: str, mult: int) -> str:
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
         m = F.col("_m")
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents").repartition(32)
         (
             docs.crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
             .withColumn("doc_id", F.col("doc_id") * mult + m)
@@ -98,7 +105,7 @@ def materialize_llm(spark, sf_dir: str, mult: int) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(out, "documents.parquet"))
         )
-        embs = _t(spark, sf_dir, "embeddings")
+        embs = _t(spark, sf_dir, "embeddings").repartition(32)
         elem_t = embs.schema["embedding"].dataType.elementType.simpleString()
         (
             embs.crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
@@ -140,7 +147,7 @@ def materialize_llm_fixed_labels(spark, sf_dir: str, mult: int) -> str:
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
         m = F.col("_m")
-        embs = _t(spark, sf_dir, "embeddings")
+        embs = _t(spark, sf_dir, "embeddings").repartition(32)
         elem_t = embs.schema["embedding"].dataType.elementType.simpleString()
         (
             embs.crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
@@ -171,7 +178,7 @@ def materialize_orders(spark, sf_dir: str, mult: int) -> str:
         os.makedirs(out)
         m = F.col("_m")
         (
-            _t(spark, sf_dir, "orders")
+            _t(spark, sf_dir, "orders").repartition(32)
             .crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
             .withColumn("o_orderkey", F.col("o_orderkey") * mult + m)
             .drop("_m")
@@ -209,7 +216,7 @@ def materialize_customer(spark, sf_dir: str, mult: int) -> str:
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
         m = F.col("_m")
-        cust = _t(spark, sf_dir, "customer")
+        cust = _t(spark, sf_dir, "customer").repartition(32)
         (
             cust.crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
             .withColumn("c_custkey", F.col("c_custkey") * mult + m)
@@ -239,7 +246,7 @@ def materialize_events(spark, sf_dir: str, mult: int) -> str:
         os.makedirs(out)
         m = F.col("_m")
         (
-            _t(spark, sf_dir, "events")
+            _t(spark, sf_dir, "events").repartition(32)
             .crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
             .withColumn("user_id", F.col("user_id") * mult + m)
             .withColumn("event_id", F.col("event_id") * mult + m)
@@ -272,7 +279,7 @@ def materialize_star(spark, sf_dir: str, mult: int) -> str:
         os.makedirs(out)
         m = F.col("_m")
         (
-            _t(spark, sf_dir, "orders")
+            _t(spark, sf_dir, "orders").repartition(32)
             .crossJoin(spark.range(mult).select(F.col("id").alias("_m")))
             .withColumn("o_orderkey", F.col("o_orderkey") * mult + m)
             .drop("_m")
