@@ -1639,16 +1639,23 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(cents).alias("rev_cents"))
 
     w = Window.orderBy("stat_date").rowsBetween(-7, -1)
+    # decimal(18,0) carrier for the daily-cents factor (r6 capacity
+    # audit): at the 100 TB grain daily cents reach ~9e14 — one decade
+    # from the old decimal(15,0) ceiling; 18 digits restores three
+    # decades, and the x·rev products stay within decimal(38,0)
+    # (8.1e35 at 1000×-of-100TB). The DuckDB oracle runs the same
+    # arithmetic in HUGEINT (exact 128-bit), so only this side needed
+    # widening; outputs are integers/booleans, unchanged at test SF.
     st = daily.select(
         "stat_date",
         "rev_cents",
         F.count(F.lit(1)).over(w).alias("n_prior"),
         F.sum("rev_cents").over(w).alias("s"),
         F.sum(
-            F.col("rev_cents").cast("decimal(15,0)") * F.col("rev_cents")
+            F.col("rev_cents").cast("decimal(18,0)") * F.col("rev_cents")
         ).over(w).alias("ss"),
     )
-    x = F.col("rev_cents").cast("decimal(15,0)")
+    x = F.col("rev_cents").cast("decimal(18,0)")
     s = F.col("s").cast("decimal(25,0)")
     ss = F.col("ss")
     diff = (x * 7 - s).cast("decimal(19,0)")
@@ -2822,8 +2829,13 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variant",
             "event_type",
             # d*d, never pow(d, 2): multiplication is IEEE-identical
-            # everywhere, libm pow need not be
-            F.round(d * d / e, 9).cast("decimal(18,9)").alias("cell"),
+            # everywhere, libm pow need not be.
+            # decimal(27,9), not (18,9) (r6 capacity audit): a cell's
+            # (O−E)²/E is Θ(N) under strong dependence, so the old
+            # 10⁹ integer capacity sat level with a 1e9-event corpus;
+            # 27 digits gives 10¹⁸ — six decades above the 100 TB
+            # event count. Mirrored in the oracle.
+            F.round(d * d / e, 9).cast("decimal(27,9)").alias("cell"),
         )
     )
     return contrib.agg(
@@ -2851,7 +2863,7 @@ contrib AS (
            * (CAST(o AS DOUBLE)
               - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE))
            / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE)),
-           9) AS DECIMAL(18,9)) AS cell
+           9) AS DECIMAL(27,9)) AS cell
   FROM cells JOIN rt USING (variant) JOIN ct USING (event_type), nt
 )
 SELECT ROUND(CAST(SUM(cell) AS DOUBLE), 6) AS chi2,
@@ -3613,9 +3625,16 @@ def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w28).alias("s28"),
         F.count(F.lit(1)).over(w28).alias("n28"),
     )
-    # above ⇔ s7/n7 > s28/n28 ⇔ s7·n28 > s28·n7 (all positive ints)
+    # above ⇔ s7/n7 > s28/n28 ⇔ s7·n28 > s28·n7 (all positive ints).
+    # decimal(25,0) carriers for the cross-multiply (r6 capacity
+    # audit): the BIGINT product s28·n7 reaches ~1.8e17 at the 100 TB
+    # grain — under two decades from the int64 ceiling; decimal gives
+    # exact comparison to 10³⁸. DuckDB's windowed SUM(BIGINT) is
+    # already HUGEINT, so the oracle needs no change and the boolean
+    # is unchanged at every SF.
     above = (F.col("n28") == 28) & (
-        F.col("s7") * F.col("n28") > F.col("s28") * F.col("n7")
+        F.col("s7").cast("decimal(25,0)") * F.col("n28")
+        > F.col("s28").cast("decimal(25,0)") * F.col("n7")
     )
     w1 = Window.orderBy("d")
     flagged = st.select(
@@ -3848,9 +3867,16 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6).alias(
             "confidence_a_to_b"
         ),
+        # cast to DOUBLE before multiplying (r6 capacity audit): the
+        # BIGINT products n_ab·n_tot and n_a·n_b square an order count
+        # (~(1.5e11)² ≈ 2e22 at 100 TB) and raise ANSI overflow; the
+        # double product is exact below 2^53 per operand-pair (so
+        # bit-identical to the old form at every testable SF) and a
+        # single correctly-rounded IEEE multiply — identical in both
+        # engines — beyond. Oracle mirrors the same cast order.
         F.round(
-            (F.col("n_ab") * F.col("n_tot")).cast("double")
-            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            (F.col("n_ab").cast("double") * F.col("n_tot").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
             6,
         ).alias("lift"),
     )
@@ -3869,8 +3895,9 @@ pairs AS (
 SELECT p.part_a, p.part_b, CAST(p.n_ab AS BIGINT) AS n_ab,
        ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
          AS confidence_a_to_b,
-       ROUND(CAST(p.n_ab * tot.n AS DOUBLE)
-             / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+       ROUND((CAST(p.n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE))
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+         AS lift
 FROM pairs p
 JOIN items ia ON p.part_a = ia.l_partkey
 JOIN items ib ON p.part_b = ib.l_partkey, tot
