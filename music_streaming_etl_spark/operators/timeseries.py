@@ -112,9 +112,15 @@ def ewma_halflife_1d(
     lookback) — fan-out bounded by ``lookback_days+1`` and both sides
     share the (keys) shuffle partitioning; the base frame is already
     aggregated to |keys|×|days| rows, so this is dim-sized work no
-    matter how large the fact scan underneath was. Overflow bound:
-    cents × 2^lookback × (lookback+1) must stay under 2^63 — at
-    lookback=15 that allows ~1.7e13 daily cents (≈ $170B/day/key).
+    matter how large the fact scan underneath was. Carrier (r6
+    capacity audit): the weighted terms ride in DECIMAL(25,0) and the
+    sum in Spark's widened decimal — the old BIGINT num hit its
+    documented ~1.7e13 daily-cents bound (cents × 2^15 × 16 < 2^63)
+    right at the 100 TB grain, where priority-grain daily cents reach
+    ~2e14; decimal lifts the bound to ~1e33 daily cents. The DuckDB
+    oracle mirrors with HUGEINT. The final IEEE division's operands
+    are bit-identical either way, so results are unchanged at every
+    testable SF.
     """
     a = daily.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
@@ -136,7 +142,9 @@ def ewma_halflife_1d(
         f"cast(shiftleft(cast(1 as bigint),"
         f" {lookback_days} - datediff(__d, __d2)) as bigint)"
     )
-    num = F.sum(F.col("__cents") * weight).alias("__num")
+    num = F.sum(F.col("__cents").cast("decimal(25,0)") * weight).alias(
+        "__num"
+    )
     den = F.sum(weight).alias("__den")
     joined = a.join(b, cond, "inner")
     agg = joined.groupBy(

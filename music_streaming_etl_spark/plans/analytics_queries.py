@@ -2260,7 +2260,7 @@ WITH daily AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT a.priority, a.stat_date,
-       CAST(SUM(b.cents * (CAST(1 AS BIGINT)
+       CAST(SUM(CAST(b.cents AS HUGEINT) * (CAST(1 AS BIGINT)
               << (15 - date_diff('day', b.stat_date, a.stat_date)))) AS DOUBLE)
        / CAST(SUM(CAST(1 AS BIGINT)
               << (15 - date_diff('day', b.stat_date, a.stat_date))) AS DOUBLE)
