@@ -60,9 +60,19 @@ def fits_broadcast(dim: DataFrame, threshold: int | None = None) -> bool:
             threshold = _parse_bytes(conf)
         if threshold <= 0:  # -1 disables broadcasting
             return False
-        size = int(
-            dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        raw = dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        try:
+            # py4j hands sizeInBytes back as a plain Python int on
+            # current builds; older bridges returned a BigInt
+            # JavaObject that only stringifies via .toString(). The
+            # old toString()-only path raised AttributeError on the
+            # int form and the blanket except turned EVERY call into
+            # False — silently demoting all size-aware broadcasts to
+            # shuffle plans (caught by the round-6 staged-merge plan
+            # test; pinned by test_fits_broadcast_private_api now).
+            size = int(raw)
+        except (TypeError, ValueError):
+            size = int(raw.toString())
         return 0 < size <= threshold
     except Exception:
         return False

@@ -523,6 +523,26 @@ def test_exact_cached_bytes_private_api_returns_measured_size(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_fits_broadcast_private_api(spark, sf_dir):
+    """`fits_broadcast` reads the same private stats surface as
+    `_exact_cached_bytes`, and its failure mode is just as silent:
+    the blanket except returns False, demoting every size-aware
+    broadcast to a shuffle plan (with AQE off — the hostile conf —
+    nothing demotes it back). That is not hypothetical: on this
+    build py4j returns sizeInBytes as a plain int, the pre-round-6
+    `.toString()` accessor raised AttributeError on it, and every
+    call had been returning False. Pin both directions so the next
+    bridge change fails HERE, not as a plan mystery."""
+    from music_streaming_etl_spark.operators.joins import fits_broadcast
+
+    region = _t(spark, sf_dir, "region")
+    assert fits_broadcast(region) is True, (
+        "private-API path broke — fits_broadcast fell back to False "
+        "(all auto-broadcasts demoted to shuffle plans)"
+    )
+    assert fits_broadcast(region, threshold=16) is False  # gate still gates
+
+
 def test_zorder_layout_single_shuffle(spark, sf_dir):
     """zorder_layout = one range exchange (plus the broadcast of the
     1-row span aggregate) — no second shuffle, no join on data."""
