@@ -1007,6 +1007,21 @@ def main() -> None:
     for _k, _mn in _REGISTRY_PROBES.items():
         _m, _b = _MATS[_mn]
         probes.setdefault(_k, (_REG[_k][0], _m, _b))
+    # round-7 STAGED keys (plans/staged_queries.py, not yet in the
+    # live registry): probed with the same machinery so registration
+    # lands with scale curves already on file.
+    from music_streaming_etl_spark.plans.staged_queries import (
+        REGISTRY_STAGED as _STAGED,
+    )
+
+    _STAGED_PROBES = {
+        "merge_into_customers": "orders",
+        "merge_upsert_kpis": "orders",
+        "similarity_topk_ivf_full_probe": "llm",
+    }
+    for _k, _mn in _STAGED_PROBES.items():
+        _m, _b = _MATS[_mn]
+        probes.setdefault(_k, (_STAGED[_k][0], _m, _b))
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
     # (r4: token_pmi's registered form is now rarest-K-capped with a
