@@ -49,9 +49,13 @@ from .testdata_queries import _t
 def q_merge_into_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO customer USING (order-derived staging): per-customer
     spend/segment refresh with a churn-out DELETE, plus synthetic
-    shifted-key rows so the INSERT branch fires at every SF. Staging
-    keys ≡ 1 (mod 3) are withheld so carry-through (no staging row)
-    is exercised too — all four ANSI row fates in one result."""
+    NEGATED-key rows (-k-1) so the INSERT branch fires at every SF —
+    negation can never collide with a real (non-negative) custkey at
+    ANY scale, unlike an additive shift, so staging stays unique on
+    the merge key (the ANSI cardinality contract) however large the
+    table grows. Staging keys ≡ 1 (mod 3) are withheld so
+    carry-through (no staging row) is exercised too — all four ANSI
+    row fates in one result."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     base = (
@@ -64,7 +68,7 @@ def q_merge_into_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staging = base.unionByName(
         base.where(F.col("c_custkey") % 20 == 3).select(
-            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            (-F.col("c_custkey") - 1).alias("c_custkey"),
             "spend",
             "n_orders",
         )
@@ -88,7 +92,7 @@ def q_merge_into_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name": F.concat(
                 F.lit("Customer#NEW"), F.col("s.c_custkey").cast("string")
             ),
-            "c_nationkey": (F.col("s.c_custkey") % 25).cast("int"),
+            "c_nationkey": (F.abs(F.col("s.c_custkey")) % 25).cast("int"),
             "c_acctbal": F.col("s.spend").cast("double"),
             "c_mktsegment": F.col("s.segment"),
         },
@@ -108,7 +112,7 @@ WITH base AS (
   FROM (
     SELECT * FROM base
     UNION ALL
-    SELECT c_custkey + 10000000, spend, n_orders FROM base
+    SELECT -c_custkey - 1, spend, n_orders FROM base
     WHERE c_custkey % 20 = 3
   )
 )
@@ -118,7 +122,7 @@ SELECT
        THEN 'Customer#NEW' || CAST(s.c_custkey AS VARCHAR)
        ELSE t.c_name END AS c_name,
   CASE WHEN t.c_custkey IS NULL
-       THEN CAST(s.c_custkey % 25 AS INTEGER)
+       THEN CAST(abs(s.c_custkey) % 25 AS INTEGER)
        ELSE t.c_nationkey END AS c_nationkey,
   CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
        THEN CAST(CAST(t.c_acctbal AS DECIMAL(28,2)) + s.spend AS DOUBLE)

@@ -97,7 +97,11 @@ def merge_into(
 
     - ``when_matched_delete`` — ``WHEN MATCHED AND cond THEN DELETE``;
       evaluated FIRST (ANSI clause order: a row consumed by an earlier
-      clause never reaches a later one).
+      clause never reaches a later one). A NULL predicate does NOT
+      satisfy the clause (SQL three-valued logic: ``AND cond`` holds
+      only for TRUE), so the row falls through to the UPDATE clause
+      instead of vanishing — the predicate is coalesced to FALSE
+      internally.
     - ``when_matched_update`` — ``WHEN MATCHED THEN UPDATE SET col =
       expr``; expressions may reference both sides via the ``t`` /
       ``s`` aliases (``F.col("t.c_acctbal") + F.col("s.spend")``).
@@ -117,12 +121,20 @@ def merge_into(
     the target row out, which SQL engines reject at runtime.
 
     Scale: two physical regimes with identical results.
-    - Staging fits broadcast (measured by Catalyst's estimate, the
-      safe direction — a miss only costs an exchange): the 100 TB
-      target NEVER shuffles. Matched clauses ride a broadcast LEFT
-      join; the INSERT branch anti-joins the small staging against a
-      key-only projection of the target (a narrow single-column
-      shuffle, pruned to ~8 bytes/row however wide the table).
+    - Staging fits broadcast: the 100 TB target NEVER shuffles.
+      Matched clauses ride a broadcast LEFT join; the INSERT branch
+      anti-joins the small staging against a key-only projection of
+      the target (a narrow single-column shuffle, pruned to ~8
+      bytes/row however wide the table). Because this FORCES the
+      broadcast (an explicit hint overrides the runtime size check),
+      the auto gate does not trust Catalyst's raw estimate: it
+      deflates the threshold by the worst estimate undershoot this
+      repo has measured on derived frames (12×,
+      ``operators/dedup.py::_EST_UNDERSHOOT`` — 149 KB estimated vs
+      1.86 MB actual), so even a maximally-undershot estimate only
+      admits a frame whose TRUE size fits the broadcast budget. A
+      rejection just takes the full-outer plan — slower, never
+      unsafe.
     - Otherwise: ONE full-outer sort-merge join on the key — the same
       physical shape Delta/Iceberg materialize for whole-table MERGE
       (both sides shuffle once; bucketing both tables on the key
@@ -155,18 +167,39 @@ def merge_into(
         expr = when_not_matched_insert.get(c, F.lit(None))
         return expr.cast(ttypes[c])
 
-    from ..operators.joins import fits_broadcast
+    from ..operators.joins import _DEFAULT_THRESHOLD, _parse_bytes, fits_broadcast
 
     if broadcast_staging is None:
-        broadcast_staging = fits_broadcast(staging)
+        from ..operators.dedup import _EST_UNDERSHOOT
+
+        conf = staging.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", str(_DEFAULT_THRESHOLD)
+        )
+        thr = _parse_bytes(conf)
+        # forced-broadcast gate: deflate by the measured worst-case
+        # estimate undershoot so a 12×-low estimate still cannot
+        # admit a frame past the real broadcast budget (see docstring)
+        broadcast_staging = thr > 0 and fits_broadcast(
+            staging, thr // _EST_UNDERSHOOT
+        )
+
+    # WHEN MATCHED AND cond THEN DELETE fires only when cond is TRUE
+    # (three-valued logic): a NULL predicate must fall through to the
+    # UPDATE clause, and where(~(matched & NULL)) would instead drop
+    # the row — coalesce to FALSE so NULL never deletes
+    wmd = (
+        F.coalesce(when_matched_delete.cast("boolean"), F.lit(False))
+        if when_matched_delete is not None
+        else None
+    )
 
     if broadcast_staging:
         j = t.join(F.broadcast(s), key_eq, "left")
         matched = F.col("s.__s").isNotNull()
-        if when_matched_delete is not None:
-            # FALSE AND NULL = FALSE, so unmatched rows (all-null s
-            # side) can never satisfy the delete predicate
-            j = j.where(~(matched & when_matched_delete))
+        if wmd is not None:
+            # FALSE AND FALSE-coalesced-cond, so unmatched rows
+            # (all-null s side) can never satisfy the delete predicate
+            j = j.where(~(matched & wmd))
         kept = j.select(
             *[
                 F.when(matched, _updated(c)).otherwise(F.col(f"t.{c}")).alias(c)
@@ -186,8 +219,8 @@ def merge_into(
     j = t.join(s, key_eq, "full_outer")
     matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
     t_only = F.col("s.__s").isNull() & F.col("t.__t").isNotNull()
-    if when_matched_delete is not None:
-        j = j.where(~(matched & when_matched_delete))
+    if wmd is not None:
+        j = j.where(~(matched & wmd))
     if when_not_matched_insert is None:
         j = j.where(F.col("t.__t").isNotNull())
         return j.select(

@@ -10,9 +10,12 @@ then DELETE the corpus before the next key — the corpora never
 coexist.
 
 Usage: python scripts/probe_1000x.py [sf_dir] [mult] [op ...]
-  ops default to the two keys the r5 sweep left at 100× for disk
-  reasons: tpch_q1_piped (baskets corpus) and item_jaccard (star
-  corpus). One JSON line to stdout; progress on stderr.
+  ops default to every PROBES key: the two the r5 sweep left at 100×
+  for disk reasons (tpch_q1_piped / item_jaccard) plus the round-7
+  staged keys. Ops sharing a corpus prefix reuse one materialization
+  — the corpus is deleted only after its LAST user (still never
+  coexisting with a different prefix's corpus). One JSON line to
+  stdout; progress on stderr.
 """
 
 from __future__ import annotations
@@ -29,11 +32,18 @@ sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
 from scale_probe import (  # noqa: E402
     materialize_baskets,
+    materialize_llm,
+    materialize_orders,
     materialize_star,
 )
 
 from music_streaming_etl_spark.plans.decision_queries import (  # noqa: E402
     q_item_jaccard,
+)
+from music_streaming_etl_spark.plans.staged_queries import (  # noqa: E402
+    q_merge_into_customers,
+    q_merge_upsert_kpis,
+    q_similarity_topk_ivf_full_probe,
 )
 from music_streaming_etl_spark.plans.stats_queries import (  # noqa: E402
     q_tpch_q1_piped,
@@ -48,6 +58,17 @@ from music_streaming_etl_spark.session import get_spark  # noqa: E402
 PROBES = {
     "tpch_q1_piped": (q_tpch_q1_piped, materialize_baskets, "bask", "lineitem"),
     "item_jaccard": (q_item_jaccard, materialize_star, "star", "lineitem"),
+    # round-7 staged keys — probed a decade past their 100× curves
+    # BEFORE registration, same pre-driver pattern as the r5/r6 sweeps
+    "merge_into_customers": (
+        q_merge_into_customers, materialize_orders, "ord", "orders",
+    ),
+    "merge_upsert_kpis": (
+        q_merge_upsert_kpis, materialize_orders, "ord", "orders",
+    ),
+    "similarity_topk_ivf_full_probe": (
+        q_similarity_topk_ivf_full_probe, materialize_llm, "llm", "embeddings",
+    ),
 }
 
 
@@ -61,6 +82,11 @@ def main() -> None:
         for t in {PROBES[op][3] for op in ops}
     }
     out = {"sf_dir": sf_dir, "mult": mult, "ops": {}}
+    # delete a shared corpus only after its LAST user in this run —
+    # ops probing the same prefix reuse one materialization instead
+    # of paying the multi-minute 1000× write per op
+    last_user = {PROBES[op][2]: op for op in ops}
+    created: set[str] = set()  # prefixes THIS RUN materialized
     for op in ops:
         fn, mat, prefix, base_tbl = PROBES[op]
         corpus = os.path.join(SCRATCH, "scale_probe", f"{prefix}_x{mult}")
@@ -69,7 +95,11 @@ def main() -> None:
         # on-disk, re-runnable) corpora untouched, and deleting those
         # would silently charge the next scale_probe run their full
         # re-materialization cost
-        preexisting = os.path.exists(os.path.join(corpus, "_done"))
+        # "preexisting" must mean existed BEFORE this run, not before
+        # this op — a shared corpus the run's first user materialized
+        # still belongs to the run and is deleted by its last user
+        if not os.path.exists(os.path.join(corpus, "_done")):
+            created.add(prefix)
         try:
             t0 = time.time()
             d = mat(spark, sf_dir, mult)
@@ -101,7 +131,7 @@ def main() -> None:
             print(f"  {op}: FAILED — {e}", file=sys.stderr)
         finally:
             spark.catalog.clearCache()
-            if not preexisting:
+            if prefix in created and last_user[prefix] == op:
                 shutil.rmtree(corpus, ignore_errors=True)
                 print(f"  {op}: corpus deleted", file=sys.stderr)
     print(json.dumps(out))

@@ -547,6 +547,13 @@ def main() -> None:
     base_events = _t(spark, sf_dir, "events").count()
     base_li = _t(spark, sf_dir, "lineitem").count()
     base_cust = _t(spark, sf_dir, "customer").count()
+    # embeddings-input ops must rate against the embeddings row count
+    # (2,000/sf-unit), not documents (5,000) — curves recorded before
+    # r6 used the docs base for these keys, so their absolute rows/s
+    # carry a constant 2.5× basis inflation (shapes unaffected: the
+    # ratio is the same at every multiple). Post-r6 numbers are on
+    # the correct basis.
+    base_emb = _t(spark, sf_dir, "embeddings").count()
     probes = {
         "sessionize_native": (q_sessionize_native, materialize_events, base_events),
         "hopping_windows": (q_hopping_windows, materialize_events, base_events),
@@ -556,7 +563,7 @@ def main() -> None:
         "copurchase_pairs": (q_copurchase_pairs, materialize_baskets, base_li),
         "genre_kpis": (q_genre_kpis, materialize, 600_000),
         "dedup_minhash": (q_dedup_minhash, materialize_llm, base_docs),
-        "similarity_topk_ivf": (q_similarity_topk_ivf, materialize_llm, base_docs),
+        "similarity_topk_ivf": (q_similarity_topk_ivf, materialize_llm, base_emb),
         "corpus_shuffle": (q_corpus_shuffle, materialize_llm, base_docs),
         "zorder_values": (q_zorder_values, materialize_orders, base_orders),
         "quantile_sketch_rollup": (
@@ -566,7 +573,7 @@ def main() -> None:
         "peak_concurrency": (q_peak_concurrency, materialize_events, base_events),
         "bm25_search": (q_bm25_search, materialize_llm, base_docs),
         "dedup_containment": (q_dedup_containment, materialize_llm, base_docs),
-        "ivf_index_search": (q_ivf_index_search_probe, materialize_llm, base_docs),
+        "ivf_index_search": (q_ivf_index_search_probe, materialize_llm, base_emb),
         "skyline_customers": (q_skyline_customers, materialize_orders, base_orders),
         "percentile_cont_by_group": (
             q_percentile_cont_by_group, materialize_orders, base_orders,
@@ -894,7 +901,9 @@ def main() -> None:
         "baskets": (materialize_baskets, base_li),
         "star": (materialize_star, base_li),
         "llm": (materialize_llm, base_docs),
+        "llm_emb": (materialize_llm, base_emb),
         "llm_fixed_labels": (materialize_llm_fixed_labels, base_docs),
+        "llm_fixed_labels_emb": (materialize_llm_fixed_labels, base_emb),
         "customer": (materialize_customer, base_cust),
     }
     _REGISTRY_PROBES = {
@@ -985,7 +994,7 @@ def main() -> None:
         "auc_doc_length": "llm",
         "cohens_kappa": "llm",
         "domain_mixture_temperature": "llm",
-        "hard_negative_centroids": "llm_fixed_labels",
+        "hard_negative_centroids": "llm_fixed_labels_emb",
         "lang_confusion": "llm",
         "lang_distribution": "llm",
         "lsh_quality": "llm",
@@ -994,10 +1003,10 @@ def main() -> None:
         "simhash_fingerprint": "llm",
         "sparse_cosine_topk": "llm",
         "weighted_sample_docs": "llm",
-        "similarity_topk_ivf_kmeans": "llm",
-        "similarity_topk_pq": "llm",
-        "similarity_topk_ivfpq": "llm",
-        "ann_recall": "llm",
+        "similarity_topk_ivf_kmeans": "llm_emb",
+        "similarity_topk_pq": "llm_emb",
+        "similarity_topk_ivfpq": "llm_emb",
+        "ann_recall": "llm_emb",
         # linkage (materialize_customer regenerates names from the
         # re-keyed custkey, and the FS corruption is custkey-derived,
         # so registry B rebuilds consistently at every multiple)
@@ -1017,7 +1026,7 @@ def main() -> None:
     _STAGED_PROBES = {
         "merge_into_customers": "orders",
         "merge_upsert_kpis": "orders",
-        "similarity_topk_ivf_full_probe": "llm",
+        "similarity_topk_ivf_full_probe": "llm_emb",
     }
     for _k, _mn in _STAGED_PROBES.items():
         _m, _b = _MATS[_mn]

@@ -168,6 +168,68 @@ def test_merge_into_degenerate_empty_sides(spark, bcast):
     assert got == {1: 5.0, 2: 0.0, 9: 99.0}
 
 
+@pytest.mark.parametrize("bcast", [True, False])
+def test_merge_into_null_delete_predicate_falls_through_to_update(spark, bcast):
+    """SQL three-valued logic: WHEN MATCHED AND cond THEN DELETE
+    fires only on TRUE — a NULL predicate must leave the row for the
+    UPDATE clause, not silently drop it (where(~(m & NULL)) would)."""
+    t = spark.createDataFrame([Row(k=1, bal=10.0)])
+    s = spark.createDataFrame(
+        [Row(k=1, delta=5.0, drop=None)],
+        schema="k bigint, delta double, drop boolean",
+    )
+    out = merge_into(
+        t, s, on=["k"],
+        when_matched_delete=F.col("s.drop"),
+        when_matched_update={"bal": F.col("t.bal") + F.col("s.delta")},
+        broadcast_staging=bcast,
+    ).collect()
+    assert out == [Row(k=1, bal=15.0)]
+
+
+@pytest.mark.parametrize("bcast", [True, False])
+def test_merge_into_composite_key(spark, bcast):
+    """Multi-column ON keys: both regimes join on the full key tuple
+    (the anti-join's name-based `on` list and the aliased equality
+    predicate must agree)."""
+    t = spark.createDataFrame(
+        [Row(a=1, b="x", v=1.0), Row(a=1, b="y", v=2.0), Row(a=2, b="x", v=3.0)]
+    )
+    s = spark.createDataFrame(
+        [Row(a=1, b="x", nv=10.0), Row(a=2, b="y", nv=40.0)]
+    )
+    out = merge_into(
+        t, s, on=["a", "b"],
+        when_matched_update={"v": F.col("s.nv")},
+        when_not_matched_insert={"a": F.col("s.a"), "b": F.col("s.b"), "v": F.col("s.nv")},
+        broadcast_staging=bcast,
+    )
+    got = {(r["a"], r["b"]): r["v"] for r in out.collect()}
+    # (1,x) updated; (1,y)/(2,x) carried; (2,y) inserted
+    assert got == {(1, "x"): 10.0, (1, "y"): 2.0, (2, "x"): 3.0, (2, "y"): 40.0}
+
+
+def test_merge_into_auto_gate_respects_disabled_broadcast(spark):
+    """The auto regime picker must never force a broadcast the
+    session has disabled (threshold -1) — and by extension the
+    deflated gate only admits provably-small frames. With
+    broadcasting off, the auto plan must be the full-outer SMJ."""
+    t, s = _tiny_target(spark), _tiny_staging(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = merge_into(
+            t, s, on=["k"],
+            when_matched_update={"bal": F.col("t.bal") + F.col("s.delta")},
+            when_not_matched_insert={"k": F.col("s.k"), "bal": F.col("s.delta")},
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "FullOuter" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_merge_into_rejects_unknown_columns(spark):
     with pytest.raises(ValueError, match="when_matched_update"):
         merge_into(
