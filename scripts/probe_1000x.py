@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
 from scale_probe import (  # noqa: E402
     materialize_baskets,
+    materialize_events,
     materialize_llm,
     materialize_orders,
     materialize_star,
@@ -70,6 +71,65 @@ PROBES = {
         q_similarity_topk_ivf_full_probe, materialize_llm, "llm", "embeddings",
     ),
 }
+
+# Fourth sweep: the predicted ROUND-7 re-verify window (the 35 oldest-
+# evidence r1-era keys at positions 16-50) probed at 1000× before the
+# driver re-checks them — same pre-driver pattern that caught the
+# anova overflow. Ops are grouped by corpus so each 600M/150M/100M-row
+# corpus materializes ONCE per run (the last-user deletion below).
+# Deliberate skips, with rationale: rename_column / ddl_recreate /
+# sink_csv / scan_csv_multi / scan_json_lines (sink- or text-format-
+# bound — a 1000× probe would measure 10-20 GB of CSV/NDJSON
+# serialization IO, not plan shape; their 100× rows stand);
+# genre_kpis / dedup_exact (1000× rows already in SCALE.md).
+_CORPUS = {
+    "events": (materialize_events, "ev", "events"),
+    "orders": (materialize_orders, "ord", "orders"),
+    "baskets": (materialize_baskets, "bask", "lineitem"),
+    "star": (materialize_star, "star", "lineitem"),
+    "llm": (materialize_llm, "llm", "documents"),
+}
+_R7_WINDOW_1000X = {
+    "hourly_kpis": "events",
+    "agg_topk_by_freq": "events",
+    "derive_hour": "events",
+    "parse_timestamp": "events",
+    "check_types": "events",
+    "agg_count_distinct": "events",
+    "agg_diversity_ratio": "events",
+    "check_range": "events",
+    "anti_join_orphans": "orders",
+    "semi_join_matched": "orders",
+    "agg_mode": "orders",
+    "project_columns": "baskets",
+    "derive_date": "baskets",
+    "cast_types": "baskets",
+    "agg_count": "baskets",
+    "agg_avg": "baskets",
+    "check_nonempty": "baskets",
+    "check_no_nulls": "baskets",
+    "scan_parquet_pushdown": "baskets",
+    "tpch_q1_pricing": "baskets",
+    "left_join_equi": "star",
+    "text_stats": "llm",
+    "lang_id": "llm",
+    "lang_confusion": "llm",
+    "doc_fingerprint": "llm",
+    "winnow_fingerprints": "llm",
+    "deterministic_sample": "llm",
+    "stratified_sample": "llm",
+}
+
+
+def _extend_with_registry() -> None:
+    from music_streaming_etl_spark.plans.registry import REGISTRY as _REG
+
+    for k, c in _R7_WINDOW_1000X.items():
+        m, p, b = _CORPUS[c]
+        PROBES.setdefault(k, (_REG[k][0], m, p, b))
+
+
+_extend_with_registry()
 
 
 def main() -> None:
@@ -129,6 +189,19 @@ def main() -> None:
             # for — record the error and emit the partial JSON
             out["ops"][op] = {"mult": mult, "error": str(e)[:500]}
             print(f"  {op}: FAILED — {e}", file=sys.stderr)
+            # an OOM-class failure can take the whole SparkContext
+            # down with it (measured: winnow_fingerprints at 5M docs
+            # GC-storms the JVM to death) — without recovery every
+            # LATER op fails spuriously on the stopped context and a
+            # night's sweep loses its tail. Rebuild the session so
+            # only the guilty op records an error.
+            try:
+                stopped = spark.sparkContext._jsc.sc().isStopped()
+            except Exception:  # noqa: BLE001 — bridge itself is dead
+                stopped = True
+            if stopped:
+                print("  SparkContext died — rebuilding session", file=sys.stderr)
+                spark = get_spark(f"probe-1000x-recovered-{op}")
         finally:
             spark.catalog.clearCache()
             if prefix in created and last_user[prefix] == op:
