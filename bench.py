@@ -19,7 +19,9 @@ followed by ``BENCH_RUNS`` (default 3) steady-state passes; the
 headline per-query number is the MEDIAN of the steady-state passes
 and the per-query MIN is reported alongside (the min is the best
 load-free estimate, the median is robust to a single noisy pass).
-The emitted JSON carries a 1-minute ``loadavg`` stamp taken before
+The emitted JSON carries a hypervisor ``steal_pct`` over the timed
+section (the stamp that separates noisy-neighbor episodes from real
+regressions on this VM) and a 1-minute ``loadavg`` stamp taken before
 and after the timed section so any reader can discount a
 load-polluted snapshot instead of mistaking it for a regression.
 """
@@ -70,6 +72,21 @@ def _load1() -> float:
         return -1.0
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — on a VM, steal is
+    the one stamp that tells a noisy-neighbor episode apart from a
+    real regression (a 63.6% idle-pair spread was measured on this
+    box with byte-identical plans and NORMAL per-query times on the
+    untouched queries; loadavg cannot see the hypervisor taking the
+    cores away)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -85,6 +102,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     load_before = _load1()
+    steal0, total0 = _cpu_ticks()
     # Pass 1 pays Catalyst planning + whole-stage-codegen compilation
     # (JVM JIT) and is reported as the cold time; the following
     # n_runs passes are the steady-state cost a recurring pipeline
@@ -107,6 +125,9 @@ def main() -> None:
         # aren't measured under accumulated memory pressure
         spark.catalog.clearCache()
     load_after = _load1()
+    steal1, total1 = _cpu_ticks()
+    dt = total1 - total0
+    steal_pct = round(100.0 * (steal1 - steal0) / dt, 2) if dt > 0 else -1.0
 
     out = {
         "metric": "headline_queries_total",
@@ -120,6 +141,7 @@ def main() -> None:
         "runs_per_query": n_runs,
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        "steal_pct": steal_pct,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
