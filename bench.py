@@ -82,7 +82,10 @@ def _cpu_ticks() -> tuple[int, int]:
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        # sum only user..steal (fields 0-7): guest/guest_nice (8-9)
+        # are already counted inside user/nice per proc(5) — summing
+        # them double-counts guest time and underestimates steal_pct
+        return (vals[7] if len(vals) > 7 else 0), sum(vals[:8])
     except (OSError, ValueError, IndexError):  # pragma: no cover
         return 0, 0
 

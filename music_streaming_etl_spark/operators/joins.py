@@ -45,19 +45,28 @@ def _parse_bytes(conf_value: str) -> int:
     return int(float(s))
 
 
-def fits_broadcast(dim: DataFrame, threshold: int | None = None) -> bool:
+def fits_broadcast(
+    dim: DataFrame, threshold: int | None = None, deflate: int = 1
+) -> bool:
     """True when Catalyst's optimized-plan size estimate for ``dim`` is
     within ``spark.sql.autoBroadcastJoinThreshold`` (or an explicit
     byte threshold). Conservative: any failure to estimate → False,
     because a wrongly-forced broadcast OOMs while a wrongly-planned
     shuffle join merely costs an exchange (and AQE can still demote it
-    to broadcast at runtime)."""
+    to broadcast at runtime).
+
+    ``deflate`` divides the threshold before gating — callers that
+    FORCE a broadcast on a derived frame pass the measured worst-case
+    estimate-undershoot factor (``operators/dedup.py::_EST_UNDERSHOOT``,
+    12×) so a maximally-undershot estimate still cannot admit a frame
+    whose true size exceeds the real budget."""
     try:
         if threshold is None:
             conf = dim.sparkSession.conf.get(
                 "spark.sql.autoBroadcastJoinThreshold", str(_DEFAULT_THRESHOLD)
             )
             threshold = _parse_bytes(conf)
+        threshold //= max(1, deflate)
         if threshold <= 0:  # -1 disables broadcasting
             return False
         raw = dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()

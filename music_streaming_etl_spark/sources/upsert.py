@@ -167,21 +167,14 @@ def merge_into(
         expr = when_not_matched_insert.get(c, F.lit(None))
         return expr.cast(ttypes[c])
 
-    from ..operators.joins import _DEFAULT_THRESHOLD, _parse_bytes, fits_broadcast
-
     if broadcast_staging is None:
         from ..operators.dedup import _EST_UNDERSHOOT
+        from ..operators.joins import fits_broadcast
 
-        conf = staging.sparkSession.conf.get(
-            "spark.sql.autoBroadcastJoinThreshold", str(_DEFAULT_THRESHOLD)
-        )
-        thr = _parse_bytes(conf)
         # forced-broadcast gate: deflate by the measured worst-case
         # estimate undershoot so a 12×-low estimate still cannot
         # admit a frame past the real broadcast budget (see docstring)
-        broadcast_staging = thr > 0 and fits_broadcast(
-            staging, thr // _EST_UNDERSHOOT
-        )
+        broadcast_staging = fits_broadcast(staging, deflate=_EST_UNDERSHOOT)
 
     # WHEN MATCHED AND cond THEN DELETE fires only when cond is TRUE
     # (three-valued logic): a NULL predicate must fall through to the

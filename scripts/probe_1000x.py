@@ -136,7 +136,26 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     ops = sys.argv[3:] or list(PROBES)
+    # GROUP ops by corpus prefix (stable: groups keep first-appearance
+    # order, ops keep their order within a group). Last-user deletion
+    # only honors the never-coexist disk budget when each prefix's
+    # users are CONTIGUOUS — an interleaved op list would keep every
+    # corpus alive until its last user and let five 1000× corpora
+    # coexist on a box that can hold one.
+    group_order = {
+        p: i for i, p in enumerate(dict.fromkeys(PROBES[op][2] for op in ops))
+    }
+    ops = sorted(ops, key=lambda op: group_order[PROBES[op][2]])
     spark = get_spark("probe-1000x")
+    # sweep any ephemeral corpus a crashed earlier run stranded (the
+    # marker is only written on corpora a probe run materialized, so
+    # scale_probe.py's standing re-runnable corpora are never touched)
+    probe_root = os.path.join(SCRATCH, "scale_probe")
+    if os.path.isdir(probe_root):
+        for d in os.listdir(probe_root):
+            if os.path.exists(os.path.join(probe_root, d, "_ephemeral")):
+                shutil.rmtree(os.path.join(probe_root, d), ignore_errors=True)
+                print(f"  swept stranded corpus {d}", file=sys.stderr)
     base_rows = {
         t: _t(spark, sf_dir, t).count()
         for t in {PROBES[op][3] for op in ops}
@@ -163,6 +182,11 @@ def main() -> None:
         try:
             t0 = time.time()
             d = mat(spark, sf_dir, mult)
+            if prefix in created:
+                # marker for the startup sweep above: a crash between
+                # a shared corpus's first and last user would strand
+                # a _done-marked corpus no later run would delete
+                open(os.path.join(d, "_ephemeral"), "w").close()
             print(
                 f"  {op}: materialized x{mult} in {time.time() - t0:.0f}s",
                 file=sys.stderr,
@@ -201,9 +225,21 @@ def main() -> None:
                 stopped = True
             if stopped:
                 print("  SparkContext died — rebuilding session", file=sys.stderr)
-                spark = get_spark(f"probe-1000x-recovered-{op}")
+                try:
+                    spark = get_spark(f"probe-1000x-recovered-{op}")
+                except Exception as re:  # noqa: BLE001 — gateway dead too
+                    # the whole JVM/py4j gateway is gone (OOM-killed
+                    # process): nothing more can run, but the paid-for
+                    # measurements must still emit — break to the
+                    # final print instead of raising past it
+                    out["ops"][op]["error"] += f" | session rebuild failed: {re}"[:200]
+                    print(json.dumps(out))
+                    return
         finally:
-            spark.catalog.clearCache()
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — context died mid-op
+                pass
             if prefix in created and last_user[prefix] == op:
                 shutil.rmtree(corpus, ignore_errors=True)
                 print(f"  {op}: corpus deleted", file=sys.stderr)

@@ -609,7 +609,7 @@ def main() -> None:
             q_theil_sen_seasonal, materialize_orders, base_orders,
         ),
         "embedding_dim_stats": (
-            q_embedding_dim_stats, materialize_llm, base_docs,
+            q_embedding_dim_stats, materialize_llm, base_emb,
         ),
         "bootstrap_mean_ci": (
             q_bootstrap_mean_ci, materialize_orders, base_orders,
@@ -646,7 +646,7 @@ def main() -> None:
             q_npv_revenue_stream, materialize_orders, base_orders,
         ),
         "centroid_silhouette": (
-            q_centroid_silhouette, materialize_llm, base_docs,
+            q_centroid_silhouette, materialize_llm, base_emb,
         ),
         "stratified_ate": (q_stratified_ate, materialize_events, base_events),
         "difference_in_differences": (
@@ -655,7 +655,7 @@ def main() -> None:
         "conformal_interval": (
             q_conformal_interval, materialize_orders, base_orders,
         ),
-        "embedding_mmd": (q_embedding_mmd, materialize_llm, base_docs),
+        "embedding_mmd": (q_embedding_mmd, materialize_llm, base_emb),
         "partial_correlation": (
             q_partial_correlation, materialize_star, base_li,
         ),
@@ -725,7 +725,7 @@ def main() -> None:
         "lateral_top_orders": (
             q_lateral_top_orders, materialize_orders, base_orders,
         ),
-        "semdedup": (q_semdedup, materialize_llm, base_docs),
+        "semdedup": (q_semdedup, materialize_llm, base_emb),
         "dedup_clusters": (q_dedup_clusters, materialize_llm, base_docs),
         "pack_sequences": (q_pack_sequences, materialize_llm, base_docs),
         "salted_skew_count": (q_salted_skew_count, materialize, base_li),
@@ -804,7 +804,7 @@ def main() -> None:
         "sample_per_key": (q_sample_per_key, materialize_llm, base_docs),
         "dedup_canonical": (q_dedup_canonical, materialize_llm, base_docs),
         "embedding_centroids": (
-            q_embedding_centroids, materialize_llm, base_docs,
+            q_embedding_centroids, materialize_llm, base_emb,
         ),
         "bpe_tokenize": (q_bpe_tokenize, materialize_llm, base_docs),
         # --- customer-dim shapes ---
@@ -876,8 +876,8 @@ def main() -> None:
         ),
         "ngram_jaccard": (q_ngram_jaccard, materialize_llm, base_docs),
         "simhash_neardup": (q_simhash_neardup, materialize_llm, base_docs),
-        "embedding_neardup": (q_embedding_neardup, materialize_llm, base_docs),
-        "similarity_topk": (q_similarity_topk, materialize_llm, base_docs),
+        "embedding_neardup": (q_embedding_neardup, materialize_llm, base_emb),
+        "similarity_topk": (q_similarity_topk, materialize_llm, base_emb),
         "deterministic_sample": (
             q_deterministic_sample, materialize_llm, base_docs,
         ),
@@ -902,7 +902,6 @@ def main() -> None:
         "star": (materialize_star, base_li),
         "llm": (materialize_llm, base_docs),
         "llm_emb": (materialize_llm, base_emb),
-        "llm_fixed_labels": (materialize_llm_fixed_labels, base_docs),
         "llm_fixed_labels_emb": (materialize_llm_fixed_labels, base_emb),
         "customer": (materialize_customer, base_cust),
     }
