@@ -121,15 +121,109 @@ _R7_WINDOW_1000X = {
 }
 
 
+# Fifth sweep: the predicted ROUND-8 window (positions 51-100)
+# probed two driver rounds early. Skips, with rationale: the
+# shingle-pair family (ngram_jaccard, dedup_containment, lsh_quality,
+# simhash_neardup) shares dedup_minhash's documented 1000× disk cap
+# (banded self-join shuffle exceeds the box's free disk; 100× rows
+# stand, a cluster distributes it); scan_python_datasource is
+# source-format-bound; recursive_cte_reach is capped at 1× by its
+# measured recursion-row limit; collation_group / copurchase_reach /
+# funnel keys already carry 1000×-class rows or lack a corpus mapping.
+_CORPUS["llm_emb"] = (materialize_llm, "llm", "embeddings")
+_R8_WINDOW_1000X = {
+    "multimodal_props": "events",
+    "multimodal_props_typed": "events",
+    "new_vs_returning": "events",
+    "gaps_and_islands": "events",
+    "cumulative_unique_users": "events",
+    "top_event_paths": "events",
+    "chi_square_independence": "events",
+    "full_outer_reconciliation": "events",
+    "multi_band_single_scan": "events",
+    "scd2_asof_lookup": "events",
+    "peak_concurrency": "events",
+    "bag_set_ops": "orders",
+    "benford_audit": "orders",
+    "ma_crossover": "orders",
+    "null_safe_join_counts": "orders",
+    "pareto_concentration": "orders",
+    "psi_drift": "orders",
+    "rfm_segmentation": "orders",
+    "histogram_bins": "orders",
+    "ewma_daily_revenue": "orders",
+    "check_unique": "baskets",
+    "winsorized_stats": "baskets",
+    "basket_affinity_lift": "baskets",
+    "ratio_to_report": "star",
+    "top_revenue_customers": "star",
+    "triangle_count": "star",
+    "lang_distribution": "llm",
+    "quality_weighted_sample": "llm",
+    "domain_mixture_temperature": "llm",
+    "bm25_search": "llm",
+    "train_val_split": "llm",
+    "simhash_fingerprint": "llm",
+    "multimodal_features": "llm",
+    "multimodal_resize": "llm",
+    "multimodal_frames": "llm",
+    "similarity_topk": "llm_emb",
+    "similarity_topk_ivf": "llm_emb",
+    "ann_recall": "llm_emb",
+    "embedding_neardup": "llm_emb",
+}
+
+
 def _extend_with_registry() -> None:
     from music_streaming_etl_spark.plans.registry import REGISTRY as _REG
 
-    for k, c in _R7_WINDOW_1000X.items():
+    for k, c in {**_R7_WINDOW_1000X, **_R8_WINDOW_1000X}.items():
         m, p, b = _CORPUS[c]
         PROBES.setdefault(k, (_REG[k][0], m, p, b))
 
 
 _extend_with_registry()
+
+
+def _rebuild_session(tag: str):
+    """Recover a usable SparkSession after the previous one's JVM
+    died. Two escalation levels, both measured on this box:
+
+    1. plain ``get_spark`` — enough when only the SparkContext was
+       stopped (the JVM survives; getOrCreate builds a new context);
+    2. py4j GATEWAY RESET + relaunch — when the executor OOM killed
+       the whole JVM (local mode has no executor isolation: an
+       uncaught task OOM takes SparkSubmit down), ``get_spark`` dies
+       with ConnectionRefused on the dead gateway. Clearing the
+       cached gateway/jvm/context class slots forces PySpark to
+       launch a FRESH JVM, verified by running a real job
+       (``range(1).count()``), not just constructing the session.
+
+    Returns the live session, or None when even a fresh JVM cannot
+    come up (at which point the caller emits the partial JSON)."""
+    try:
+        s = get_spark(f"probe-1000x-recovered-{tag}")
+        s.range(1).count()
+        return s
+    except Exception:  # noqa: BLE001 — JVM itself is gone
+        pass
+    try:
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        for attr in ("_instantiatedSession", "_activeSession"):
+            if hasattr(SparkSession, attr):
+                setattr(SparkSession, attr, None)
+        print("  dead JVM — relaunching a fresh gateway", file=sys.stderr)
+        s = get_spark(f"probe-1000x-fresh-jvm-{tag}")
+        s.range(1).count()
+        return s
+    except Exception as e:  # noqa: BLE001
+        print(f"  fresh-JVM relaunch failed: {e}", file=sys.stderr)
+        return None
 
 
 def main() -> None:
@@ -225,14 +319,13 @@ def main() -> None:
                 stopped = True
             if stopped:
                 print("  SparkContext died — rebuilding session", file=sys.stderr)
-                try:
-                    spark = get_spark(f"probe-1000x-recovered-{op}")
-                except Exception as re:  # noqa: BLE001 — gateway dead too
-                    # the whole JVM/py4j gateway is gone (OOM-killed
-                    # process): nothing more can run, but the paid-for
-                    # measurements must still emit — break to the
-                    # final print instead of raising past it
-                    out["ops"][op]["error"] += f" | session rebuild failed: {re}"[:200]
+                spark = _rebuild_session(op)
+                if spark is None:
+                    # even a fresh-JVM relaunch failed: nothing more
+                    # can run, but the paid-for measurements must
+                    # still emit — break to the final print instead
+                    # of raising past it
+                    out["ops"][op]["error"] += " | session rebuild failed"
                     print(json.dumps(out))
                     return
         finally:
