@@ -14,6 +14,7 @@ from .advanced_queries import REGISTRY_ADV
 from .analytics_queries import REGISTRY_ANALYTICS
 from .decision_queries import REGISTRY_DECISION
 from .extension_queries import REGISTRY_EXT
+from .staged_queries import REGISTRY_STAGED
 from .stats_queries import REGISTRY_STATS
 from .testdata_queries import REGISTRY as REGISTRY_CORE
 from .tpch_queries import REGISTRY_TPCH
@@ -26,6 +27,7 @@ REGISTRY.update(REGISTRY_TPCH)
 REGISTRY.update(REGISTRY_ADV)
 REGISTRY.update(REGISTRY_STATS)
 REGISTRY.update(REGISTRY_DECISION)
+REGISTRY.update(REGISTRY_STAGED)
 
 # The driver's correctness gate checks the FIRST 50 registry keys, so
 # ordering is load-bearing. Round-3 rotation plan (VERDICT r2 item 4):
@@ -39,6 +41,13 @@ REGISTRY.update(REGISTRY_DECISION)
 # window slot. Every key stays covered by scripts/selfcheck.py
 # (cell-exact, all keys) regardless of position.
 _PRIORITY: list[str] = [
+    # ROUND-7 REGISTRATION (VERDICT r6 item 2): the three keys staged
+    # in round 6 (`plans/staged_queries.py`, evidence banked there and
+    # in tests/test_staged_round7.py) enter at the FRONT — new code is
+    # the riskiest and earns driver rows immediately.
+    "merge_into_customers",
+    "merge_upsert_kpis",
+    "similarity_topk_ivf_full_probe",
     # ROUND-5 ROTATION (VERDICT r4 action item 1): round 4 retired
     # backlog positions 1-50 (all green in CORRECTNESS_r04.json), so
     # the front 50 of the old list are dropped and the window is now

@@ -130,8 +130,14 @@ SELECT
        ELSE t.c_acctbal END AS c_acctbal,
   CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment ELSE s.segment END AS c_mktsegment
 FROM customer t FULL JOIN s ON t.c_custkey = s.c_custkey
-WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND s.n_orders <= 2)
+WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+           AND COALESCE(s.n_orders <= 2, FALSE))
 """
+# COALESCE(pred, FALSE) mirrors merge_into's three-valued-logic
+# contract (a NULL delete predicate falls through to UPDATE, never
+# deletes) — COUNT(*) is never NULL so it is a no-op HERE, but the
+# template must stay copy-safe for future staged MERGE keys whose
+# delete predicates are nullable.
 
 
 def q_merge_upsert_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4680,19 +4680,23 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ssb").alias("ss_between"),
         F.col("ssw").alias("ss_within"),
         # try_divide: k == 1 group or n_all == k (one row per group)
-        # zeroes a denominator; ANSI raises where the oracle yields NULL
-        F.round(
+        # zeroes a denominator; ANSI raises where the oracle yields NULL.
+        # The final is the RAW IEEE quotient of exact decimal sums —
+        # no float rounding (ROUND(DOUBLE, n) is the one construct
+        # where Spark's exact-BigDecimal HALF_UP and DuckDB's
+        # float-scaling can differ by 1 ulp across engine versions;
+        # it hash-failed in the round-6 driver environment while
+        # passing bit-exact locally). Same-order division of
+        # engine-identical inputs is bit-deterministic by IEEE 754.
+        F.try_divide(
             F.try_divide(
-                F.try_divide(
-                    F.col("ssb").cast("double"),
-                    (F.col("k") - 1).cast("double"),
-                ),
-                F.try_divide(
-                    F.col("ssw").cast("double"),
-                    (F.col("n_all") - F.col("k")).cast("double"),
-                ),
+                F.col("ssb").cast("double"),
+                (F.col("k") - 1).cast("double"),
             ),
-            6,
+            F.try_divide(
+                F.col("ssw").cast("double"),
+                (F.col("n_all") - F.col("k")).cast("double"),
+            ),
         ).alias("f_stat"),
     )
 
@@ -4726,8 +4730,8 @@ WITH g AS (
 )
 SELECT k AS n_groups, n_all AS n_rows,
        ssb AS ss_between, ssw AS ss_within,
-       ROUND((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
-             / (CAST(ssw AS DOUBLE) / CAST(n_all - k AS DOUBLE)), 6)
+       (CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+         / (CAST(ssw AS DOUBLE) / CAST(n_all - k AS DOUBLE))
          AS f_stat
 FROM wide
 """

@@ -146,6 +146,15 @@ def merge_into(
     unknown = set(when_matched_update) - set(out_cols)
     if unknown:
         raise ValueError(f"when_matched_update targets unknown columns: {sorted(unknown)}")
+    # ANSI MERGE forbids UPDATE SET on the merge key: a key-rewriting
+    # update would desynchronize the INSERT branch (its anti-join uses
+    # the ORIGINAL target keys), so a rewritten key could collide with
+    # an inserted row and yield duplicate keys
+    key_rewrites = set(when_matched_update) & set(on)
+    if key_rewrites:
+        raise ValueError(
+            f"when_matched_update may not rewrite merge-key columns: {sorted(key_rewrites)}"
+        )
     if when_not_matched_insert is not None:
         unknown = set(when_not_matched_insert) - set(out_cols)
         if unknown:

@@ -174,6 +174,18 @@ _R8_WINDOW_1000X = {
 }
 
 
+def _pid_alive(pid: int) -> bool:
+    """True iff ``pid`` is a live process (signal-0 probe; EPERM
+    counts as alive — the process exists under another uid)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _extend_with_registry() -> None:
     from music_streaming_etl_spark.plans.registry import REGISTRY as _REG
 
@@ -229,7 +241,10 @@ def _rebuild_session(tag: str):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    ops = sys.argv[3:] or list(PROBES)
+    # dedupe up front: last-user corpus bookkeeping below assumes each
+    # op appears once (a duplicated non-last op would re-stamp the
+    # marker without re-materializing)
+    ops = list(dict.fromkeys(sys.argv[3:])) or list(PROBES)
     # GROUP ops by corpus prefix (stable: groups keep first-appearance
     # order, ops keep their order within a group). Last-user deletion
     # only honors the never-coexist disk budget when each prefix's
@@ -247,9 +262,25 @@ def main() -> None:
     probe_root = os.path.join(SCRATCH, "scale_probe")
     if os.path.isdir(probe_root):
         for d in os.listdir(probe_root):
-            if os.path.exists(os.path.join(probe_root, d, "_ephemeral")):
-                shutil.rmtree(os.path.join(probe_root, d), ignore_errors=True)
-                print(f"  swept stranded corpus {d}", file=sys.stderr)
+            marker = os.path.join(probe_root, d, "_ephemeral")
+            if not os.path.exists(marker):
+                continue
+            # the marker is stamped with the owning run's PID: skip a
+            # marker whose owner is still alive so a second probe run
+            # cannot delete a live run's shared corpus mid-use
+            try:
+                with open(marker) as f:
+                    owner = int(f.read().strip() or 0)
+            except (OSError, ValueError):
+                owner = 0
+            if owner and owner != os.getpid() and _pid_alive(owner):
+                print(
+                    f"  corpus {d} owned by live pid {owner} — not sweeping",
+                    file=sys.stderr,
+                )
+                continue
+            shutil.rmtree(os.path.join(probe_root, d), ignore_errors=True)
+            print(f"  swept stranded corpus {d}", file=sys.stderr)
     base_rows = {
         t: _t(spark, sf_dir, t).count()
         for t in {PROBES[op][3] for op in ops}
@@ -280,7 +311,8 @@ def main() -> None:
                 # marker for the startup sweep above: a crash between
                 # a shared corpus's first and last user would strand
                 # a _done-marked corpus no later run would delete
-                open(os.path.join(d, "_ephemeral"), "w").close()
+                with open(os.path.join(d, "_ephemeral"), "w") as mf:
+                    mf.write(str(os.getpid()))
             print(
                 f"  {op}: materialized x{mult} in {time.time() - t0:.0f}s",
                 file=sys.stderr,

@@ -243,6 +243,17 @@ def test_merge_into_rejects_unknown_columns(spark):
         )
 
 
+def test_merge_into_rejects_merge_key_rewrite(spark):
+    # ANSI MERGE forbids UPDATE SET on the join key: a rewritten key
+    # could collide with an inserted row (the INSERT anti-join uses
+    # the ORIGINAL target keys) and yield duplicate keys
+    with pytest.raises(ValueError, match="merge-key"):
+        merge_into(
+            _tiny_target(spark), _tiny_staging(spark), on=["k"],
+            when_matched_update={"k": F.col("s.k") + 100},
+        )
+
+
 def test_full_probe_equals_brute_force(spark, sf_dir):
     """The promotion's load-bearing property, asserted Spark-vs-Spark
     (independent of the SQL oracle): n_probe == n_clusters must
