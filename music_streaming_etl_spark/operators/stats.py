@@ -97,12 +97,15 @@ def rank_sum_stats(
         F.col("_n1").cast("bigint").alias("n_pos"),
         F.col("_n2").cast("bigint").alias("n_neg"),
         (u2d / F.lit(2.0)).alias("u_pos"),
-        F.round(
+        # raw finals (round-7 sweep): fixed-order + - * / sqrt over
+        # the exact decimal sums — bit-identical across engines, and
+        # ROUND(DOUBLE, 6) is the construct that hash-failed
+        # anova_oneway in the r6 driver environment (functions/quantize)
+        (
             (u2d - n1d * n2d)
-            / (F.lit(2.0) * F.sqrt(F.nullif(var, F.lit(0.0)))),
-            6,
+            / (F.lit(2.0) * F.sqrt(F.nullif(var, F.lit(0.0))))
         ).alias("z"),
-        F.round(
-            u2d / (F.lit(2.0) * F.nullif(n1d * n2d, F.lit(0.0))), 6
+        (
+            u2d / (F.lit(2.0) * F.nullif(n1d * n2d, F.lit(0.0)))
         ).alias("auc"),
     )

@@ -19,6 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q6, q6_sql
 from ..operators.stats import rank_sum_stats
 
 REGISTRY_STATS: dict = {}
@@ -109,16 +110,16 @@ WITH s AS (
 )
 SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
        CAST(u2 AS DOUBLE) / 2.0 AS u_pos,
-       ROUND((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       (CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
              / (2.0 * sqrt(NULLIF(
                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
                  * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
                     - CAST(ties AS DOUBLE)
                       / (CAST(n1 + n2 AS DOUBLE)
-                         * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 0.0))), 6) AS z,
-       ROUND(CAST(u2 AS DOUBLE)
-             / (2.0 * NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0)),
-             6) AS auc
+                         * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 0.0))) AS z,
+       CAST(u2 AS DOUBLE)
+             / (2.0 * NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0))
+             AS auc
 FROM a
 """
 
@@ -169,16 +170,16 @@ WITH s AS (
 )
 SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
        CAST(u2 AS DOUBLE) / 2.0 AS u_pos,
-       ROUND((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       (CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
              / (2.0 * sqrt(NULLIF(
                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
                  * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
                     - CAST(ties AS DOUBLE)
                       / (CAST(n1 + n2 AS DOUBLE)
-                         * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 0.0))), 6) AS z,
-       ROUND(CAST(u2 AS DOUBLE)
-             / (2.0 * NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0)),
-             6) AS auc
+                         * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 0.0))) AS z,
+       CAST(u2 AS DOUBLE)
+             / (2.0 * NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0))
+             AS auc
 FROM a
 """
 
@@ -238,33 +239,38 @@ def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)"
         " * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4",
     )
+    # q6 finals (round-7 sweep): the s2..s4 carriers have unscaled
+    # values past 2^53, and DECIMAL→DOUBLE conversion of such values
+    # is NOT correctly-rounded identically across engines (measured:
+    # 1e-14 divergence on skewness at sf0.01) — the old ROUND(_, 6)
+    # was silently absorbing that noise while being itself ambiguous.
+    # The micro-unit floor absorbs the same noise without ROUND's
+    # BigDecimal-vs-float-scaling implementation split.
     return mom.select(
         "o_orderpriority",
         "n",
-        F.round("mu", 6).alias("mean_price"),
+        q6(F.col("mu")).alias("mean_price"),
         # try_divide + greatest(m2, 0): a single-row or constant-price
         # group has m2 == 0 mathematically but float cancellation can
         # land at -1e-18 — Spark's sqrt(neg) is NaN while DuckDB's
         # RAISES; the clamp is on identically-computed doubles so both
         # engines clamp the same cells to a NULL-yielding 0 denominator
-        F.round(
+        q6(
             F.expr(
                 "try_divide(m3,"
                 " greatest(m2, 0.0d) * sqrt(greatest(m2, 0.0d)))"
-            ),
-            6,
+            )
         ).alias("skewness"),
-        F.round(
+        q6(
             F.expr(
                 "try_divide(m4, greatest(m2, 0.0d) * greatest(m2, 0.0d))"
                 " - 3.0"
-            ),
-            6,
+            )
         ).alias("excess_kurtosis"),
     ).orderBy("o_orderpriority")
 
 
-ORACLE_MOMENTS = """
+ORACLE_MOMENTS = f"""
 WITH pw AS (
   -- staged widening casts: each step is exact (values fit), only the
   -- declared width grows, keeping DuckDB's intermediate-width cap happy
@@ -297,11 +303,17 @@ WITH pw AS (
       - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
   FROM a
 )
+, f AS (
+  SELECT o_orderpriority, n, mu,
+         m3 / (greatest(m2, 0.0) * sqrt(greatest(m2, 0.0))) AS sk,
+         m4 / (greatest(m2, 0.0) * greatest(m2, 0.0)) - 3.0 AS ku
+  FROM m
+)
 SELECT o_orderpriority, n,
-       ROUND(mu, 6) AS mean_price,
-       ROUND(m3 / (greatest(m2, 0.0) * sqrt(greatest(m2, 0.0))), 6) AS skewness,
-       ROUND(m4 / (greatest(m2, 0.0) * greatest(m2, 0.0)) - 3.0, 6) AS excess_kurtosis
-FROM m ORDER BY o_orderpriority
+       {q6_sql('mu')} AS mean_price,
+       {q6_sql('sk')} AS skewness,
+       {q6_sql('ku')} AS excess_kurtosis
+FROM f ORDER BY o_orderpriority
 """
 
 
@@ -356,16 +368,15 @@ def q_regression_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "o_orderpriority",
         F.col("n").cast("bigint").alias("n_days"),
-        F.round(slope, 6).alias("slope_cents_per_day"),
-        F.round(
-            F.try_divide(
-                F.col("sy").cast("double")
-                - slope * F.col("sx").cast("double"),
-                F.col("n").cast("double"),
-            ),
-            6,
+        # raw finals (round-7 sweep): + - * / over exact decimal sums
+        # in one fixed order — bit-identical across engines
+        slope.alias("slope_cents_per_day"),
+        F.try_divide(
+            F.col("sy").cast("double")
+            - slope * F.col("sx").cast("double"),
+            F.col("n").cast("double"),
         ).alias("intercept_cents"),
-        F.round(F.try_divide(num * num, den * deny), 6).alias("r2"),
+        F.try_divide(num * num, den * deny).alias("r2"),
     ).orderBy("o_orderpriority")
 
 
@@ -389,15 +400,15 @@ WITH daily AS (
   FROM d GROUP BY 1
 )
 SELECT o_orderpriority, CAST(n AS BIGINT) AS n_days,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
-       ROUND((CAST(sy AS DOUBLE)
+       CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
               - (CAST(n * sxy - sx * sy AS DOUBLE)
                  / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE), 6) AS intercept_cents,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n AS DOUBLE) AS intercept_cents,
+       CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
              / (CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
 FROM s ORDER BY o_orderpriority
 """
 
@@ -436,18 +447,25 @@ def q_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id")
     withn = ce.withColumn("n", F.sum("c").over(w))
-    term = F.col("c").cast("decimal(19,0)") * F.round(
-        F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
-    ).cast("decimal(12,6)")
+    # floor-quantize each libm log to integer MICRO-NATS before the
+    # exact decimal sum (round-7 sweep: floor of the identical double
+    # is engine-unambiguous, ROUND(DOUBLE, 6) is not — see
+    # functions/quantize); |ln(c/n)|·1e6 < 5e7, far from the 2^53
+    # floor-saturation gate. The final is then a raw fixed-order
+    # quotient of exact values — no float rounding anywhere.
+    term = F.col("c").cast("decimal(19,0)") * F.floor(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.lit(1e6)
+    ).cast("decimal(19,0)")
     return (
         withn.groupBy("user_id")
         .agg(
             F.max("n").cast("bigint").alias("n_events"),
             F.count(F.lit(1)).cast("bigint").alias("n_types"),
-            F.round(
+            (
                 -F.sum(term).cast("double")
-                / F.max("n").cast("double"),
-                6,
+                / F.max("n").cast("double")
+                / F.lit(1e6)
             ).alias("entropy_nats"),
         )
         .orderBy("user_id")
@@ -466,10 +484,11 @@ WITH ce AS (
 SELECT user_id,
        CAST(MAX(n) AS BIGINT) AS n_events,
        CAST(COUNT(*) AS BIGINT) AS n_types,
-       ROUND(-CAST(SUM(CAST(c AS DECIMAL(19,0))
-                        * CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-                               AS DECIMAL(12,6))) AS DOUBLE)
-             / CAST(MAX(n) AS DOUBLE), 6) AS entropy_nats
+       -CAST(SUM(CAST(c AS DECIMAL(19,0))
+                        * CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                                     * 1e6)
+                               AS DECIMAL(19,0))) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE) / 1e6 AS entropy_nats
 FROM wn GROUP BY user_id ORDER BY user_id
 """
 
@@ -505,8 +524,10 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("dow").cast("int").alias("dow"),
         "n_days",
-        F.round(dow_avg, 6).alias("avg_daily_cents"),
-        F.round(dow_avg / all_avg, 6).alias("seasonality_index"),
+        # raw finals (round-7 sweep): fixed-order quotients of exact
+        # decimal sums — bit-identical across engines
+        dow_avg.alias("avg_daily_cents"),
+        (dow_avg / all_avg).alias("seasonality_index"),
     ).orderBy("dow")
 
 
@@ -525,9 +546,9 @@ WITH daily AS (
   FROM daily
 )
 SELECT dow, n_days,
-       ROUND(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS avg_daily_cents,
-       ROUND((CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-             / (CAST(s_all AS DOUBLE) / CAST(nd_all AS DOUBLE)), 6)
+       CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_daily_cents,
+       (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(s_all AS DOUBLE) / CAST(nd_all AS DOUBLE))
          AS seasonality_index
 FROM per_dow, total ORDER BY dow
 """
@@ -676,8 +697,9 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n").cast("bigint").alias("n_customers"),
         F.col("sc").cast("bigint").alias("total_cents"),
-        F.round(
-            (F.lit(2.0) * srcd - (nd + F.lit(1.0)) * scd) / (nd * scd), 6
+        # raw final (round-7 sweep): fixed-order ops on exact sums
+        (
+            (F.lit(2.0) * srcd - (nd + F.lit(1.0)) * scd) / (nd * scd)
         ).alias("gini"),
     )
 
@@ -698,8 +720,8 @@ WITH per_cust AS (
 )
 SELECT CAST(n AS BIGINT) AS n_customers,
        CAST(sc AS BIGINT) AS total_cents,
-       ROUND((2.0 * CAST(src AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sc AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sc AS DOUBLE)), 6) AS gini
+       (2.0 * CAST(src AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sc AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sc AS DOUBLE)) AS gini
 FROM a
 """
 
@@ -776,12 +798,11 @@ def q_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "s_stat",
         F.col("var18").cast("bigint").alias("var18"),
-        F.round(
-            F.when(F.col("s_stat") > 0, (s - F.lit(1.0)) / sig)
-            .when(F.col("s_stat") < 0, (s + F.lit(1.0)) / sig)
-            .otherwise(F.lit(0.0)),
-            6,
-        ).alias("z"),
+        # raw final (round-7 sweep): fixed-order / sqrt on exact sums
+        F.when(F.col("s_stat") > 0, (s - F.lit(1.0)) / sig)
+        .when(F.col("s_stat") < 0, (s + F.lit(1.0)) / sig)
+        .otherwise(F.lit(0.0))
+        .alias("z"),
     )
 
 
@@ -817,12 +838,12 @@ WITH daily AS (
   FROM per
 )
 SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
-       ROUND(CASE
+       CASE
          WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
                               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
          WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
                               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
-         ELSE 0.0 END, 6) AS z
+         ELSE 0.0 END AS z
 FROM tot
 """
 
@@ -836,8 +857,9 @@ def q_theil_sen_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust trend: the median of within-season pairwise slopes of
     daily revenue (cents/day) — outlier-days move OLS, not this. Same
     calendar-bounded month-season equi-join pair frame as
-    ``mann_kendall_seasonal``; each slope is rounded to 6dp BEFORE
-    ranking (the playbook's libm rule), the median is taken as
+    ``mann_kendall_seasonal``; each slope is a single IEEE division
+    of exact integers (bit-identical across engines — no rounding,
+    per the round-7 quantize playbook), the median is taken as
     explicit order statistics via ``global_rank`` (range partition +
     broadcast offsets — engine-independent, no interpolation-formula
     ambiguity between engines), averaging the two middles on even
@@ -861,10 +883,12 @@ def q_theil_sen_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "m")
         .where(F.col("a.day") < F.col("b.day"))
         .select(
-            F.round(
+            # raw pairwise slope (round-7 sweep): a single IEEE
+            # division of exact integers is bit-identical across
+            # engines — the old 6dp round added only ROUND ambiguity
+            (
                 (F.col("b.c") - F.col("a.c")).cast("double")
-                / (F.col("b.di") - F.col("a.di")).cast("double"),
-                6,
+                / (F.col("b.di") - F.col("a.di")).cast("double")
             ).alias("slope"),
             F.col("a.day").alias("da"),
             F.col("b.day").alias("db"),
@@ -883,7 +907,9 @@ def q_theil_sen_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mid.agg(
         F.max("n").alias("n_slopes"),
-        F.round(F.avg("slope"), 6).alias("median_slope_cents_per_day"),
+        # AVG of the (<= 2) middle slopes: one commutative two-term
+        # IEEE add + divide — engine-identical, no rounding needed
+        F.avg("slope").alias("median_slope_cents_per_day"),
     )
 
 
@@ -896,7 +922,7 @@ WITH daily AS (
          CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS di
   FROM daily
 ), slopes AS (
-  SELECT ROUND(CAST(b.c - a.c AS DOUBLE) / CAST(b.di - a.di AS DOUBLE), 6)
+  SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.di - a.di AS DOUBLE)
            AS slope,
          a.day AS da, b.day AS db
   FROM d a JOIN d b ON a.m = b.m AND a.day < b.day
@@ -907,7 +933,7 @@ WITH daily AS (
   FROM slopes
 ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM slopes)
 SELECT MAX(n) AS n_slopes,
-       ROUND(AVG(slope), 6) AS median_slope_cents_per_day
+       AVG(slope) AS median_slope_cents_per_day
 FROM ranked, nn
 WHERE rank = (n + 1) // 2 OR rank = (n + 2) // 2
 """
@@ -949,18 +975,23 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vals",
         "vmin",
         "vmax",
-        F.round(meand, 6).alias("mean"),
+        # q6 finals (round-7 sweep): the sqq carrier's unscaled value
+        # grows with corpus size past 2^53, where DECIMAL→DOUBLE
+        # conversion is not correctly-rounded identically across
+        # engines — the micro-unit floor absorbs that without ROUND's
+        # implementation ambiguity (functions/quantize)
+        q6(meand).alias("mean"),
         # greatest(var, 0): a constant dimension has variance 0
         # mathematically but float cancellation can land at -1e-18 —
         # Spark's sqrt(neg) is NaN while DuckDB's RAISES; the clamp
         # input is computed identically so both engines emit std 0
-        F.round(
-            F.sqrt(F.greatest(msqd - meand * meand, F.lit(0.0))), 6
+        q6(
+            F.sqrt(F.greatest(msqd - meand * meand, F.lit(0.0)))
         ).alias("std"),
     ).orderBy("dim")
 
 
-ORACLE_DIM_STATS = """
+ORACLE_DIM_STATS = f"""
 WITH e AS (
   SELECT CAST(unnest(range(1, len(embedding) + 1)) - 1 AS BIGINT) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS v
@@ -975,12 +1006,18 @@ WITH e AS (
               AS DECIMAL(38,12)) AS sqq
   FROM e GROUP BY 1
 )
+, f AS (
+  SELECT dim, n_vals, vmin, vmax,
+         CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE) AS mu,
+         sqrt(greatest(CAST(sqq AS DOUBLE) / CAST(n_vals AS DOUBLE)
+              - (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE))
+                * (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE)), 0.0)) AS sd
+  FROM a
+)
 SELECT dim, n_vals, vmin, vmax,
-       ROUND(CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE), 6) AS mean,
-       ROUND(sqrt(greatest(CAST(sqq AS DOUBLE) / CAST(n_vals AS DOUBLE)
-                  - (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE))
-                    * (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE)), 0.0)), 6) AS std
-FROM a ORDER BY dim
+       {q6_sql('mu')} AS mean,
+       {q6_sql('sd')} AS std
+FROM f ORDER BY dim
 """
 
 
@@ -1090,18 +1127,16 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("point_mean")
     )
     lo_k, hi_k = 3, 98  # nearest-rank ceil(0.025 B), ceil(0.975 B)
+    # raw finals (round-7 sweep): every emitted value is a fixed-order
+    # quotient of exact decimal sums — bit-identical across engines
     ci = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
-        F.round(
-            F.min(F.when(F.col("r") == lo_k, F.col("mean_b"))), 6
-        ).alias("ci_lo"),
-        F.round(
-            F.min(F.when(F.col("r") == hi_k, F.col("mean_b"))), 6
-        ).alias("ci_hi"),
+        F.min(F.when(F.col("r") == lo_k, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("r") == hi_k, F.col("mean_b"))).alias("ci_hi"),
     )
     return ci.crossJoin(F.broadcast(point)).select(
         "n_replicates",
-        F.round("point_mean", 6).alias("point_mean"),
+        "point_mean",
         "ci_lo",
         "ci_hi",
     )
@@ -1140,9 +1175,9 @@ WITH fan AS (
   FROM orders
 )
 SELECT CAST((SELECT COUNT(*) FROM ranked) AS BIGINT) AS n_replicates,
-       ROUND(point_mean, 6) AS point_mean,
-       ROUND((SELECT mean_b FROM ranked WHERE r = 3), 6) AS ci_lo,
-       ROUND((SELECT mean_b FROM ranked WHERE r = 98), 6) AS ci_hi
+       point_mean,
+       (SELECT mean_b FROM ranked WHERE r = 3) AS ci_lo,
+       (SELECT mean_b FROM ranked WHERE r = 98) AS ci_hi
 FROM point
 """
 
@@ -1198,15 +1233,19 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.sum("total_t").over(w_ord), F.lit(0)),
         )
     )
+    # round-7 sweep: each factor's ln is FLOOR-quantized to integer
+    # MICRO-units (engine-unambiguous; ROUND(DOUBLE, 6) is not — see
+    # functions/quantize) and cumulatively summed exact; the final
+    # exp is libm, so its output is q6-floored rather than rounded
     term = F.when(
         F.col("d") < F.col("n"),
-        F.round(
+        F.floor(
             F.log(
                 F.lit(1.0)
                 - F.col("d").cast("double") / F.col("n").cast("double")
-            ),
-            6,
-        ).cast("decimal(12,6)"),
+            )
+            * F.lit(1e6)
+        ).cast("decimal(19,0)"),
     )
     w_inc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     curve = at_risk.withColumn("lterm", term).withColumn(
@@ -1218,14 +1257,14 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_at_risk"),
         F.when(
             F.col("d") < F.col("n"),
-            F.round(F.exp(F.col("cum").cast("double")), 6),
+            q6(F.exp(F.col("cum").cast("double") / F.lit(1e6))),
         )
         .otherwise(F.lit(0.0))
         .alias("survival"),
     ).orderBy("t")
 
 
-ORACLE_KAPLAN_MEIER = """
+ORACLE_KAPLAN_MEIER = f"""
 WITH per_user AS (
   SELECT user_id,
          MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_s,
@@ -1252,16 +1291,19 @@ at_risk AS (
 ), curve AS (
   SELECT t, d, n,
          SUM(CASE WHEN d < n THEN
-               CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-                    AS DECIMAL(12,6))
+               CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1e6)
+                    AS DECIMAL(19,0))
              END) OVER (ORDER BY t
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM at_risk
+), fin AS (
+  SELECT t, d, n, exp(CAST(cum AS DOUBLE) / 1e6) AS sv FROM curve
 )
 SELECT t, d, CAST(n AS BIGINT) AS n_at_risk,
-       CASE WHEN d < n THEN ROUND(exp(CAST(cum AS DOUBLE)), 6)
+       CASE WHEN d < n THEN {q6_sql('sv')}
             ELSE 0.0 END AS survival
-FROM curve ORDER BY t
+FROM fin ORDER BY t
 """
 
 
@@ -1349,7 +1391,7 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_a",
             "token_b",
             "c_xy",
-            F.round(
+            q6(
                 F.log(
                     (
                         F.col("n_docs").cast("decimal(19,0)")
@@ -1358,8 +1400,7 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (
                         F.col("c_x").cast("decimal(19,0)") * F.col("c_y")
                     ).cast("double")
-                ),
-                6,
+                )
             ).alias("pmi"),
         )
     )
@@ -1414,7 +1455,7 @@ def q_token_pmi_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_a",
             "token_b",
             "c_xy",
-            F.round(
+            q6(
                 F.log(
                     (
                         F.col("n_docs").cast("decimal(19,0)")
@@ -1423,8 +1464,7 @@ def q_token_pmi_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (
                         F.col("c_x").cast("decimal(19,0)") * F.col("c_y")
                     ).cast("double")
-                ),
-                6,
+                )
             ).alias("pmi"),
         )
     )
@@ -1433,7 +1473,7 @@ def q_token_pmi_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "token_a", "token_b", "c_xy", "pmi")
 
 
-ORACLE_TOKEN_PMI = """
+ORACLE_TOKEN_PMI = f"""
 WITH full_dt AS (
   SELECT DISTINCT doc_id,
          unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
@@ -1455,14 +1495,15 @@ pairs AS (
   SELECT a.tok AS token_a, b.tok AS token_b, CAST(COUNT(*) AS BIGINT) AS c_xy
   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
   GROUP BY 1, 2
-), scored AS (
+), raw AS (
   SELECT token_a, token_b, c_xy,
-         ROUND(ln(CAST(CAST(n_docs AS DECIMAL(19,0)) * c_xy AS DOUBLE)
-                  / CAST(CAST(x.df AS DECIMAL(19,0)) * y.df AS DOUBLE)), 6)
-           AS pmi
+         ln(CAST(CAST(n_docs AS DECIMAL(19,0)) * c_xy AS DOUBLE)
+            / CAST(CAST(x.df AS DECIMAL(19,0)) * y.df AS DOUBLE)) AS lpmi
   FROM pairs
   JOIN dfreq x ON x.tok = token_a
   JOIN dfreq y ON y.tok = token_b, nd
+), scored AS (
+  SELECT token_a, token_b, c_xy, {q6_sql('lpmi')} AS pmi FROM raw
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, token_a ASC, token_b ASC)
             AS BIGINT) AS rank,
@@ -1526,32 +1567,25 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_pos",
         "cum_pos",
-        F.round(
-            F.try_divide(
-                F.col("n_pos").cast("double"), F.col("n").cast("double")
-            ),
-            6,
+        # raw finals (round-7 sweep): quotients of exact bigints in
+        # one fixed order — bit-identical across engines
+        F.try_divide(
+            F.col("n_pos").cast("double"), F.col("n").cast("double")
         ).alias("pos_rate"),
         # try_divide: a corpus with zero positives has pos_all == 0;
         # ANSI raises where the oracle yields NULL
-        F.round(
-            F.try_divide(
-                F.col("cum_pos").cast("double"),
-                F.col("pos_all").cast("double"),
-            ),
-            6,
+        F.try_divide(
+            F.col("cum_pos").cast("double"),
+            F.col("pos_all").cast("double"),
         ).alias("cum_capture"),
-        F.round(
+        F.try_divide(
             F.try_divide(
-                F.try_divide(
-                    F.col("n_pos").cast("double"), F.col("n").cast("double")
-                ),
-                F.try_divide(
-                    F.col("pos_all").cast("double"),
-                    F.col("n_all").cast("double"),
-                ),
+                F.col("n_pos").cast("double"), F.col("n").cast("double")
             ),
-            6,
+            F.try_divide(
+                F.col("pos_all").cast("double"),
+                F.col("n_all").cast("double"),
+            ),
         ).alias("lift"),
     ).orderBy("decile")
 
@@ -1578,12 +1612,12 @@ SELECT tile AS decile, n, n_pos,
        CAST(SUM(n_pos) OVER (ORDER BY tile
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cum_pos,
-       ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
-       ROUND(CAST(SUM(n_pos) OVER (ORDER BY tile
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+       CAST(SUM(n_pos) OVER (ORDER BY tile
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / CAST(pos_all AS DOUBLE), 6) AS cum_capture,
-       ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
-             / (CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6) AS lift
+             / CAST(pos_all AS DOUBLE) AS cum_capture,
+       (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS lift
 FROM per, tot ORDER BY decile
 """
 
@@ -1655,9 +1689,8 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         (F.col("n").cast("bigint") / F.lit(2)).cast("bigint").alias("n_edges"),
-        F.round(num / (F.sqrt(dxv) * F.sqrt(dyv)), 6).alias(
-            "assortativity"
-        ),
+        # raw final (round-7 sweep): fixed-order ops on exact sums
+        (num / (F.sqrt(dxv) * F.sqrt(dyv))).alias("assortativity"),
     )
 
 
@@ -1687,9 +1720,9 @@ WITH op AS (
   FROM ends
 )
 SELECT CAST(CAST(n AS BIGINT) / 2 AS BIGINT) AS n_edges,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+       CAST(n * sxy - sx * sy AS DOUBLE)
              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
          AS assortativity
 FROM s
 """
@@ -1740,15 +1773,14 @@ def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         mapped.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(
+            # raw finals (round-7 sweep): quotients of exact sums
+            (
                 F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("mean_raw_cents"),
-            F.round(
+            (
                 F.sum(F.col("ref_c").cast("decimal(38,0)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("mean_normalized_cents"),
         )
         .orderBy("o_orderpriority")
@@ -1778,10 +1810,10 @@ mapped AS (
 )
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_raw_cents,
-       ROUND(CAST(SUM(CAST(ref_c AS DECIMAL(38,0))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_normalized_cents
+       CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_raw_cents,
+       CAST(SUM(CAST(ref_c AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_normalized_cents
 FROM mapped GROUP BY 1 ORDER BY 1
 """
 
@@ -1900,9 +1932,11 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "x",
-        f"ROUND({p}, 6) AS p_hat",
-        f"ROUND(({center} - {half}) / {denom}, 6) AS ci_lo",
-        f"ROUND(({center} + {half}) / {denom}, 6) AS ci_hi",
+        # raw finals (round-7 sweep): fixed-order + - * / sqrt over
+        # exact integers and literals — bit-identical across engines
+        f"{p} AS p_hat",
+        f"({center} - {half}) / {denom} AS ci_lo",
+        f"({center} + {half}) / {denom} AS ci_hi",
     ).orderBy("event_type")
 
 
@@ -1923,9 +1957,9 @@ WITH agg AS (
   FROM events GROUP BY 1
 )
 SELECT event_type, n, x,
-       ROUND({_W_P}, 6) AS p_hat,
-       ROUND(({_W_CTR} - {_W_HALF}) / {_W_DEN}, 6) AS ci_lo,
-       ROUND(({_W_CTR} + {_W_HALF}) / {_W_DEN}, 6) AS ci_hi
+       {_W_P} AS p_hat,
+       ({_W_CTR} - {_W_HALF}) / {_W_DEN} AS ci_lo,
+       ({_W_CTR} + {_W_HALF}) / {_W_DEN} AS ci_hi
 FROM agg ORDER BY event_type
 """
 
@@ -1982,12 +2016,12 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_a",
             "users_b",
             "users_both",
-            F.round(
+            # raw final (round-7 sweep): one quotient of exact bigints
+            (
                 F.col("users_both").cast("double")
                 / (
                     F.col("users_a") + F.col("users_b") - F.col("users_both")
-                ).cast("double"),
-                6,
+                ).cast("double")
             ).alias("jaccard"),
         )
         .orderBy("type_a", "type_b")
@@ -2009,8 +2043,8 @@ WITH tu AS (
 )
 SELECT type_a, type_b, x.n_users AS users_a, y.n_users AS users_b,
        users_both,
-       ROUND(CAST(users_both AS DOUBLE)
-             / CAST(x.n_users + y.n_users - users_both AS DOUBLE), 6)
+       CAST(users_both AS DOUBLE)
+             / CAST(x.n_users + y.n_users - users_both AS DOUBLE)
          AS jaccard
 FROM inter
 JOIN sizes x ON x.event_type = type_a
@@ -2079,9 +2113,7 @@ def q_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_rows"),
         # try_divide: constant x or y ranks (all-tied inputs) zero a
         # variance term — ANSI raises where the oracle yields NULL
-        F.round(
-            F.try_divide(num, F.sqrt(dx) * F.sqrt(dy)), 6
-        ).alias("spearman_rho"),
+        F.try_divide(num, F.sqrt(dx) * F.sqrt(dy)).alias("spearman_rho"),
     )
 
 
@@ -2117,9 +2149,9 @@ WITH rows_ AS (
   FROM withr
 )
 SELECT CAST(n AS BIGINT) AS n_rows,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+       CAST(n * sxy - sx * sy AS DOUBLE)
              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
          AS spearman_rho
 FROM s
 """
@@ -2317,10 +2349,10 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
             F.sum("c").cast("bigint").alias("revenue_cents"),
-            F.round(
+            # raw final (round-7 sweep): one quotient of exact bigints
+            (
                 F.sum("c").cast("double")
-                / F.max("t").cast("double"),
-                6,
+                / F.max("t").cast("double")
             ).alias("revenue_share"),
         )
         .orderBy("abc_class")
@@ -2348,7 +2380,7 @@ classed AS (
 SELECT abc_class,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(c) AS BIGINT) AS revenue_cents,
-       ROUND(CAST(SUM(c) AS DOUBLE) / CAST(MAX(t) AS DOUBLE), 6)
+       CAST(SUM(c) AS DOUBLE) / CAST(MAX(t) AS DOUBLE)
          AS revenue_share
 FROM classed GROUP BY 1 ORDER BY 1
 """
@@ -2377,22 +2409,25 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("f"),
     )
     j = monthly.join(fc, "m")
-    ape = F.round(
+    # round-7 sweep: each month's APE is FLOOR-quantized to integer
+    # micro-units before the exact sum (engine-unambiguous; see
+    # functions/quantize); finals are raw fixed-order quotients
+    ape_u = F.floor(
         F.abs(F.col("c") - F.col("f")).cast("double")
-        / F.col("c").cast("double"),
-        6,
-    ).cast("decimal(12,6)")
+        / F.col("c").cast("double")
+        * F.lit(1e6)
+    ).cast("decimal(19,0)")
     return j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_months"),
-        F.round(
-            F.sum(ape).cast("double") / F.count(F.lit(1)).cast("double"),
-            6,
+        (
+            F.sum(ape_u).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
         ).alias("mape"),
-        F.round(
+        (
             F.sum((F.col("c") - F.col("f")).cast("decimal(38,0)"))
             .cast("double")
-            / F.sum(F.col("c").cast("decimal(38,0)")).cast("double"),
-            6,
+            / F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
         ).alias("bias"),
     )
 
@@ -2408,11 +2443,12 @@ WITH monthly AS (
   SELECT monthly.c, fc.f FROM monthly JOIN fc USING (m)
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
-       ROUND(CAST(SUM(CAST(ROUND(CAST(abs(c - f) AS DOUBLE) / CAST(c AS DOUBLE), 6)
-                          AS DECIMAL(12,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS mape,
-       ROUND(CAST(SUM(CAST(c - f AS DECIMAL(38,0))) AS DOUBLE)
-             / CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE), 6) AS bias
+       CAST(SUM(CAST(floor(CAST(abs(c - f) AS DOUBLE) / CAST(c AS DOUBLE)
+                           * 1e6)
+                          AS DECIMAL(19,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mape,
+       CAST(SUM(CAST(c - f AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS bias
 FROM j
 """
 
@@ -2465,12 +2501,14 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_oov"),
         )
         .withColumn(
-            "rate",
-            F.round(
+            # floor-quantized micro-rate (round-7 sweep): engine-
+            # unambiguous integer carrier for the exact decimal mean
+            "rate_u",
+            F.floor(
                 F.col("n_oov").cast("double")
-                / F.col("n_toks").cast("double"),
-                6,
-            ).cast("decimal(12,6)"),
+                / F.col("n_toks").cast("double")
+                * F.lit(1e6)
+            ).cast("decimal(19,0)"),
         )
     )
     return (
@@ -2479,10 +2517,10 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_oov").cast("bigint").alias("oov_tokens"),
             F.sum("n_toks").cast("bigint").alias("total_tokens"),
-            F.round(
-                F.sum("rate").cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+            (
+                F.sum("rate_u").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
             ).alias("mean_oov_rate"),
         )
         .orderBy("lang")
@@ -2509,15 +2547,15 @@ WITH tok AS (
   GROUP BY 1, 2
 ), rated AS (
   SELECT lang, n_toks, n_oov,
-         CAST(ROUND(CAST(n_oov AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
-              AS DECIMAL(12,6)) AS rate
+         CAST(floor(CAST(n_oov AS DOUBLE) / CAST(n_toks AS DOUBLE) * 1e6)
+              AS DECIMAL(19,0)) AS rate_u
   FROM per_doc
 )
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
        CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-       ROUND(CAST(SUM(rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       CAST(SUM(rate_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
          AS mean_oov_rate
 FROM rated GROUP BY 1 ORDER BY 1
 """
@@ -2560,7 +2598,13 @@ def q_hard_negative_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = label_centroids(emb, "label", "embedding").select(
         F.col("label").alias("c_label"),
         "dim",
-        F.round("centroid", 6).cast("decimal(12,6)").alias("c"),
+        # floor-to-6dp-grid as EXACT DECIMAL (round-7 sweep): floor of
+        # the bit-identical centroid double is engine-unambiguous and
+        # the micro-units * 0.000001 product is exact in both engines
+        F.expr(
+            "CAST(CAST(floor(centroid * 1e6) AS DECIMAL(19,0))"
+            " * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))"
+        ).alias("c"),
     )
     flat = emb.select(
         "vec_id",
@@ -2591,8 +2635,9 @@ def q_hard_negative_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "c_label",
-            F.round(
-                F.col("dot").cast("double") / (F.col("vn") * F.col("cn")), 6
+            # raw final: exact-decimal dot/norms, fixed-order / sqrt
+            (
+                F.col("dot").cast("double") / (F.col("vn") * F.col("cn"))
             ).alias("cosine"),
         )
     )
@@ -2623,9 +2668,10 @@ WITH cent AS (
   FROM embeddings
 ), centroid AS (
   SELECT c_label, dim,
-         CAST(ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)))
-                         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-              AS DECIMAL(12,6)) AS c
+         CAST(CAST(floor(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)))
+                               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6)
+                   AS DECIMAL(19,0))
+              * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) AS c
   FROM cent GROUP BY 1, 2
 ), flat AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -2644,7 +2690,7 @@ WITH cent AS (
   FROM centroid GROUP BY 1
 ), cos AS (
   SELECT vec_id, label, c_label,
-         ROUND(CAST(dot AS DOUBLE) / (vn * cn), 6) AS cosine
+         CAST(dot AS DOUBLE) / (vn * cn) AS cosine
   FROM dots JOIN vnorm USING (vec_id) JOIN cnorm USING (c_label)
   WHERE c_label <> label
 ), hardest AS (
@@ -2762,10 +2808,10 @@ def q_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.round(
+            # raw final (round-7 sweep): one quotient of exact sums
+            (
                 F.sum(F.col("bdays").cast("decimal(38,0)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("avg_business_days"),
             F.max("bdays").cast("bigint").alias("max_business_days"),
         )
@@ -2792,8 +2838,8 @@ WITH o AS (
 )
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       ROUND(CAST(SUM(CAST(bdays AS DECIMAL(38,0))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_business_days,
+       CAST(SUM(CAST(bdays AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_business_days,
        CAST(MAX(bdays) AS BIGINT) AS max_business_days
 FROM j GROUP BY 1 ORDER BY 1
 """
@@ -2811,12 +2857,17 @@ _WAREHOUSES = (
     (5, 19.4326, -99.1332),   # Mexico City
 )
 
+# floor-quantized to the 1e-6 grid (round-7 sweep): the sin/cos/asin
+# chain is libm (1-ulp noisy across engines), so the quantizer is the
+# determinism mechanism — floor of the same double is engine-
+# unambiguous where ROUND(DOUBLE, 6) is not (functions/quantize);
+# dist*1e6 <= 2e10, far below the 2^53 floor gate
 _HAVERSINE = (
-    "ROUND(2.0 * 6371.0 * asin(sqrt("
+    "floor((2.0 * 6371.0 * asin(sqrt("
     "sin(radians(({lat2}) - ({lat1})) / 2.0) * sin(radians(({lat2}) - ({lat1})) / 2.0)"
     " + cos(radians({lat1})) * cos(radians({lat2}))"
     " * sin(radians(({lon2}) - ({lon1})) / 2.0)"
-    " * sin(radians(({lon2}) - ({lon1})) / 2.0))), 6)"
+    " * sin(radians(({lon2}) - ({lon1})) / 2.0)))) * 1e6) / 1e6"
 )
 
 
@@ -2882,10 +2933,11 @@ def q_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("warehouse_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.round(
+            # raw final: quotient of exact decimal sum (each dist is
+            # already on the 1e-6 grid, so the (12,6) cast is exact)
+            (
                 F.sum(F.col("dist_km").cast("decimal(12,6)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("avg_dist_km"),
         )
         .orderBy("warehouse_id")
@@ -2921,8 +2973,8 @@ dists AS (
 )
 SELECT warehouse_id,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       ROUND(CAST(SUM(CAST(dist_km AS DECIMAL(12,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_dist_km
+       CAST(SUM(CAST(dist_km AS DECIMAL(12,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_dist_km
 FROM best WHERE rk = 1
 GROUP BY 1 ORDER BY 1
 """
@@ -3279,7 +3331,13 @@ def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = label_centroids(emb, "label", "embedding").select(
         F.col("label").alias("c_label"),
         "dim",
-        F.round("centroid", 6).cast("decimal(12,6)").alias("c"),
+        # floor-to-6dp-grid as EXACT DECIMAL (round-7 sweep): floor of
+        # the bit-identical centroid double is engine-unambiguous and
+        # the micro-units * 0.000001 product is exact in both engines
+        F.expr(
+            "CAST(CAST(floor(centroid * 1e6) AS DECIMAL(19,0))"
+            " * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))"
+        ).alias("c"),
     )
     flat = emb.select(
         "vec_id",
@@ -3316,17 +3374,23 @@ def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         ),
     )
-    s = F.round(
-        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 6
-    ).cast("decimal(12,6)")
+    # floor-quantized micro-silhouette (round-7 sweep): s is computed
+    # from bit-identical doubles, so flooring to integer micro-units
+    # is engine-unambiguous; the final is a raw fixed-order quotient
+    s_u = F.floor(
+        (F.col("b") - F.col("a"))
+        / F.greatest(F.col("a"), F.col("b"))
+        * F.lit(1e6)
+    ).cast("decimal(19,0)")
     return (
-        per_vec.select("label", s.alias("s"))
+        per_vec.select("label", s_u.alias("s_u"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-            F.round(
-                F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"),
-                6,
+            (
+                F.sum("s_u").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
             ).alias("mean_silhouette"),
         )
         .orderBy("label")
@@ -3341,9 +3405,10 @@ WITH cent0 AS (
   FROM embeddings
 ), centroid AS (
   SELECT c_label, dim,
-         CAST(ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)))
-                         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-              AS DECIMAL(12,6)) AS c
+         CAST(CAST(floor(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)))
+                               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6)
+                   AS DECIMAL(19,0))
+              * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) AS c
   FROM cent0 GROUP BY 1, 2
 ), flat AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -3363,9 +3428,9 @@ WITH cent0 AS (
 )
 SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       ROUND(CAST(SUM(CAST(ROUND((b - a) / GREATEST(a, b), 6)
-                          AS DECIMAL(12,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+       CAST(SUM(CAST(floor((b - a) / GREATEST(a, b) * 1e6)
+                          AS DECIMAL(19,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_silhouette
 FROM per_vec GROUP BY 1 ORDER BY 1
 """
 
