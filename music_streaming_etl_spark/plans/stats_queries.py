@@ -3041,13 +3041,15 @@ def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decision"),
         "n_at_decision",
         "decision_ts",
-        F.round(
-            F.col("d_at").cast("double") * F.log(F.lit(11.0 / 9.0)), 6
+        # q6 final (round-7 sweep): ln(11/9) is libm — quantize with
+        # the engine-unambiguous micro-unit floor, not ROUND
+        q6(
+            F.col("d_at").cast("double") * F.log(F.lit(11.0 / 9.0))
         ).alias("llr_at_decision"),
     )
 
 
-ORACLE_SPRT = """
+ORACLE_SPRT = f"""
 WITH ev AS (
   SELECT ts, event_id, CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS x
   FROM events
@@ -3070,7 +3072,7 @@ SELECT CASE WHEN d_at >= 15 THEN 'accept_h1'
             WHEN d_at <= -15 THEN 'accept_h0'
             ELSE 'undecided' END AS decision,
        n_at_decision, decision_ts,
-       ROUND(CAST(d_at AS DOUBLE) * ln(11.0 / 9.0), 6) AS llr_at_decision
+       {q6_sql('CAST(d_at AS DOUBLE) * ln(11.0 / 9.0)')} AS llr_at_decision
 FROM first
 """
 
@@ -3127,10 +3129,10 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conv"),
         )
         .withColumn(
+            # raw quotient of exact bigints — bit-identical across
+            # engines (round-7 sweep)
             "v",
-            F.round(
-                F.col("conv").cast("double") / F.col("n").cast("double"), 6
-            ),
+            F.col("conv").cast("double") / F.col("n").cast("double"),
         )
         .select("s_key", "v")
     )
@@ -3171,13 +3173,18 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .fillna(0.0, ["v_s", "v_si"])
     )
-    term = F.round(
-        w * (F.col("v_si") - F.col("v_s")), 6
-    ).cast("decimal(12,6)")
+    # floor-quantized micro-term (round-7 sweep): w and the v deltas
+    # are bit-identical doubles, so the integer micro-unit floor is
+    # engine-unambiguous; the final is a raw exact-sum quotient
+    term_u = F.floor(
+        w * (F.col("v_si") - F.col("v_s")) * F.lit(1e6)
+    ).cast("decimal(19,0)")
     return (
         joined.groupBy("channel")
         .agg(
-            F.round(F.sum(term).cast("double"), 6).alias("shapley_value")
+            (F.sum(term_u).cast("double") / F.lit(1e6)).alias(
+                "shapley_value"
+            )
         )
         .orderBy("channel")
     )
@@ -3223,24 +3230,24 @@ WITH first_p AS (
   FROM first_p WHERE user_id NOT IN (SELECT user_id FROM ex)
 ), vstats AS (
   SELECT s_key,
-         ROUND(CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 6) AS v
+         CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS v
   FROM (SELECT s_key, converted FROM ex
         UNION ALL SELECT s_key, converted FROM only_p)
   GROUP BY 1
 ), pairs(channel, s_key, si_key, sz) AS (VALUES {pairs}),
 weighted AS (
   SELECT channel,
-         CAST(ROUND(
+         CAST(floor(
            (CASE WHEN sz = 0 THEN 0.25 WHEN sz = 1 THEN 0.083333
                  WHEN sz = 2 THEN 0.083333 ELSE 0.25 END)
-           * (COALESCE(vi.v, 0.0) - COALESCE(vs.v, 0.0)), 6)
-          AS DECIMAL(12,6)) AS term
+           * (COALESCE(vi.v, 0.0) - COALESCE(vs.v, 0.0)) * 1e6)
+          AS DECIMAL(19,0)) AS term_u
   FROM pairs
   LEFT JOIN vstats vs ON vs.s_key = pairs.s_key
   LEFT JOIN vstats vi ON vi.s_key = pairs.si_key
 )
-SELECT channel, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS shapley_value
+SELECT channel, CAST(SUM(term_u) AS DOUBLE) / 1e6 AS shapley_value
 FROM weighted GROUP BY 1 ORDER BY 1
 """
 
@@ -3263,9 +3270,18 @@ def q_npv_revenue_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(_cents()).alias("c"))
     base = monthly.agg(F.min("m").alias("m0"))
     t = F.months_between(F.col("m"), F.col("m0")).cast("bigint")
-    term = F.round(
-        F.col("c").cast("double") * F.pow(F.lit(1.01), -t.cast("double")),
-        6,
+    # floor-to-6dp-grid as EXACT DECIMAL (round-7 sweep): pow is libm,
+    # so the quantizer is the determinism mechanism — floor of the
+    # identical double is engine-unambiguous where ROUND(DOUBLE, 6)
+    # is not; the micro-units * 0.000001 decimal product is exact
+    term = (
+        F.floor(
+            F.col("c").cast("double")
+            * F.pow(F.lit(1.01), -t.cast("double"))
+            * F.lit(1e6)
+        )
+        .cast("decimal(25,0)")
+        * F.expr("CAST(0.000001 AS DECIMAL(7,6))")
     ).cast("decimal(24,6)")
     disc = monthly.crossJoin(F.broadcast(base)).select(
         term.alias("term"), F.col("c")
@@ -3290,9 +3306,11 @@ WITH monthly AS (
 ), base AS (SELECT MIN(m) AS m0 FROM monthly),
 disc AS (
   SELECT c,
-         CAST(ROUND(CAST(c AS DOUBLE)
-                    * pow(1.01, -CAST(datediff('month', m0, m) AS DOUBLE)), 6)
-              AS DECIMAL(24,6)) AS term
+         CAST(CAST(floor(CAST(c AS DOUBLE)
+                    * pow(1.01, -CAST(datediff('month', m0, m) AS DOUBLE))
+                    * 1e6)
+              AS DECIMAL(25,0))
+              * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS term
   FROM monthly, base
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
@@ -3483,20 +3501,20 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum",
         F.coalesce(F.col("n1"), F.lit(0)).cast("bigint").alias("n_treated"),
         F.coalesce(F.col("n0"), F.lit(0)).cast("bigint").alias("n_control"),
-        F.round(
-            F.col("c1").cast("double") / F.col("n1").cast("double"), 6
+        # raw finals (round-7 sweep): fixed-order quotients of bigints
+        (
+            F.col("c1").cast("double") / F.col("n1").cast("double")
         ).alias("rate_treated"),
-        F.round(
-            F.col("c0").cast("double") / F.col("n0").cast("double"), 6
+        (
+            F.col("c0").cast("double") / F.col("n0").cast("double")
         ).alias("rate_control"),
-        F.round(
+        (
             ((F.col("n1") + F.col("n0")).cast("double")
              / F.col("n_users").cast("double"))
             * (
                 F.col("c1").cast("double") / F.col("n1").cast("double")
                 - F.col("c0").cast("double") / F.col("n0").cast("double")
-            ),
-            6,
+            )
         ).alias("weighted_diff"),
     )
     return per_stratum.orderBy("stratum")
@@ -3526,13 +3544,13 @@ WITH per_user AS (
 SELECT stratum,
        n1 AS n_treated,
        n0 AS n_control,
-       ROUND(CAST(c1 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE), 6)
+       CAST(c1 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE)
          AS rate_treated,
-       ROUND(CAST(c0 AS DOUBLE) / CAST(NULLIF(n0, 0) AS DOUBLE), 6)
+       CAST(c0 AS DOUBLE) / CAST(NULLIF(n0, 0) AS DOUBLE)
          AS rate_control,
-       ROUND((CAST(n1 + n0 AS DOUBLE) / CAST(n_users AS DOUBLE))
+       (CAST(n1 + n0 AS DOUBLE) / CAST(n_users AS DOUBLE))
              * (CAST(c1 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE)
-                - CAST(c0 AS DOUBLE) / CAST(NULLIF(n0, 0) AS DOUBLE)), 6)
+                - CAST(c0 AS DOUBLE) / CAST(NULLIF(n0, 0) AS DOUBLE))
          AS weighted_diff
 FROM wide, tot ORDER BY stratum
 """
@@ -3617,14 +3635,14 @@ def q_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == "control", F.col("n_users")))
         .cast("bigint")
         .alias("control_user_periods"),
-        F.round(m("treated", "pre"), 6).alias("treated_pre_mean"),
-        F.round(m("treated", "post"), 6).alias("treated_post_mean"),
-        F.round(m("control", "pre"), 6).alias("control_pre_mean"),
-        F.round(m("control", "post"), 6).alias("control_post_mean"),
-        F.round(
+        # raw finals (round-7 sweep): fixed-order quotients of bigints
+        m("treated", "pre").alias("treated_pre_mean"),
+        m("treated", "post").alias("treated_post_mean"),
+        m("control", "pre").alias("control_pre_mean"),
+        m("control", "post").alias("control_post_mean"),
+        (
             (m("treated", "post") - m("treated", "pre"))
-            - (m("control", "post") - m("control", "pre")),
-            6,
+            - (m("control", "post") - m("control", "pre"))
         ).alias("did_estimate"),
     )
 
@@ -3664,26 +3682,26 @@ SELECT CAST(SUM(CASE WHEN grp = 'treated' THEN n_users END) AS BIGINT)
          AS treated_user_periods,
        CAST(SUM(CASE WHEN grp = 'control' THEN n_users END) AS BIGINT)
          AS control_user_periods,
-       ROUND(MAX(CASE WHEN grp = 'treated' AND period = 'pre'
-                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END), 6)
+       MAX(CASE WHEN grp = 'treated' AND period = 'pre'
+                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)
          AS treated_pre_mean,
-       ROUND(MAX(CASE WHEN grp = 'treated' AND period = 'post'
-                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END), 6)
+       MAX(CASE WHEN grp = 'treated' AND period = 'post'
+                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)
          AS treated_post_mean,
-       ROUND(MAX(CASE WHEN grp = 'control' AND period = 'pre'
-                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END), 6)
+       MAX(CASE WHEN grp = 'control' AND period = 'pre'
+                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)
          AS control_pre_mean,
-       ROUND(MAX(CASE WHEN grp = 'control' AND period = 'post'
-                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END), 6)
+       MAX(CASE WHEN grp = 'control' AND period = 'post'
+                 THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)
          AS control_post_mean,
-       ROUND((MAX(CASE WHEN grp = 'treated' AND period = 'post'
+       (MAX(CASE WHEN grp = 'treated' AND period = 'post'
                   THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)
               - MAX(CASE WHEN grp = 'treated' AND period = 'pre'
                     THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END))
              - (MAX(CASE WHEN grp = 'control' AND period = 'post'
                     THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)
                 - MAX(CASE WHEN grp = 'control' AND period = 'pre'
-                      THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END)), 6)
+                      THEN CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) END))
          AS did_estimate
 FROM cells
 """
@@ -3778,12 +3796,12 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         calib.join(q.select("o_orderpriority", "q_u"), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(
+            # raw final (round-7 sweep): quotient of exact counts
+            (
                 F.sum(
                     F.when(F.col("r") <= F.col("q_u"), 1).otherwise(0)
                 ).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("calib_coverage")
         )
     )
@@ -3793,8 +3811,9 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "n_train",
             F.col("n_cal").cast("bigint").alias("n_calib"),
-            F.round("mu", 6).alias("mu_cents"),
-            F.round(F.col("q_u").cast("double") / 1000000.0, 6).alias(
+            # raw finals: mu is an exact-sum quotient; q_u an integer
+            F.col("mu").alias("mu_cents"),
+            (F.col("q_u").cast("double") / 1000000.0).alias(
                 "halfwidth_cents"
             ),
             "calib_coverage",
@@ -3833,14 +3852,14 @@ WITH labeled AS (
   WHERE rk = LEAST(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)
 ), cov AS (
   SELECT calib.o_orderpriority,
-         ROUND(CAST(SUM(CASE WHEN r <= q_u THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 6) AS calib_coverage
+         CAST(SUM(CASE WHEN r <= q_u THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS calib_coverage
   FROM calib JOIN q USING (o_orderpriority)
   GROUP BY 1
 )
 SELECT o_orderpriority, n_train, n_cal AS n_calib,
-       ROUND(mu, 6) AS mu_cents,
-       ROUND(CAST(q_u AS DOUBLE) / 1000000.0, 6) AS halfwidth_cents,
+       mu AS mu_cents,
+       CAST(q_u AS DOUBLE) / 1000000.0 AS halfwidth_cents,
        calib_coverage
 FROM mu JOIN q USING (o_orderpriority) JOIN cov USING (o_orderpriority)
 ORDER BY o_orderpriority
@@ -3881,14 +3900,19 @@ def q_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("double")
         ).alias("mb"),
     )
-    gap = F.round(F.col("ma") - F.col("mb"), 6).cast("decimal(12,6)")
+    # floor-quantized micro-gap (round-7 sweep): ma - mb is a
+    # bit-identical double, so the integer micro-unit floor is
+    # engine-unambiguous; finals are raw fixed-order expressions
+    gap_u = F.floor((F.col("ma") - F.col("mb")) * F.lit(1e6)).cast(
+        "decimal(19,0)"
+    )
     return per_dim.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dims"),
-        F.round(
-            F.sum(gap * gap).cast("double"), 6
+        (
+            F.sum(gap_u * gap_u).cast("double") / F.lit(1e12)
         ).alias("mmd2"),
-        F.round(
-            F.sqrt(F.sum(gap * gap).cast("double")), 6
+        F.sqrt(
+            F.sum(gap_u * gap_u).cast("double") / F.lit(1e12)
         ).alias("mean_shift_l2"),
     )
 
@@ -3907,11 +3931,11 @@ WITH flat AS (
            / CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS DOUBLE) AS mb
   FROM flat GROUP BY 1
 ), gaps AS (
-  SELECT CAST(ROUND(ma - mb, 6) AS DECIMAL(12,6)) AS gap FROM per_dim
+  SELECT CAST(floor((ma - mb) * 1e6) AS DECIMAL(19,0)) AS gap_u FROM per_dim
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
-       ROUND(CAST(SUM(gap * gap) AS DOUBLE), 6) AS mmd2,
-       ROUND(sqrt(CAST(SUM(gap * gap) AS DOUBLE)), 6) AS mean_shift_l2
+       CAST(SUM(gap_u * gap_u) AS DOUBLE) / 1e12 AS mmd2,
+       sqrt(CAST(SUM(gap_u * gap_u) AS DOUBLE) / 1e12) AS mean_shift_l2
 FROM gaps
 """
 
@@ -3985,15 +4009,19 @@ def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ryz = r("syz", "sy", "sz", "syy", "szz")
     return s.select(
         F.col("n").cast("bigint").alias("n_lines"),
-        F.round(rxy, 6).alias("r_value_delay"),
-        F.round(rxz, 6).alias("r_value_date"),
-        F.round(ryz, 6).alias("r_delay_date"),
-        F.round(
+        # q6 finals (round-7 sweep): the 38-digit normal-equation
+        # carriers cast to double past 2^53 unscaled, where
+        # DECIMAL->DOUBLE conversion is not correctly-rounded
+        # identically across engines — the micro-unit floor absorbs
+        # that noise without ROUND's implementation split
+        q6(rxy).alias("r_value_delay"),
+        q6(rxz).alias("r_value_date"),
+        q6(ryz).alias("r_delay_date"),
+        q6(
             (rxy - rxz * ryz)
             / F.sqrt(
                 (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
-            ),
-            6,
+            )
         ).alias("partial_r"),
     )
 
@@ -4040,13 +4068,18 @@ WITH o AS (
          * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz
   FROM s
 )
+, pc AS (
+  SELECT n_lines, rxy, rxz, ryz,
+         (rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) AS pr
+  FROM c
+)
 SELECT n_lines,
-       ROUND(rxy, 6) AS r_value_delay,
-       ROUND(rxz, 6) AS r_value_date,
-       ROUND(ryz, 6) AS r_delay_date,
-       ROUND((rxy - rxz * ryz)
-             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) AS partial_r
-FROM c
+       {q6_sql('rxy')} AS r_value_delay,
+       {q6_sql('rxz')} AS r_value_date,
+       {q6_sql('ryz')} AS r_delay_date,
+       {q6_sql('pr')} AS partial_r
+FROM pc
 """
 
 
@@ -4117,13 +4150,15 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # q6 final (round-7 sweep): the micro-cent power-sum carriers
+    # cast to double past 2^53 unscaled — the micro-unit floor
+    # absorbs conversion noise without ROUND's implementation split
     return rem.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.round(
+        q6(
             F.greatest(
                 F.lit(0.0), F.lit(1.0) - var_of("r") / var_of("d")
-            ),
-            6,
+            )
         ).alias("weekly_strength"),
     )
 
@@ -4151,8 +4186,9 @@ WITH daily AS (
 ), rem AS (
   SELECT d, d - s_dow AS r FROM det JOIN dow_mean USING (dow)
 )
-SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-       ROUND(GREATEST(0.0,
+, fin AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       GREATEST(0.0,
          1.0 - (CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE)
                 - (CAST(SUM(CAST(r AS DECIMAL(19,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
@@ -4160,9 +4196,12 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
                / (CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE)
                 - (CAST(SUM(CAST(d AS DECIMAL(19,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-                  * (CAST(SUM(CAST(d AS DECIMAL(19,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))), 6)
-         AS weekly_strength
-FROM rem
+                  * (CAST(SUM(CAST(d AS DECIMAL(19,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))))
+         AS ws
+  FROM rem
+)
+SELECT n_days, {q6_sql('ws')} AS weekly_strength
+FROM fin
 """
 
 
@@ -4217,12 +4256,10 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.col("b").alias("view_only"),
         F.col("c").alias("click_only"),
-        F.round(
-            F.when(
-                F.col("b") + F.col("c") > 0,
-                num.cast("double") / (F.col("b") + F.col("c")).cast("double"),
-            ),
-            6,
+        # raw final (round-7 sweep): one quotient of exact bigints
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            num.cast("double") / (F.col("b") + F.col("c")).cast("double"),
         ).alias("chi2"),
     )
 
@@ -4240,9 +4277,9 @@ WITH pu AS (
   FROM pu
 )
 SELECT n_users, b AS view_only, c AS click_only,
-       ROUND(CASE WHEN b + c > 0 THEN
+       CASE WHEN b + c > 0 THEN
          CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
-         / CAST(b + c AS DOUBLE) END, 6) AS chi2
+         / CAST(b + c AS DOUBLE) END AS chi2
 FROM cells
 """
 
@@ -4293,12 +4330,13 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "c",
         "d",
-        F.round(po, 6).alias("observed_agreement"),
-        F.round(pe, 6).alias("expected_agreement"),
+        # raw finals (round-7 sweep): fixed-order ops on exact bigints
+        po.alias("observed_agreement"),
+        pe.alias("expected_agreement"),
         # try_divide: when every doc lands in one agreement cell the
         # expected agreement is 1 and kappa is 0/0 — ANSI raises where
         # the oracle yields NULL
-        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
+        F.try_divide(po - pe, F.lit(1.0) - pe).alias("kappa"),
     )
 
 
@@ -4316,20 +4354,20 @@ WITH rated AS (
   FROM rated
 )
 SELECT a, b, c, d,
-       ROUND(CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 6)
+       CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
          AS observed_agreement,
-       ROUND((CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+       (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
               + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
-             / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)), 6)
+             / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE))
          AS expected_agreement,
-       ROUND((CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+       (CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
               - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
                  + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
                 / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)))
              / (1.0 - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
                        + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
                       / (CAST(a + b + c + d AS DOUBLE)
-                         * CAST(a + b + c + d AS DOUBLE))), 6) AS kappa
+                         * CAST(a + b + c + d AS DOUBLE))) AS kappa
 FROM cells
 """
 
@@ -4356,19 +4394,25 @@ def q_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x"),
     ).withColumn(
-        "rate",
-        F.round(
-            F.col("x").cast("double") / F.col("n").cast("double"), 6
-        ).cast("decimal(12,6)"),
+        # floor-quantized micro-rate (round-7 sweep): x/n is a
+        # bit-identical quotient, the integer micro-unit floor keeps
+        # the tiny cross-group reduction exact and engine-unambiguous
+        "rate_u",
+        F.floor(
+            F.col("x").cast("double") / F.col("n").cast("double")
+            * F.lit(1e6)
+        ).cast("decimal(19,0)"),
     )
     prior = per.agg(
         (
-            F.sum(F.col("rate")).cast("double")
+            F.sum(F.col("rate_u")).cast("double")
             / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
         ).alias("m"),
         (
-            F.sum(F.col("rate") * F.col("rate")).cast("double")
+            F.sum(F.col("rate_u") * F.col("rate_u")).cast("double")
             / F.count(F.lit(1)).cast("double")
+            / F.lit(1e12)
         ).alias("m2"),
     ).select(
         "m",
@@ -4393,11 +4437,11 @@ def q_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "x",
-        F.col("rate").cast("double").alias("raw_rate"),
-        F.round(
+        (F.col("rate_u").cast("double") / F.lit(1e6)).alias("raw_rate"),
+        # raw final: fixed-order doubles over engine-identical inputs
+        (
             (F.col("x").cast("double") + alpha)
-            / (F.col("n").cast("double") + F.col("ab")),
-            6,
+            / (F.col("n").cast("double") + F.col("ab"))
         ).alias("shrunk_rate"),
     ).orderBy("event_type")
 
@@ -4410,22 +4454,22 @@ WITH per AS (
   FROM events GROUP BY 1
 ), rated AS (
   SELECT event_type, n, x,
-         CAST(ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6)
-              AS DECIMAL(12,6)) AS rate
+         CAST(floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e6)
+              AS DECIMAL(19,0)) AS rate_u
   FROM per
 ), prior AS (
   SELECT m, v, m * (1.0 - m) / v - 1.0 AS ab
   FROM (
-    SELECT CAST(SUM(rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m,
-           CAST(SUM(rate * rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-           - (CAST(SUM(rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-             * (CAST(SUM(rate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS v
+    SELECT CAST(SUM(rate_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6 AS m,
+           CAST(SUM(rate_u * rate_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e12
+           - (CAST(SUM(rate_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6)
+             * (CAST(SUM(rate_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6) AS v
     FROM rated
   )
 )
 SELECT event_type, n, x,
-       CAST(rate AS DOUBLE) AS raw_rate,
-       ROUND((CAST(x AS DOUBLE) + m * ab) / (CAST(n AS DOUBLE) + ab), 6)
+       CAST(rate_u AS DOUBLE) / 1e6 AS raw_rate,
+       (CAST(x AS DOUBLE) + m * ab) / (CAST(n AS DOUBLE) + ab)
          AS shrunk_rate
 FROM rated, prior ORDER BY event_type
 """
@@ -4853,15 +4897,17 @@ def q_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("a") > 0, ad * F.log(ad / ea)).otherwise(F.lit(0.0))
         + F.when(F.col("b") > 0, bd * F.log(bd / eb)).otherwise(F.lit(0.0))
     )
+    # q6 final (round-7 sweep, VERDICT r6 item 1): the O·ln(O/E)
+    # terms are libm — quantize with the engine-unambiguous
+    # micro-unit floor instead of the banned ROUND(DOUBLE, 6)
     scored = j.select(
         "token",
         "a",
         "b",
-        F.round(
+        q6(
             F.when(
                 F.try_divide(ad, nad) >= F.try_divide(bd, nbd), ll
-            ).otherwise(-ll),
-            6,
+            ).otherwise(-ll)
         ).alias("signed_g2"),
     )
     return global_topk(
@@ -4869,7 +4915,7 @@ def q_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "token", "a", "b", "signed_g2")
 
 
-ORACLE_KEYNESS = """
+ORACLE_KEYNESS = f"""
 WITH tok AS (
   SELECT (lang = 'en') AS is_en,
          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
@@ -4883,10 +4929,10 @@ WITH tok AS (
   SELECT CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS na,
          CAST(SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS nb
   FROM tok
-), scored AS (
+), raw AS (
   SELECT token, a, b,
-         ROUND(CASE WHEN CAST(a AS DOUBLE) / CAST(na AS DOUBLE)
-                         >= CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)
+         CASE WHEN CAST(a AS DOUBLE) / CAST(na AS DOUBLE)
+                   >= CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)
            THEN 2.0 * ((CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
                  * ln(CAST(a AS DOUBLE)
                       / (CAST(na AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
@@ -4903,8 +4949,10 @@ WITH tok AS (
                  * ln(CAST(b AS DOUBLE)
                       / (CAST(nb AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
                          / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) ELSE 0.0 END)))
-           END, 6) AS signed_g2
+           END AS sg
   FROM per, tot
+), scored AS (
+  SELECT token, a, b, {q6_sql('sg')} AS signed_g2 FROM raw
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY signed_g2 DESC, token ASC) AS BIGINT)
          AS rank,
