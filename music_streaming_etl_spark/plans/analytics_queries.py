@@ -631,8 +631,8 @@ WITH per AS (
   FROM lineitem GROUP BY 1
 ), m AS (SELECT MAX(n_plays) AS mp, MAX(n_listeners) AS ml FROM per)
 SELECT partkey, n_plays, n_listeners,
-       ROUND(CAST(n_plays AS DOUBLE) / CAST(mp AS DOUBLE) * 0.6
-             + CAST(n_listeners AS DOUBLE) / CAST(ml AS DOUBLE) * 0.4, 6)
+       CAST(n_plays AS DOUBLE) / CAST(mp AS DOUBLE) * 0.6
+             + CAST(n_listeners AS DOUBLE) / CAST(ml AS DOUBLE) * 0.4
          AS popularity_index
 FROM per, m
 """
@@ -661,8 +661,8 @@ WITH per AS (
 ), m AS (SELECT MAX(n_plays) AS mp, MAX(n_listeners) AS ml FROM per),
 idx AS (
   SELECT track,
-         ROUND(CAST(n_plays AS DOUBLE) / CAST(mp AS DOUBLE) * 0.6
-               + CAST(n_listeners AS DOUBLE) / CAST(ml AS DOUBLE) * 0.4, 6)
+         CAST(n_plays AS DOUBLE) / CAST(mp AS DOUBLE) * 0.6
+               + CAST(n_listeners AS DOUBLE) / CAST(ml AS DOUBLE) * 0.4
            AS popularity_index
   FROM per, m
 ), genres AS (
@@ -1054,8 +1054,10 @@ def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("o_custkey").alias("custkey"),
         "revenue",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # raw finals (round-7 sweep): percent_rank/cume_dist are
+        # exact rank quotients — bit-identical across engines
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
@@ -1066,10 +1068,10 @@ WITH rev AS (
   FROM orders o GROUP BY 1
 )
 SELECT c.c_mktsegment, r.o_custkey AS custkey, r.revenue,
-       ROUND(percent_rank() OVER (PARTITION BY c.c_mktsegment
-                                  ORDER BY r.revenue, r.o_custkey), 6) AS pct_rank,
-       ROUND(cume_dist() OVER (PARTITION BY c.c_mktsegment
-                               ORDER BY r.revenue, r.o_custkey), 6) AS cume
+       percent_rank() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY r.revenue, r.o_custkey) AS pct_rank,
+       cume_dist() OVER (PARTITION BY c.c_mktsegment
+                               ORDER BY r.revenue, r.o_custkey) AS cume
 FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
 """
 
@@ -2456,7 +2458,8 @@ def q_ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.when(se != 0, (x1 / n1 - x0 / n0) / se)
     return j.select(
         "n0", "x0", "n1", "x1",
-        F.round(z, 6).alias("z_score"),
+        # raw final (round-7 sweep): fixed-order ops on exact counts
+        z.alias("z_score"),
         (F.abs(z) > 1.959964).alias("significant_95"),
     )
 
@@ -2483,7 +2486,7 @@ z AS (
   FROM a, b
 )
 SELECT n0, x0, n1, x1,
-       ROUND(zval, 6) AS z_score,
+       zval AS z_score,
        abs(zval) > 1.959964 AS significant_95
 FROM z
 """
@@ -2835,11 +2838,17 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 10⁹ integer capacity sat level with a 1e9-event corpus;
             # 27 digits gives 10¹⁸ — six decades above the 100 TB
             # event count. Mirrored in the oracle.
-            F.round(d * d / e, 9).cast("decimal(27,9)").alias("cell"),
+            # floor-quantized nano-cell (round-7 sweep): d and e are
+            # bit-identical doubles, so the 1e-9-unit integer floor is
+            # engine-unambiguous; capacity unchanged (27 digits)
+            F.floor(d * d / e * F.lit(1e9)).cast("decimal(27,0)").alias(
+                "cell_u"
+            ),
         )
     )
     return contrib.agg(
-        F.round(F.sum("cell").cast("double"), 6).alias("chi2"),
+        # raw final: exact integer sum scaled by one IEEE division
+        (F.sum("cell_u").cast("double") / F.lit(1e9)).alias("chi2"),
         (
             (F.count_distinct("variant") - 1)
             * (F.count_distinct("event_type") - 1)
@@ -2857,16 +2866,16 @@ WITH cells AS (
    nt AS (SELECT SUM(o) AS n FROM cells),
 contrib AS (
   SELECT variant, event_type,
-         CAST(ROUND(
+         CAST(floor(
            (CAST(o AS DOUBLE)
               - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE))
            * (CAST(o AS DOUBLE)
               - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE))
-           / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE)),
-           9) AS DECIMAL(27,9)) AS cell
+           / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE))
+           * 1e9) AS DECIMAL(27,0)) AS cell_u
   FROM cells JOIN rt USING (variant) JOIN ct USING (event_type), nt
 )
-SELECT ROUND(CAST(SUM(cell) AS DOUBLE), 6) AS chi2,
+SELECT CAST(SUM(cell_u) AS DOUBLE) / 1e9 AS chi2,
        CAST((COUNT(DISTINCT variant) - 1)
             * (COUNT(DISTINCT event_type) - 1) AS BIGINT) AS dof
 FROM contrib
@@ -3322,10 +3331,10 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("bigint").alias("region_key"),
         F.col("n_name").alias("nation"),
         "rev_cents",
-        F.round(
+        # raw final (round-7 sweep): one quotient of exact bigints
+        (
             F.col("rev_cents").cast("double")
-            / F.sum("rev_cents").over(w).cast("double"),
-            6,
+            / F.sum("rev_cents").over(w).cast("double")
         ).alias("share_of_region"),
     )
 
@@ -3342,9 +3351,9 @@ WITH per_nation AS (
 )
 SELECT CAST(n_regionkey AS BIGINT) AS region_key, n_name AS nation,
        CAST(rev_cents AS BIGINT) AS rev_cents,
-       ROUND(CAST(rev_cents AS DOUBLE)
-             / CAST(SUM(rev_cents) OVER (PARTITION BY n_regionkey) AS DOUBLE),
-             6) AS share_of_region
+       CAST(rev_cents AS DOUBLE)
+             / CAST(SUM(rev_cents) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+             AS share_of_region
 FROM per_nation
 """
 
@@ -3394,15 +3403,24 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("p"),
     )
+    # floor-quantized nano-cell (round-7 sweep): ln is libm, so the
+    # 1e-9-unit integer floor is the engine-unambiguous quantizer;
+    # finals are raw fixed-order expressions over the exact sum
     contrib = withp.select(
         "bin", "n_base", "n_new",
-        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9)
-        .cast("decimal(18,9)")
-        .alias("cell"),
+        F.floor(
+            (F.col("p") - F.col("q"))
+            * F.log(F.col("p") / F.col("q"))
+            * F.lit(1e9)
+        )
+        .cast("decimal(19,0)")
+        .alias("cell_u"),
     )
     return contrib.agg(
-        F.round(F.sum("cell").cast("double"), 6).alias("psi"),
-        (F.round(F.sum("cell").cast("double"), 6) > 0.2).alias("drifted"),
+        (F.sum("cell_u").cast("double") / F.lit(1e9)).alias("psi"),
+        ((F.sum("cell_u").cast("double") / F.lit(1e9)) > 0.2).alias(
+            "drifted"
+        ),
     )
 
 
@@ -3424,10 +3442,11 @@ withp AS (
          greatest(1e-6, CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE)) AS p
   FROM cells, tot
 ), contrib AS (
-  SELECT CAST(ROUND((p - q) * ln(p / q), 9) AS DECIMAL(18,9)) AS cell FROM withp
+  SELECT CAST(floor((p - q) * ln(p / q) * 1e9) AS DECIMAL(19,0)) AS cell_u
+  FROM withp
 )
-SELECT ROUND(CAST(SUM(cell) AS DOUBLE), 6) AS psi,
-       ROUND(CAST(SUM(cell) AS DOUBLE), 6) > 0.2 AS drifted
+SELECT CAST(SUM(cell_u) AS DOUBLE) / 1e9 AS psi,
+       (CAST(SUM(cell_u) AS DOUBLE) / 1e9) > 0.2 AS drifted
 FROM contrib
 """
 
@@ -3565,15 +3584,16 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.col("n").cast("bigint").alias("n"),
-            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias(
+            # raw quotient (round-7 sweep) — bit-identical both engines
+            (F.col("n").cast("double") / F.col("t").cast("double")).alias(
                 "observed_share"
             ),
             expected[F.col("digit")].alias("benford_share"),
         )
         .select(
             "digit", "n", "observed_share", "benford_share",
-            F.round(
-                F.abs(F.col("observed_share") - F.col("benford_share")), 6
+            F.abs(
+                F.col("observed_share") - F.col("benford_share")
             ).alias("abs_deviation"),
         )
     )
@@ -3594,10 +3614,10 @@ WITH counts AS (
 ), tot AS (SELECT SUM(n) AS t FROM counts),
 expected(digit, benford_share) AS (VALUES {pairs})
 SELECT c.digit, CAST(c.n AS BIGINT) AS n,
-       ROUND(CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS observed_share,
+       CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE) AS observed_share,
        e.benford_share,
-       ROUND(abs(ROUND(CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE), 6)
-                 - e.benford_share), 6) AS abs_deviation
+       abs(CAST(c.n AS DOUBLE) / CAST(t AS DOUBLE)
+           - e.benford_share) AS abs_deviation
 FROM counts c JOIN expected e USING (digit), tot
 """
 
@@ -3695,12 +3715,12 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ).alias("top20_cents"),
         F.sum("c").cast("bigint").alias("total_cents"),
-        F.round(
+        # raw final (round-7 sweep): one quotient of exact bigints
+        (
             F.sum(
                 F.when(F.col("rank") <= F.floor(F.col("n") / 5), F.col("c")).otherwise(0)
             ).cast("double")
-            / F.sum("c").cast("double"),
-            6,
+            / F.sum("c").cast("double")
         ).alias("top20_share"),
     )
 
@@ -3718,8 +3738,8 @@ WITH per_cust AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(SUM(CASE WHEN rn <= floor(n / 5) THEN c END) AS BIGINT) AS top20_cents,
        CAST(SUM(c) AS BIGINT) AS total_cents,
-       ROUND(CAST(SUM(CASE WHEN rn <= floor(n / 5) THEN c ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(c) AS DOUBLE), 6) AS top20_share
+       CAST(SUM(CASE WHEN rn <= floor(n / 5) THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS top20_share
 FROM ranked
 """
 
@@ -3754,7 +3774,8 @@ def q_stickiness_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_day.select(
         "day", "dau", "wau", "mau",
-        F.round(F.col("dau").cast("double") / F.col("mau").cast("double"), 6).alias(
+        # raw final (round-7 sweep): one quotient of exact bigints
+        (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
             "stickiness"
         ),
     )
@@ -3777,7 +3798,7 @@ j AS (
   FROM j GROUP BY 1
 )
 SELECT day, dau, wau, mau,
-       ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+       CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
 FROM per_day
 """
 
@@ -3864,7 +3885,8 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.crossJoin(F.broadcast(tot)).select(
         "part_a", "part_b",
         F.col("n_ab").cast("bigint").alias("n_ab"),
-        F.round(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6).alias(
+        # raw finals (round-7 sweep): fixed-order quotients/products
+        (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
             "confidence_a_to_b"
         ),
         # cast to DOUBLE before multiplying (r6 capacity audit): the
@@ -3874,10 +3896,9 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bit-identical to the old form at every testable SF) and a
         # single correctly-rounded IEEE multiply — identical in both
         # engines — beyond. Oracle mirrors the same cast order.
-        F.round(
+        (
             (F.col("n_ab").cast("double") * F.col("n_tot").cast("double"))
-            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-            6,
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("lift"),
     )
 
@@ -3893,10 +3914,10 @@ pairs AS (
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 )
 SELECT p.part_a, p.part_b, CAST(p.n_ab AS BIGINT) AS n_ab,
-       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+       CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
          AS confidence_a_to_b,
-       ROUND((CAST(p.n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE))
-             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+       (CAST(p.n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE))
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
          AS lift
 FROM pairs p
 JOIN items ia ON p.part_a = ia.l_partkey

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q6, q6_sql
+
 REGISTRY_DECISION: dict = {}
 
 
@@ -100,9 +102,12 @@ def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         F.col("n1"),
         F.col("n2"),
-        F.round(m1 - m2, 6).alias("mean_diff_cents"),
-        F.round(t, 6).alias("t_stat"),
-        F.round(df, 6).alias("df_welch"),
+        # raw finals (round-7 sweep): fixed-order + - * / sqrt over
+        # exact sums — bit-identical across engines (ROUND(DOUBLE, 6)
+        # is the anova-class ambiguity; see functions/quantize)
+        (m1 - m2).alias("mean_diff_cents"),
+        t.alias("t_stat"),
+        df.alias("df_welch"),
     )
 
 
@@ -139,11 +144,11 @@ WITH s AS (
   FROM f
 )
 SELECT n1, n2,
-       ROUND(m1 - m2, 6) AS mean_diff_cents,
-       ROUND((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
-       ROUND(((se1 + se2) * (se1 + se2))
+       m1 - m2 AS mean_diff_cents,
+       (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+       ((se1 + se2) * (se1 + se2))
              / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
-                + se2 * se2 / CAST(n2 - 1 AS DOUBLE)), 6) AS df_welch
+                + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS df_welch
 FROM e
 """
 
@@ -189,10 +194,10 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("trough_day"),
             F.col("peak").alias("peak_cents"),
             F.col("drawdown").alias("max_drawdown_cents"),
-            F.round(
+            # raw final: one quotient of exact bigints
+            (
                 F.col("drawdown").cast("double")
-                / F.col("peak").cast("double"),
-                6,
+                / F.col("peak").cast("double")
             ).alias("drawdown_ratio"),
         )
     )
@@ -216,7 +221,7 @@ WITH daily AS (
 )
 SELECT o_orderpriority, day AS trough_day, peak AS peak_cents,
        drawdown AS max_drawdown_cents,
-       ROUND(CAST(drawdown AS DOUBLE) / CAST(peak AS DOUBLE), 6)
+       CAST(drawdown AS DOUBLE) / CAST(peak AS DOUBLE)
          AS drawdown_ratio
 FROM r WHERE rn = 1
 """
@@ -283,16 +288,24 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.element_at(
         F.array(*[F.lit(float(x)) for x in _RBO_P]), F.col("d")
     )
+    # floor-quantized nano-term (round-7 sweep): p, ov, d are engine-
+    # identical doubles, so the integer 1e-9-unit floor is
+    # unambiguous; the final is a raw fixed-order expression
     terms = ov.select(
         "d",
         "ov",
-        F.round(p * F.col("ov").cast("double") / F.col("d").cast("double"), 9)
-        .cast("decimal(14,9)")
-        .alias("term"),
+        F.floor(
+            p * F.col("ov").cast("double") / F.col("d").cast("double")
+            * F.lit(1e9)
+        )
+        .cast("decimal(19,0)")
+        .alias("term_u"),
     )
     return terms.agg(
-        F.round(
-            F.sum("term").cast("decimal(20,9)").cast("double") * 0.1, 6
+        (
+            F.sum("term_u").cast("decimal(20,0)").cast("double")
+            / F.lit(1e9)
+            * 0.1
         ).alias("rbo"),
         F.max(F.when(F.col("d") == 20, F.col("ov")))
         .cast("bigint")
@@ -334,11 +347,11 @@ WITH clicks AS (
   FROM depth LEFT JOIN hits ON depth.d = hits.d
 ), terms AS (
   SELECT d, ov,
-         CAST(ROUND({_RBO_ARRAY_SQL}[d] * CAST(ov AS DOUBLE)
-                    / CAST(d AS DOUBLE), 9) AS DECIMAL(14,9)) AS term
+         CAST(floor({_RBO_ARRAY_SQL}[d] * CAST(ov AS DOUBLE)
+                    / CAST(d AS DOUBLE) * 1e9) AS DECIMAL(19,0)) AS term_u
   FROM ov
 )
-SELECT ROUND(CAST(CAST(SUM(term) AS DECIMAL(20,9)) AS DOUBLE) * 0.1, 6)
+SELECT CAST(CAST(SUM(term_u) AS DECIMAL(20,0)) AS DOUBLE) / 1e9 * 0.1
          AS rbo,
        CAST(MAX(CASE WHEN d = 20 THEN ov END) AS BIGINT) AS overlap_at_20
 FROM terms
@@ -457,10 +470,9 @@ def q_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") + F.col("nb_") - F.col("inter")).alias("uni"),
         )
         .withColumn(
+            # raw final (round-7 sweep): one quotient of exact bigints
             "jaccard",
-            F.round(
-                F.col("inter").cast("double") / F.col("uni").cast("double"), 6
-            ),
+            F.col("inter").cast("double") / F.col("uni").cast("double"),
         )
     )
     return j.orderBy(
@@ -485,8 +497,8 @@ WITH buyers AS (
 ), j AS (
   SELECT pa, pb, inter,
          ta.nb + tb.nb - inter AS uni,
-         ROUND(CAST(inter AS DOUBLE)
-               / CAST(ta.nb + tb.nb - inter AS DOUBLE), 6) AS jaccard
+         CAST(inter AS DOUBLE)
+               / CAST(ta.nb + tb.nb - inter AS DOUBLE) AS jaccard
   FROM inter JOIN top ta ON pa = ta.part JOIN top tb ON pb = tb.part
 )
 SELECT pa, pb, inter, uni, jaccard
@@ -523,17 +535,18 @@ def q_ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm",
         "n",
         "x",
-        F.round(F.col("x").cast("double") / F.col("n").cast("double"), 6).alias(
+        # raw quotient (round-7 sweep); the ucb term has a libm ln,
+        # so it is q6-floored (engine-unambiguous) before ranking
+        (F.col("x").cast("double") / F.col("n").cast("double")).alias(
             "mean_reward"
         ),
-        F.round(
+        q6(
             F.col("x").cast("double") / F.col("n").cast("double")
             + F.sqrt(
                 2.0
                 * F.log(F.col("n_total").cast("double"))
                 / F.col("n").cast("double")
-            ),
-            6,
+            )
         ).alias("ucb_score"),
     )
     pick = Window.orderBy(F.col("ucb_score").desc(), F.col("arm").asc())
@@ -542,7 +555,7 @@ def q_ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_UCB1 = """
+ORACLE_UCB1 = f"""
 WITH arms AS (
   SELECT o_orderpriority AS arm,
          CAST(COUNT(*) AS BIGINT) AS n,
@@ -550,13 +563,15 @@ WITH arms AS (
               AS BIGINT) AS x
   FROM orders GROUP BY 1
 ), total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM arms),
-scored AS (
+raw AS (
   SELECT arm, n, x,
-         ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_reward,
-         ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+         CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS mean_reward,
+         CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
                + sqrt(2.0 * ln(CAST(n_total AS DOUBLE))
-                      / CAST(n AS DOUBLE)), 6) AS ucb_score
+                      / CAST(n AS DOUBLE)) AS u0
   FROM arms, total
+), scored AS (
+  SELECT arm, n, x, mean_reward, {q6_sql('u0')} AS ucb_score FROM raw
 )
 SELECT arm, n, x, mean_reward, ucb_score,
        CAST(ROW_NUMBER() OVER (ORDER BY ucb_score DESC, arm ASC)
@@ -726,10 +741,10 @@ def q_segment_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_from",
         "seg_to",
         "n",
-        F.round(
+        # raw final (round-7 sweep): one quotient of exact bigints
+        (
             F.col("n").cast("double")
-            / F.sum("n").over(tot).cast("double"),
-            6,
+            / F.sum("n").over(tot).cast("double")
         ).alias("p"),
     )
 
@@ -749,8 +764,8 @@ WITH seg AS (
   GROUP BY 1, 2
 )
 SELECT seg_from, seg_to, n,
-       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY seg_from)
-                                      AS DOUBLE), 6) AS p
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY seg_from)
+                                      AS DOUBLE) AS p
 FROM trans
 """
 

@@ -45,12 +45,14 @@ def popularity_index(
         "track",
         "n_plays",
         "n_listeners",
-        F.round(
+        # raw final (round-7 sweep): fixed-order quotients/products of
+        # exact counts and literal weights — bit-identical across
+        # engines; ROUND(DOUBLE, 6) is the anova-class ambiguity
+        (
             F.col("n_plays").cast("double") / F.col("__mp").cast("double")
             * weight_plays
             + F.col("n_listeners").cast("double") / F.col("__ml").cast("double")
-            * weight_listeners,
-            6,
+            * weight_listeners
         ).alias("popularity_index"),
     )
 

@@ -5109,15 +5109,19 @@ def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("n_users") - F.coalesce(F.sum("total_t").over(w_ord), F.lit(0)),
     )
+    # round-7 sweep: ln factors floor-quantized to integer MICRO-
+    # units (engine-unambiguous — functions/quantize), summed exact;
+    # S(t) floor-gridded to an exact DECIMAL(12,6) via the
+    # micro-units * 0.000001 product so the area sum stays exact
     term = F.when(
         F.col("d") < F.col("n"),
-        F.round(
+        F.floor(
             F.log(
                 F.lit(1.0)
                 - F.col("d").cast("double") / F.col("n").cast("double")
-            ),
-            6,
-        ).cast("decimal(12,6)"),
+            )
+            * F.lit(1e6)
+        ).cast("decimal(19,0)"),
     )
     w_inc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     curve = (
@@ -5127,8 +5131,14 @@ def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_t",
             F.when(
                 F.col("d") < F.col("n"),
-                F.round(F.exp(F.col("cum").cast("double")), 6),
-            ).otherwise(F.lit(0.0)),
+                (
+                    F.floor(
+                        F.exp(F.col("cum").cast("double") / F.lit(1e6))
+                        * F.lit(1e6)
+                    ).cast("decimal(19,0)")
+                    * F.expr("CAST(0.000001 AS DECIMAL(7,6))")
+                ).cast("decimal(12,6)"),
+            ).otherwise(F.lit(0).cast("decimal(12,6)")),
         )
     )
     TAU = 720
@@ -5149,8 +5159,7 @@ def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     area = seg.agg(
         F.coalesce(
             F.sum(
-                F.col("s_t").cast("decimal(12,6)")
-                * F.col("width").cast("decimal(10,0)")
+                F.col("s_t") * F.col("width").cast("decimal(10,0)")
             ).cast("decimal(24,6)"),
             F.lit(0).cast("decimal(24,6)"),
         ).alias("a")
@@ -5159,11 +5168,11 @@ def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         area.crossJoin(F.broadcast(first_t))
         .select(
             F.lit(TAU).cast("bigint").alias("tau_hours"),
-            F.round(
-                (F.col("a") + F.least(F.col("t0"), F.lit(TAU)).cast("decimal(10,0)"))
-                .cast("double"),
-                6,
-            ).alias("rmst_hours"),
+            # raw final: exact decimal sum cast to double (unscaled
+            # far below 2^53 — the cast is exact in both engines)
+            (F.col("a") + F.least(F.col("t0"), F.lit(TAU)).cast("decimal(10,0)"))
+            .cast("double")
+            .alias("rmst_hours"),
         )
     )
 
@@ -5195,29 +5204,32 @@ at_risk AS (
 ), curve AS (
   SELECT t, d, n,
          SUM(CASE WHEN d < n THEN
-               CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-                    AS DECIMAL(12,6))
+               CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1e6)
+                    AS DECIMAL(19,0))
              END) OVER (ORDER BY t
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM at_risk
 ), stepped AS (
   SELECT t,
-         CASE WHEN d < n THEN ROUND(exp(CAST(cum AS DOUBLE)), 6)
-              ELSE 0.0 END AS s_t,
+         CASE WHEN d < n THEN
+              CAST(CAST(floor(exp(CAST(cum AS DOUBLE) / 1e6) * 1e6)
+                        AS DECIMAL(19,0))
+                   * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+              ELSE CAST(0 AS DECIMAL(12,6)) END AS s_t,
          COALESCE(LEAD(t) OVER (ORDER BY t), 720) AS t_next
   FROM curve
 ), seg AS (
   SELECT s_t, LEAST(t_next, 720) - t AS width, t
   FROM stepped WHERE t < 720
 ), pieces AS (
-  SELECT COALESCE(CAST(SUM(CAST(s_t AS DECIMAL(12,6))
-                           * CAST(width AS DECIMAL(10,0)))
+  SELECT COALESCE(CAST(SUM(s_t * CAST(width AS DECIMAL(10,0)))
                        AS DECIMAL(24,6)), CAST(0 AS DECIMAL(24,6))) AS a,
          CAST(MIN(t) AS BIGINT) AS t0
   FROM seg
 )
 SELECT CAST(720 AS BIGINT) AS tau_hours,
-       ROUND(CAST(a + CAST(LEAST(t0, 720) AS DECIMAL(10,0)) AS DOUBLE), 6)
+       CAST(a + CAST(LEAST(t0, 720) AS DECIMAL(10,0)) AS DOUBLE)
          AS rmst_hours
 FROM pieces
 """
