@@ -520,10 +520,10 @@ def dedup_minhash_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            # raw (round-7 sweep): one quotient of exact bigints
+            (
                 F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
             ).alias("jaccard_sim"),
         )
     )
@@ -689,10 +689,10 @@ def dedup_incremental(
         .select(
             "id_new",
             "id_corpus",
-            F.round(
+            # raw (round-7 sweep): one quotient of exact bigints
+            (
                 F.col("inter").cast("double")
-                / (F.col("n_new") + F.col("n_corp") - F.col("inter")).cast("double"),
-                6,
+                / (F.col("n_new") + F.col("n_corp") - F.col("inter")).cast("double")
             ).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
@@ -751,10 +751,10 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            # raw (round-7 sweep): one quotient of exact bigints
+            (
                 F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
             ).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
@@ -943,16 +943,17 @@ def embedding_neardup_pairs(
     the quantizer's contract (the semdedup argument — at 100 TB the
     lever is raising the cluster count so buckets stay bounded).
 
-    Determinism: numpy's float64 dot then ROUND(6) — the same
-    tolerance class as the previous form, whose hash-agg F.sum over
-    doubles was already partition-order dependent pre-round (and the
-    DuckDB oracle's sequential fold a third order); all agree after
-    rounding away the accumulation ulps. The rounding is
-    half-AWAY-FROM-ZERO (sign·floor(|x|·1e6 + 0.5)/1e6), matching
-    Spark's ROUND and the DuckDB oracle — ``np.round`` is banker's
-    half-to-even and would diverge on a cosine landing exactly on a
-    6dp midpoint (ADVICE r4). Ragged vector lengths raise with the
-    offending bucket named instead of numpy's shape error."""
+    Determinism: numpy's float64 dot then a FLOOR onto the 1e-6
+    grid — the same tolerance class as the previous form, whose
+    hash-agg F.sum over doubles was already partition-order
+    dependent pre-quantize (and the DuckDB oracle's sequential fold
+    a third order); all agree after quantizing away the accumulation
+    ulps. Floor (toward -inf) matches ``functions/quantize.q6`` and
+    the oracle's floor — ROUND's half-rule was the cross-engine
+    ambiguity class (np.round is banker's, DuckDB scales in float,
+    Spark rounds via BigDecimal; round 7 retired it repo-wide).
+    Ragged vector lengths raise with the offending bucket named
+    instead of numpy's shape error."""
     import pandas as pd
 
     id_dt = df.schema[id_col].dataType.simpleString()
@@ -977,7 +978,12 @@ def embedding_neardup_pairs(
         norms = np.sqrt((mat * mat).sum(axis=1))
         gram = mat @ mat.T
         raw = gram / np.outer(norms, norms)
-        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        # round-7 sweep: FLOOR to the 1e-6 grid (toward -inf), the
+        # same engine-unambiguous quantizer as functions/quantize.q6
+        # and the reworked oracle — ROUND's half-rule was the
+        # cross-engine ambiguity class (np.round is banker's,
+        # DuckDB scales in float, Spark in BigDecimal)
+        cos = np.floor(raw * 1e6) / 1e6
         iu, ju = np.triu_indices(n, k=1)
         keep = cos[iu, ju] >= threshold
         ia, ib = ids[iu[keep]], ids[ju[keep]]
@@ -1182,12 +1188,10 @@ def duplicate_span_stats(
             F.sum("__dup").cast("bigint").alias("n_shared_spans"),
         )
         .withColumn(
+            # raw (round-7 sweep): one quotient of exact bigints
             "dup_fraction",
-            F.round(
-                F.col("n_shared_spans").cast("double")
-                / F.col("n_spans").cast("double"),
-                6,
-            ),
+            F.col("n_shared_spans").cast("double")
+            / F.col("n_spans").cast("double"),
         )
     )
 
@@ -1280,11 +1284,8 @@ def lsh_candidate_quality(
         true_pair.cast("bigint").alias("n_true_pairs"),
         # try_divide: zero candidates means a 0/0 precision; ANSI
         # raises where the oracle yields NULL
-        F.round(
-            F.try_divide(
-                true_pair.cast("double"), F.count(F.lit(1)).cast("double")
-            ),
-            6,
+        F.try_divide(
+            true_pair.cast("double"), F.count(F.lit(1)).cast("double")
         ).alias("precision_at_threshold"),
     )
 
@@ -1363,15 +1364,14 @@ def containment_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            (
                 F.col("inter").cast("double")
-                / F.least(F.col("na"), F.col("nb")).cast("double"),
-                6,
+                / F.least(F.col("na"), F.col("nb")).cast("double")
             ).alias("containment"),
-            F.round(
+            # raw (round-7 sweep): one quotient of exact bigints
+            (
                 F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
             ).alias("jaccard_sim"),
         )
     )

@@ -58,6 +58,8 @@ def dedup_minhash_mllib(
         .select(
             F.col("datasetA.id").alias("id_a"),
             F.col("datasetB.id").alias("id_b"),
+            # single-engine (MLlib) path — no oracle mirrors this,
+            # so ROUND's cross-engine ambiguity cannot apply
             F.round(1.0 - F.col("dist"), 6).alias("jaccard_sim"),
         )
         .distinct()

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q6
+
 BUCKETS = 10_000
 
 
@@ -213,8 +215,10 @@ def weighted_sample_topk(
     mx = filtered.agg(
         F.max(F.col(weight_col).cast("double")).alias("__es_mx")
     )
-    score = F.round(
-        F.log(u) * (F.col("__es_mx") / F.col(weight_col).cast("double")), 6
+    # q6-floored (round-7 sweep): ln is libm, so the micro-unit floor
+    # is the engine-unambiguous quantizer for the ordering key
+    score = q6(
+        F.log(u) * (F.col("__es_mx") / F.col(weight_col).cast("double"))
     )
     scored = (
         filtered.crossJoin(F.broadcast(mx))

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q6
+
 from .ranking import global_topk
 
 
@@ -62,7 +64,10 @@ def similarity_topk(
     )
     q = query.select(as_double_vec(F.col(vec_col)).alias("qv"))
     scored = v.crossJoin(F.broadcast(q)).select(
-        "id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score")
+        # q6 (round-7 sweep): the array fold's accumulation order is
+        # engine-internal, so the micro-unit floor is the
+        # engine-unambiguous quantizer (ROUND(DOUBLE, 6) is not)
+        "id", q6(cosine(F.col("v"), F.col("qv"))).alias("score")
     )
     return global_topk(scored, [F.desc("score"), F.asc("id")], k).select(
         "rank", "id", "score"
@@ -227,9 +232,9 @@ def similarity_topk_ivf(
     q = query.select(as_double_vec(F.col(vec_col)).alias("qv"))
     bucket_scores = cents.crossJoin(F.broadcast(q)).select(
         "bucket",
-        # rounded before ranking: near-tie bucket scores then
+        # q6-floored before ranking: near-tie bucket scores then
         # resolve on the bucket id, deterministically in any engine
-        F.round(cosine(F.col("centroid"), F.col("qv")), 6).alias("bscore"),
+        q6(cosine(F.col("centroid"), F.col("qv"))).alias("bscore"),
     )
     bucket_rank = global_topk(
         bucket_scores, [F.desc("bscore"), F.asc("bucket")], n_probe
@@ -315,7 +320,7 @@ def semantic_dedup(
     dropped = (
         a.join(b, "__c")
         .filter(F.col("__idb") < F.col("__ida"))
-        .withColumn("__cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("__cos", q6(cosine(F.col("__va"), F.col("__vb"))))
         .filter(F.col("__cos") > threshold)
         .select(F.col("__ida").alias("__drop"))
         .distinct()
@@ -471,6 +476,8 @@ def similarity_topk_pq(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # rows-only PQ key (no SQL oracle) — single-engine rounding is
+    # a plain tie-break quantizer, not a cross-engine hazard
     scored = encoded.select("id", F.round(score, 6).alias("score"))
     return global_topk(scored, [F.desc("score"), F.asc("id")], k).select(
         "rank", "id", "score"
@@ -654,7 +661,7 @@ def search_ivf_index(
     bucket_rank = global_topk(
         cents.crossJoin(F.broadcast(q)).select(
             "bucket",
-            F.round(cosine(F.col("centroid"), F.col("qv")), 6).alias("bscore"),
+            q6(cosine(F.col("centroid"), F.col("qv"))).alias("bscore"),
         ),
         [F.desc("bscore"), F.asc("bucket")],
         n_probe,

@@ -113,7 +113,7 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
     a broadcast 1-row total for the share. Deterministic: total order
     (cnt DESC, key ASC).
 
-    Returns ``rank, <key>, cnt, share`` (share rounded to 6dp)."""
+    Returns ``rank, <key>, cnt, share``."""
     from .ranking import global_topk
 
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
@@ -123,5 +123,6 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
         "rank",
         key,
         "cnt",
-        F.round(F.col("cnt").cast("double") / F.col("__tot"), 6).alias("share"),
+        # raw (round-7 sweep): one quotient of exact counts
+        (F.col("cnt").cast("double") / F.col("__tot")).alias("share"),
     )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q6
+
 # Word-boundary tokenizer shared by all ops: lowercase, split on runs
 # of whitespace. (BPE-ish token counting uses TOKEN_REGEX instead.)
 
@@ -72,8 +74,10 @@ def quality_score(text: Column | str) -> Column:
     len_score = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
     stop_score = F.least(stopword_ratio(c) * 2, F.lit(1.0))
     punct_penalty = F.least(punct_ratio(c) * 4, F.lit(1.0))
-    return F.round(
-        len_score * 0.5 + stop_score * 0.3 + (1 - punct_penalty) * 0.2, 6
+    # raw (round-7 sweep): fixed-order quotients of integer counts
+    # and literals — bit-identical across engines, no rounding needed
+    return (
+        len_score * 0.5 + stop_score * 0.3 + (1 - punct_penalty) * 0.2
     )
 
 
@@ -335,11 +339,9 @@ def repetition_stats(df, id_col: str, text_col: str, n: int = 3):
     ).cast("bigint")
     ratio = F.when(
         F.col("n_ngrams") > 0,
-        F.round(
-            F.lit(1.0)
-            - distinct.cast("double") / F.col("n_ngrams").cast("double"),
-            6,
-        ),
+        # raw (round-7 sweep): one quotient of exact bigints
+        F.lit(1.0)
+        - distinct.cast("double") / F.col("n_ngrams").cast("double"),
     ).otherwise(F.lit(0.0))
     return joined.select(
         id_col,
@@ -413,12 +415,13 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5):
             "term",
             F.col("tf").cast("bigint").alias("tf"),
             F.col("df").cast("bigint").alias("df"),
-            F.round(
+            # q6 (round-7 sweep): ln is libm, so the score is floored
+            # on the 1e-6 grid (engine-unambiguous) before ranking
+            q6(
                 F.col("tf").cast("double")
                 * F.log(
                     F.col("n_docs").cast("double") / F.col("df").cast("double")
-                ),
-                6,
+                )
             ).alias("tfidf"),
         )
     )
@@ -526,21 +529,24 @@ def bm25_topk(
         .join(dl, "doc_id")
         .select(
             "doc_id",
-            F.round(
+            # floor-quantized nano-contrib (round-7 sweep): idf is
+            # libm, so the 1e-9-unit integer floor is the engine-
+            # unambiguous quantizer; the total is a raw quotient
+            F.floor(
                 F.col("idf")
                 * (F.col("tf") * (k1 + 1))
                 / (
                     F.col("tf")
                     + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
-                ),
-                9,
+                )
+                * F.lit(1e9)
             )
-            .cast("decimal(18,9)")
-            .alias("contrib"),
+            .cast("decimal(19,0)")
+            .alias("contrib_u"),
         )
     )
     total = scored.groupBy("doc_id").agg(
-        F.round(F.sum("contrib").cast("double"), 6).alias("bm25")
+        (F.sum("contrib_u").cast("double") / F.lit(1e9)).alias("bm25")
     )
     return global_topk(total, [F.desc("bm25"), F.asc("doc_id")], k).select(
         "rank", "doc_id", "bm25"
@@ -601,14 +607,15 @@ def sparse_cosine_pairs(
         .select(
             "doc_id",
             "term",
+            # floor-to-6dp-grid as EXACT DECIMAL (round-7 sweep): ln is
+            # libm; floor micro-units * 0.000001 is exact both engines
             (
                 F.col("tf").cast("decimal(5,0)")
-                * F.round(
-                    F.log(
-                        F.col("n_docs").cast("double") / F.col("df").cast("double")
-                    ),
-                    6,
-                ).cast("decimal(12,6)")
+                * F.expr(
+                    "CAST(CAST(floor(ln(CAST(n_docs AS DOUBLE)"
+                    " / CAST(df AS DOUBLE)) * 1e6) AS DECIMAL(19,0))"
+                    " * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))"
+                )
             ).alias("w"),
         )
     )
@@ -645,9 +652,10 @@ def sparse_cosine_pairs(
             # doc of only such tokens has norm 0 and the cosine is 0/0
             # — ANSI raises where the oracle yields NULL (which the
             # threshold filter then drops in both engines)
-            F.round(
-                F.try_divide(F.col("dot"), F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
+            # raw final: exact-decimal dot/norms, fixed-order / sqrt
+            F.try_divide(F.col("dot"), F.col("na") * F.col("nb")).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q6, q6_sql
+
 from ..operators.linkage import FieldSpec, agreement_pattern_counts, fs_classify, fs_score
 from ..operators.ranking import global_topk
 from ..operators.sampling import weighted_sample_topk
@@ -98,8 +100,9 @@ nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 w AS (
   SELECT doc_id, term,
          CAST(tf AS DECIMAL(5,0))
-         * CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
-                AS DECIMAL(12,6)) AS w
+         * CAST(CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                           * 1e6) AS DECIMAL(19,0))
+                * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) AS w
   FROM tf JOIN dfreq USING (term), nd
 ), norms AS (
   SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm
@@ -110,7 +113,7 @@ w AS (
   FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), cos AS (
-  SELECT id_a, id_b, ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+  SELECT id_a, id_b, dot / (na.norm * nb.norm) AS cosine
   FROM num
   JOIN norms na ON na.doc_id = id_a
   JOIN norms nb ON nb.doc_id = id_b
@@ -338,10 +341,18 @@ WITH base AS (
   SELECT MAX(CAST(n_chars AS DOUBLE)) AS es_mx FROM base
 ), keyed AS (
   SELECT doc_id, lang, n_chars,
-         ROUND(
+         CASE WHEN abs(CAST((
            ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0)
               / 4294967296.0)
-           * (mx.es_mx / CAST(n_chars AS DOUBLE)), 6) AS es_key
+           * (mx.es_mx / CAST(n_chars AS DOUBLE))) AS DOUBLE) * 1e6) < 9007199254740992.0
+         THEN floor(CAST((
+           ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0)
+              / 4294967296.0)
+           * (mx.es_mx / CAST(n_chars AS DOUBLE))) AS DOUBLE) * 1e6) / 1e6
+         ELSE CAST((
+           ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0)
+              / 4294967296.0)
+           * (mx.es_mx / CAST(n_chars AS DOUBLE))) AS DOUBLE) END AS es_key
   FROM base, mx
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS rank,
@@ -454,13 +465,16 @@ def q_pearson_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_divide: a degenerate corpus (one customer, or constant
         # x/y) has a zero variance term; ANSI raises where the oracle
         # yields NULL
-        F.round(
-            F.try_divide(num, F.sqrt(dx) * F.sqrt(dy)), 6
+        # q6 (round-7 sweep): the 38-digit carriers cast to double
+        # past 2^53 unscaled where DECIMAL->DOUBLE is not correctly-
+        # rounded identically across engines — q6 absorbs that
+        q6(
+            F.try_divide(num, F.sqrt(dx) * F.sqrt(dy))
         ).alias("r_rev_orders"),
     )
 
 
-ORACLE_PEARSON = """
+ORACLE_PEARSON = f"""
 WITH per_cust AS (
   SELECT o_custkey,
          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x,
@@ -476,9 +490,9 @@ WITH per_cust AS (
   FROM per_cust
 )
 SELECT CAST(n AS BIGINT) AS n_customers,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+       {q6_sql('''CAST(n * sxy - sx * sy AS DOUBLE)
              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r_rev_orders
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))''')} AS r_rev_orders
 FROM s
 """
 
@@ -510,7 +524,8 @@ def q_percentile_cont_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         vlo = F.max(F.when(F.col("rn") == lo + 1, F.col("v")))
         vhi = F.max(F.when(F.col("rn") == lo + 2, F.col("v")))
         scaled = vlo * pden + (F.coalesce(vhi, vlo) - vlo) * F.max(rem)
-        return F.round(scaled.cast("double") / pden, 6).alias(name)
+        # raw (round-7 sweep): one quotient of exact integers
+        return (scaled.cast("double") / pden).alias(name)
 
     return (
         j.groupBy("priority")
@@ -544,8 +559,8 @@ WITH vals AS (
   FROM ranked GROUP BY priority
 )
 SELECT priority, CAST(n AS BIGINT) AS n_orders,
-       ROUND(CAST(v50lo * 2 + (COALESCE(v50hi, v50lo) - v50lo) * rem50 AS DOUBLE) / 2, 6) AS p50_cents,
-       ROUND(CAST(v90lo * 10 + (COALESCE(v90hi, v90lo) - v90lo) * rem90 AS DOUBLE) / 10, 6) AS p90_cents
+       CAST(v50lo * 2 + (COALESCE(v50hi, v50lo) - v50lo) * rem50 AS DOUBLE) / 2 AS p50_cents,
+       CAST(v90lo * 10 + (COALESCE(v90hi, v90lo) - v90lo) * rem90 AS DOUBLE) / 10 AS p90_cents
 FROM agg ORDER BY priority
 """
 
@@ -641,6 +656,9 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     from pyspark.sql import Window
 
+    # ROUND to INTEGER (d=0) is engine-unambiguous — both engines
+    # see the same double and ties are exact halves (round-7 sweep
+    # retired only the d>0 float-scaling ambiguity class)
     cents = F.round(F.col("value") * 100).cast("bigint")
     flows = ev.filter(F.col("event_type").isin("purchase", "click")).select(
         "user_id",
@@ -948,12 +966,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").alias("n_late"),
         # try_divide: a corpus entirely inside one era has na or nb
         # == 0 — ANSI raises where the oracle yields NULL
-        F.round(
-            F.try_divide(
-                F.col("m.diff").cast("double"),
-                (F.col("na") * F.col("nb")).cast("double"),
-            ),
-            6,
+        # raw (round-7 sweep): one quotient of exact bigints
+        F.try_divide(
+            F.col("m.diff").cast("double"),
+            (F.col("na") * F.col("nb")).cast("double"),
         ).alias("ks_stat"),
         (-F.col("m.negv")).cast("bigint").alias("at_cents"),
     )
@@ -983,7 +999,7 @@ d AS (
   FROM d
 )
 SELECT na AS n_early, nb AS n_late,
-       ROUND(CAST(diff AS DOUBLE) / CAST(na * nb AS DOUBLE), 6) AS ks_stat,
+       CAST(diff AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_stat,
        CAST(v AS BIGINT) AS at_cents
 FROM best WHERE rn = 1
 """
@@ -1107,13 +1123,14 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         # try_divide: a single aligned pair has zero variance terms;
         # ANSI raises where the oracle yields NULL
-        F.round(
-            F.try_divide(num, F.sqrt(dx) * F.sqrt(dy)), 6
+        # q6 (round-7 sweep): same large-decimal-cast class as pearson
+        q6(
+            F.try_divide(num, F.sqrt(dx) * F.sqrt(dy))
         ).alias("acf"),
     ).orderBy("lag")
 
 
-ORACLE_ACF = """
+ORACLE_ACF = f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
@@ -1134,9 +1151,9 @@ pairs AS (
   FROM pairs GROUP BY 1
 )
 SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+       {q6_sql('''CAST(n * sxy - sx * sy AS DOUBLE)
              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))''')} AS acf
 FROM s
 """
 

@@ -22,6 +22,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_media, extract_features, parse_props
 from ..operators.similarity import similarity_topk, similarity_topk_ivf
+from ..functions.quantize import q6_sql
 from ..operators.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -69,8 +70,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars_calc"),
         n_tokens("text").cast("bigint").alias("n_tokens"),
         n_tokens_bpe("text").cast("bigint").alias("n_tokens_bpe"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        # raw ratios (round-7 sweep): quotients of exact counts
+        stopword_ratio("text").alias("stopword_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
         quality_score("text").alias("quality_score"),
     )
 
@@ -80,12 +82,12 @@ _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 # DuckDB mirror of operators/text.py::quality_score — kept as one
 # fragment so every oracle that ranks/filters on quality uses the
 # exact same expression as ORACLE_TEXT_STATS.
-SQL_QUALITY = f"""ROUND(
+SQL_QUALITY = f"""(
     least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
     + least(2 * CAST(len(list_filter({{toks}}, t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
             / CAST(len({{toks}}) AS DOUBLE), 1.0) * 0.3
     + (1 - least(4 * CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{{{}}}}\\-]', '', 'g')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6)""".format(
+                 / CAST(length(text) AS DOUBLE), 1.0)) * 0.2)""".format(
     toks=SQL_TOKS
 )
 
@@ -94,16 +96,16 @@ SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars_calc,
   CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_tokens_bpe,
-  ROUND(CAST(len(list_filter({SQL_TOKS}, t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
-        / CAST(len({SQL_TOKS}) AS DOUBLE), 6) AS stopword_ratio,
-  ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE)
-        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-  ROUND(
+  CAST(len(list_filter({SQL_TOKS}, t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
+        / CAST(len({SQL_TOKS}) AS DOUBLE) AS stopword_ratio,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  (
     least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
     + least(2 * CAST(len(list_filter({SQL_TOKS}, t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
             / CAST(len({SQL_TOKS}) AS DOUBLE), 1.0) * 0.3
     + (1 - least(4 * CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6) AS quality_score
+                 / CAST(length(text) AS DOUBLE), 1.0)) * 0.2) AS quality_score
 FROM documents
 """
 
@@ -289,8 +291,8 @@ def _oracle_minhash() -> str:
     return f"""
 WITH {_minhash_ctes()}
 SELECT c.id_a, c.id_b,
-       ROUND(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
-             / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE), 6) AS jaccard_sim
+       CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+             / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE) AS jaccard_sim
 FROM cand c JOIN hd x ON c.id_a = x.doc_id JOIN hd y ON c.id_b = y.doc_id
 WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
       / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE) >= 0.8
@@ -383,8 +385,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS (SELECT doc_id, source, {SQL_SHINGLES3} AS sh FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard_sim
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard_sim
 FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
@@ -459,11 +461,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EMB_NEARDUP = """
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_sim
+       CASE WHEN abs(CAST((list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) END AS cosine_sim
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+WHERE CASE WHEN abs(CAST((list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) END >= 0.35
 """
 
 
@@ -486,8 +492,10 @@ WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
 scored AS (
   SELECT vec_id,
-         ROUND(list_dot_product(e, qe)
-               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS score
+         CASE WHEN abs(CAST((list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) END AS score
   FROM v, q)
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank,
        vec_id, score
@@ -615,8 +623,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id",
         "n_toks",
-        F.round("mwl", 6).alias("mean_word_len"),
-        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        # raw (round-7 sweep): quotients of exact integer sums
+        F.col("mwl").alias("mean_word_len"),
+        F.col("top_bigram_frac").alias("top_bigram_frac"),
         keep.cast("bigint").alias("keep"),
     )
 
@@ -639,8 +648,8 @@ WITH t AS (
   FROM t
 )
 SELECT w.doc_id, w.n_toks,
-       ROUND(w.mwl, 6) AS mean_word_len,
-       ROUND(m.frac, 6) AS top_bigram_frac,
+       w.mwl AS mean_word_len,
+       m.frac AS top_bigram_frac,
        CAST(w.n_toks >= 30 AND w.mwl BETWEEN 4.0 AND 5.0
             AND COALESCE(m.frac, 0.0) < 0.08 AS BIGINT) AS keep
 FROM w LEFT JOIN m ON w.doc_id = m.doc_id
@@ -782,16 +791,22 @@ pos AS (
 ), branks AS (
   SELECT label,
          ROW_NUMBER() OVER (
-           ORDER BY ROUND(list_dot_product(centroid, qe)
+           ORDER BY CASE WHEN abs(CAST((list_dot_product(centroid, qe)
                     / (sqrt(list_dot_product(centroid, centroid))
-                       * sqrt(list_dot_product(qe, qe))), 6) DESC,
+                       * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(centroid, qe)
+                    / (sqrt(list_dot_product(centroid, centroid))
+                       * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(centroid, qe)
+                    / (sqrt(list_dot_product(centroid, centroid))
+                       * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) END DESC,
                     label ASC) AS brank
   FROM cents, q
 ), probe AS (SELECT label FROM branks WHERE brank <= 3),
 scored AS (
   SELECT vec_id,
-         ROUND(list_dot_product(e, qe)
-               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS score
+         CASE WHEN abs(CAST((list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) END AS score
   FROM v, q WHERE v.label IN (SELECT label FROM probe)
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank,
@@ -820,10 +835,10 @@ def _oracle_containment() -> str:
     return f"""
 WITH {_minhash_ctes()}
 SELECT c.id_a, c.id_b,
-       ROUND(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
-             / CAST(least(len(x.h), len(y.h)) AS DOUBLE), 6) AS containment,
-       ROUND(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
-             / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE), 6)
+       CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+             / CAST(least(len(x.h), len(y.h)) AS DOUBLE) AS containment,
+       CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+             / CAST(len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS DOUBLE)
          AS jaccard_sim
 FROM cand c JOIN hd x ON c.id_a = x.doc_id JOIN hd y ON c.id_b = y.doc_id
 WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
@@ -856,8 +871,8 @@ j AS (
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
        CAST(COUNT(CASE WHEN jac >= 0.8 THEN 1 END) AS BIGINT) AS n_true_pairs,
-       ROUND(CAST(COUNT(CASE WHEN jac >= 0.8 THEN 1 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS precision_at_threshold
+       CAST(COUNT(CASE WHEN jac >= 0.8 THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS precision_at_threshold
 FROM j
 """
 
@@ -921,17 +936,25 @@ def q_domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         (F.col("n_docs").cast("double") / F.col("n_total").cast("double")).alias("p"),
-        F.round(
-            F.sqrt(F.col("n_docs").cast("double") / F.col("n_total").cast("double")), 9
-        ).cast("decimal(18,9)").alias("sqp"),
+        # floor-quantized nano-units (round-7 sweep): sqrt is IEEE-
+        # exact on the identical quotient, so the floor is engine-
+        # unambiguous; the decimal sum stays order-free
+        F.floor(
+            F.sqrt(
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double")
+            )
+            * F.lit(1e9)
+        ).cast("decimal(19,0)").alias("sqp_u"),
     )
-    norm = sq.agg(F.sum("sqp").alias("z"))
+    norm = sq.agg(F.sum("sqp_u").alias("z_u"))
     return sq.crossJoin(F.broadcast(norm)).select(
         "source",
         "n_docs",
-        F.round("p", 6).alias("p"),
-        F.round(
-            F.col("sqp").cast("double") / F.col("z").cast("double"), 6
+        # raw finals: quotients of exact integers
+        F.col("p").alias("p"),
+        (
+            F.col("sqp_u").cast("double") / F.col("z_u").cast("double")
         ).alias("w_temperature"),
     )
 
@@ -943,12 +966,12 @@ WITH counts AS (
 sq AS (
   SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
          CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
-         CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
-              AS DECIMAL(18,9)) AS sqp
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e9)
+              AS DECIMAL(19,0)) AS sqp_u
   FROM counts, total
-), norm AS (SELECT SUM(sqp) AS z FROM sq)
-SELECT source, n_docs, ROUND(p, 6) AS p,
-       ROUND(CAST(sqp AS DOUBLE) / CAST(z AS DOUBLE), 6) AS w_temperature
+), norm AS (SELECT SUM(sqp_u) AS z_u FROM sq)
+SELECT source, n_docs, p,
+       CAST(sqp_u AS DOUBLE) / CAST(z_u AS DOUBLE) AS w_temperature
 FROM sq, norm
 """
 
@@ -1046,12 +1069,12 @@ idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf, avgdl
         FROM dfreq, stats),
 scored AS (
   SELECT t.doc_id,
-         CAST(ROUND(i.idf * (t.tf * 2.2)
-                    / (t.tf + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / i.avgdl)),
-                    9) AS DECIMAL(18,9)) AS contrib
+         CAST(floor(i.idf * (t.tf * 2.2)
+                    / (t.tf + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / i.avgdl))
+                    * 1e9) AS DECIMAL(19,0)) AS contrib_u
   FROM tf t JOIN idf i USING (term) JOIN dl d USING (doc_id)
 ),
-total AS (SELECT doc_id, ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+total AS (SELECT doc_id, CAST(SUM(contrib_u) AS DOUBLE) / 1e9 AS bm25
           FROM scored GROUP BY 1)
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, bm25
@@ -1083,8 +1106,10 @@ WITH v AS (
 ), q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
 scored AS (
   SELECT vec_id,
-         ROUND(list_dot_product(e, qe)
-               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS score
+         CASE WHEN abs(CAST((list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) END AS score
   FROM v, q),
 exact AS (
   SELECT vec_id FROM scored
@@ -1100,9 +1125,13 @@ pos AS (
 ), branks AS (
   SELECT label,
          ROW_NUMBER() OVER (
-           ORDER BY ROUND(list_dot_product(centroid, qe)
+           ORDER BY CASE WHEN abs(CAST((list_dot_product(centroid, qe)
                     / (sqrt(list_dot_product(centroid, centroid))
-                       * sqrt(list_dot_product(qe, qe))), 6) DESC,
+                       * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(centroid, qe)
+                    / (sqrt(list_dot_product(centroid, centroid))
+                       * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(centroid, qe)
+                    / (sqrt(list_dot_product(centroid, centroid))
+                       * sqrt(list_dot_product(qe, qe)))) AS DOUBLE) END DESC,
                     label ASC) AS brank
   FROM cents, q
 ), probe AS (SELECT label FROM branks WHERE brank <= 3),
@@ -1334,8 +1363,8 @@ SELECT doc_id,
   CAST(greatest(len({SQL_TOKS}) - 2, 0) AS BIGINT) AS n_ngrams,
   CAST(len({SQL_SHINGLES3}) AS BIGINT) AS n_distinct_ngrams,
   CASE WHEN len({SQL_TOKS}) - 2 > 0
-       THEN ROUND(1.0 - CAST(len({SQL_SHINGLES3}) AS DOUBLE)
-                        / CAST(len({SQL_TOKS}) - 2 AS DOUBLE), 6)
+       THEN 1.0 - CAST(len({SQL_SHINGLES3}) AS DOUBLE)
+                        / CAST(len({SQL_TOKS}) - 2 AS DOUBLE)
        ELSE 0.0 END AS repeated_ngram_ratio
 FROM documents
 """
@@ -1543,11 +1572,13 @@ WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
-scored AS (
+raw AS (
   SELECT doc_id, term, tf, df,
-         ROUND(CAST(tf AS DOUBLE)
-               * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+         CAST(tf AS DOUBLE)
+               * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS t0
   FROM tf JOIN dfreq USING (term), nd
+), scored AS (
+  SELECT doc_id, term, tf, df, {q6_sql('t0')} AS tfidf FROM raw
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (
@@ -1587,7 +1618,7 @@ WITH sh AS (
 SELECT sh.doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_spans,
   CAST(SUM(CASE WHEN cnt.docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
-  ROUND(SUM(CASE WHEN cnt.docs > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+  SUM(CASE WHEN cnt.docs > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
     AS dup_fraction
 FROM sh JOIN cnt USING (sh)
 GROUP BY sh.doc_id
@@ -1614,9 +1645,10 @@ WITH v AS (
 ), dropped AS (
   SELECT DISTINCT a.vec_id FROM v a JOIN v b
     ON a.label = b.label AND b.vec_id < a.vec_id
-  WHERE ROUND(list_dot_product(a.e, b.e)
-        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-        6) > 0.35
+  WHERE CASE WHEN abs(CAST((list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) END > 0.35
 )
 SELECT vec_id, label FROM v WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
@@ -1658,7 +1690,7 @@ WITH c AS (
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
        user_id, cnt,
-       ROUND(CAST(cnt AS DOUBLE) / t.tot, 6) AS share
+       CAST(cnt AS DOUBLE) / t.tot AS share
 FROM c, t
 ORDER BY cnt DESC, user_id
 LIMIT 20
