@@ -181,7 +181,7 @@ def winnow_fingerprints(
     detection exactly like shingle sets, but position-robust. Docs
     shorter than k yield no fingerprints.
 
-    Scale shape (r4, probe-driven — three measured generations, each
+    Scale shape (r7, probe-driven — four measured generations, each
     a real lesson):
     1. transform(sequence, i -> substring) built the gram array via
        an interpreted higher-order lambda: constant ~1.6k docs/s
@@ -192,28 +192,31 @@ def winnow_fingerprints(
        byte offset of a character index needs a scan from the
        start — so ANY per-position substring plan is O(len²) per
        document, and md5 was never the bottleneck.
-    3. This form is O(len): posexplode the text into single-char
-       rows ONCE (sequential scan), then ONE per-doc window pass
-       computes the k+w−1 leading codepoints and assembles the
-       rolling gram hashes and their window min as pure integer
-       codegen. The polynomial gram hash (Σ codepoint·131^i, max
-       ≈ 2^52 — exact in a long in both engines) replaces md5;
-       winnowing's guarantee (any shared substring of length ≥
-       k+w−1 contributes a shared fingerprint) holds for ANY
-       deterministic gram hash, so the change is
-       semantics-preserving and bit-portable. Truncated tail
-       windows fall out of null-skipping ``least`` (a gram past the
-       end has a null lead). Shuffles: the per-doc window sort of
-       narrow (id, pos, code) rows and the map-side-combined
-       (id, fp) distinct."""
-    from pyspark.sql import Window as W
-
+    3. The r4 char-window form was O(len) and fast to 100×, but its
+       per-CHARACTER posexplode materializes ~|chars| ROWS through a
+       per-doc window sort — ~5B intermediate rows at 5M docs, which
+       GC-stormed the JVM to death at the 1000× probe (SCALE.md).
+       The grain, not the arithmetic, was the scale cap.
+    4. This form keeps the row grain at DOCUMENTS: one Arrow-batched
+       ``mapInPandas`` computes each doc's rolling gram hashes and
+       window minima as vectorized int64 numpy (codepoints via a
+       UTF-32 view — no per-char Python loop; strided adds for the
+       Σ codepoint·131^i polynomial; sliding-window minima +
+       suffix-minima for the truncated tail windows), emitting the
+       per-doc DISTINCT fingerprints. Integer arithmetic end to end
+       (max ≈ 2^52 — exact in int64 and in the oracle's BIGINT), so
+       the output is bit-identical to generation 3 and to the DuckDB
+       oracle. The only shuffle left is the map-side-combined global
+       (id, fp) distinct; there is no fact-scaled window sort and no
+       per-char row ever exists. Winnowing's guarantee (any shared
+       substring of length ≥ k+w−1 contributes a shared fingerprint)
+       is grain-independent, so the rewrite is semantics-preserving.
+    """
     # int64-overflow guard (ADVICE r4): the gram hash's worst case is
-    # Σ_{i<k} max_codepoint·131^i with max_codepoint = 0x10FFFF (the
-    # ``ascii()`` of any Unicode char), so for k ≥ 8 a non-ASCII text
-    # overflows a long and ANSI Spark raises ARITHMETIC_OVERFLOW
-    # mid-job (the "max ≈ 2^52" note above is the DEFAULT k=5). Fail
-    # at construction with the bound spelled out instead.
+    # Σ_{i<k} max_codepoint·131^i with max_codepoint = 0x10FFFF, so
+    # for k ≥ 8 a non-ASCII text overflows int64 (numpy wraps
+    # silently, ANSI Spark raised — both wrong). Fail at construction
+    # with the bound spelled out instead.
     worst = sum(0x10FFFF * 131**i for i in range(k))
     if worst >= 2**63:
         raise ValueError(
@@ -225,28 +228,52 @@ def winnow_fingerprints(
     norm = df.select(
         F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm")
     ).filter(F.length("__norm") >= k)
-    chars = norm.select(
-        "id",
-        F.posexplode(F.split("__norm", "")).alias("pos", "ch"),
-    ).select("id", "pos", F.ascii("ch").cast("long").alias("c"))
-    w = W.partitionBy("id").orderBy("pos")
-    codes = [F.col("c")] + [
-        F.lead("c", i).over(w) for i in range(1, k + window - 1)
-    ]
+    id_dt = norm.schema["id"].dataType.simpleString()
+    out_schema = f"id {id_dt}, fp bigint"
+    coeffs = [131**t for t in range(k)]
 
-    def gram_hash(offset: int):
-        h = None
-        for i in range(k):
-            term = codes[offset + i] * F.lit(131 ** i).cast("long")
-            h = term if h is None else h + term
-        return h
+    def winnow_batches(batches):
+        import numpy as np
+        import pandas as pd
 
-    fp = F.least(*[gram_hash(j) for j in range(window)])
-    return (
-        chars.select("id", fp.alias("fp"))
-        .filter(F.col("fp").isNotNull())
-        .distinct()
-    )
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            for doc_id, s in zip(pdf["id"], pdf["__norm"]):
+                # codepoints without a per-char Python loop: UTF-32-LE
+                # bytes viewed as uint32 — one array op per doc
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n_grams = codes.size - k + 1
+                if n_grams <= 0:
+                    continue
+                gh = np.zeros(n_grams, dtype=np.int64)
+                for t, c in enumerate(coeffs):
+                    gh += codes[t : t + n_grams] * c
+                if n_grams >= window:
+                    full = np.lib.stride_tricks.sliding_window_view(
+                        gh, window
+                    ).min(axis=1)
+                else:
+                    full = gh[:0]
+                # truncated tail windows (starts past n_grams - w):
+                # suffix minima over the last min(w-1, n_grams) grams
+                tail_n = min(window - 1, n_grams)
+                tail = np.minimum.accumulate(gh[-tail_n:][::-1])[::-1]
+                fps = np.unique(np.concatenate([full, tail]))
+                out_ids.append(
+                    np.full(fps.size, doc_id, dtype=object)
+                )
+                out_fps.append(fps)
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(out_ids),
+                        "fp": np.concatenate(out_fps),
+                    }
+                )
+
+    return norm.mapInPandas(winnow_batches, out_schema).distinct()
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

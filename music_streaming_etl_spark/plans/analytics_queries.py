@@ -2171,6 +2171,75 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", F.col("node").alias("part"), "score")
 
 
+def _oracle_pagerank(iterations: int = 5, dn: int = 850_000,
+                     dd: int = 1_000_000) -> str:
+    """DuckDB twin of ``operators/graph.py::pagerank`` on the
+    co-purchase graph — the round-7 promotion of the whole
+    power-iteration machinery from rows-only to a CELL-EXACT oracle
+    (VERDICT r6 item 6). Possible because the Spark side is
+    FIXED-POINT BIGINT end to end: every update is integer add /
+    floor-div, so one unrolled CTE chain per iteration (the fixed
+    iteration count makes recursion unnecessary) reproduces the rank
+    vector bit-for-bit. HUGEINT carries the d-multiply exactly where
+    Spark widens through DECIMAL(38,0); ``//`` on positive BIGINTs
+    floors exactly like Spark's ``div``; the final BIGINT→DOUBLE cast
+    and /1e18 are single correctly-rounded IEEE ops in both engines
+    (1e18 is exactly representable)."""
+    one = 10**18
+    parts = [f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+out_deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {one} // COUNT(*) AS base,
+         CAST((CAST({dd - dn} AS HUGEINT) * ({one} // COUNT(*))) // {dd}
+              AS BIGINT) AS teleport
+  FROM nodes
+),
+r0 AS (SELECT node, CAST(t.base AS BIGINT) AS rank FROM nodes, t)"""]
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        parts.append(f""",
+wd{i} AS (
+  SELECT r.node, r.rank, d.deg
+  FROM {p} r LEFT JOIN out_deg d ON d.src = r.node
+),
+dm{i} AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dm
+  FROM wd{i} WHERE deg IS NULL
+),
+inflow{i} AS (
+  SELECT e.dst AS node, CAST(SUM(w.rank // w.deg) AS BIGINT) AS inflow
+  FROM wd{i} w JOIN e ON e.src = w.node
+  WHERE w.deg IS NOT NULL
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST(t.teleport
+              + (CAST(COALESCE(i.inflow, 0) + (d.dm // t.n) AS HUGEINT)
+                 * {dn}) // {dd} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN inflow{i} i ON i.node = n.node, dm{i} d, t
+)""")
+    parts.append(f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, part ASC) AS BIGINT)
+         AS rank,
+       part, score
+FROM (SELECT node AS part, CAST(rank AS DOUBLE) / 1e18 AS score
+      FROM r{iterations})
+ORDER BY score DESC, part ASC LIMIT 20
+""")
+    return "".join(parts)
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution over customer names, composed
     entirely from existing operators: symmetric-delete-blocked fuzzy
@@ -4137,7 +4206,7 @@ REGISTRY_ANALYTICS: dict = {
     "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_FWD),
     "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
     "revenue_trend": (q_revenue_trend, ORACLE_REVENUE_TREND),
-    "pagerank_copurchase": (q_pagerank_copurchase, None),
+    "pagerank_copurchase": (q_pagerank_copurchase, _oracle_pagerank()),
     "entity_resolution": (q_entity_resolution, ORACLE_ENTITY_RESOLUTION),
     "daily_anomalies": (q_daily_anomalies, ORACLE_DAILY_ANOMALIES),
     "gapfill_daily": (q_gapfill_daily, ORACLE_GAPFILL),

@@ -120,6 +120,56 @@ def test_winnow_k_overflow_guard(spark):
     assert winnow_fingerprints(df, "doc_id", "text", k=7).count() > 0
 
 
+def test_winnow_gen4_matches_reference_python(spark):
+    """The r7 mapInPandas winnowing (doc-grain numpy) must reproduce
+    the definition exactly at every boundary grain: n_grams < window
+    (all-truncated tails), n_grams == window (exactly one full window
+    — the off-by-one the sliding-view branch can hide), n_grams >
+    window, and multi-char docs with repeats (distinct-fp dedup)."""
+    from music_streaming_etl_spark.operators.text import (
+        normalize_text,
+        winnow_fingerprints,
+    )
+
+    k, w = 5, 4
+    rows = [
+        (1, "abcde"),            # n_grams = 1  (< window)
+        (2, "abcdefg"),          # n_grams = 3  (< window)
+        (3, "abcdefgh"),         # n_grams = 4  (== window)
+        (4, "abcdefghij"),       # n_grams = 6  (> window)
+        (5, "aaaaaaaaaaaa"),     # repeats -> single distinct fp
+        (6, "ab"),               # shorter than k -> no rows
+        (7, "Mixed  Case\tWS x"),  # normalization path
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id"], r["fp"])
+        for r in winnow_fingerprints(df, "doc_id", "text", k=k, window=w)
+        .collect()
+    }
+
+    # reference: the definition, straight-line Python
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_text("text").alias("n")
+        ).collect()
+    }
+    want = set()
+    for doc_id, s in norm.items():
+        if len(s) < k:
+            continue
+        codes = [ord(c) for c in s]
+        gh = [
+            sum(codes[i + t] * 131**t for t in range(k))
+            for i in range(len(codes) - k + 1)
+        ]
+        for p in range(len(gh)):
+            want.add((doc_id, min(gh[p : p + w])))
+    assert got == want
+    assert not any(i == 6 for i, _ in got)
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [
