@@ -2146,8 +2146,10 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by PageRank over the co-purchase graph (edges =
     parts bought together, both directions): the "centrality" ranking
     a recommender seeds with. Iterative power iteration in FIXED-POINT
-    integers (``operators/graph.py``) — rows-only checked like the
-    other iterative ops, but the rank values themselves are
+    integers (``operators/graph.py``) — promoted in round 7 from
+    rows-only to a CELL-EXACT DuckDB oracle (``_oracle_pagerank``
+    unrolls the same integer updates per iteration), so the whole
+    power-iteration machinery is exactness-gated; the rank values are
     deterministic bit-for-bit across partitionings (property-tested).
     """
     from ..operators.graph import pagerank

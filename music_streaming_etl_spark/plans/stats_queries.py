@@ -5,11 +5,19 @@ shuffle-grain aggregations (value-grain rank decompositions, decimal
 power sums, calendar-bounded pair frames) so they run on 100 TB
 without a global sort or a driver collect.
 
-Shared determinism rules (the engine playbook): exact integer/
-decimal accumulation everywhere an engine could reorder float adds;
-doubles only in final scalar formulas written in ONE fixed operation
-order mirrored textually between the Spark plan and the DuckDB
-oracle; ``round(_, 6)`` before emitting any libm-derived value.
+Shared determinism rules (the engine playbook, revised round 7):
+exact integer/decimal accumulation everywhere an engine could
+reorder float adds; doubles only in final scalar formulas written in
+ONE fixed operation order mirrored textually between the Spark plan
+and the DuckDB oracle. Finals derived purely from exact sums via
+``+ - * / sqrt`` are emitted RAW (bit-identical by IEEE 754);
+libm-derived or large-decimal-cast values are quantized with the
+micro-unit FLOOR of ``functions/quantize.py`` (``q6``/``q6_sql``),
+never ``ROUND(DOUBLE, d)`` — Spark's exact-BigDecimal HALF_UP and
+DuckDB's float-scaled rounding can differ by 1 output ulp across
+engine versions (it hash-failed ``anova_oneway`` in the round-6
+driver environment), while ``floor`` of the identical double is
+engine-unambiguous.
 """
 
 from __future__ import annotations

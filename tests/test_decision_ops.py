@@ -71,8 +71,11 @@ def test_max_drawdown_matches_brute_force(spark, sf_dir):
 
 
 def _brute_rbo(ra: list, rb: list, k: int = 20) -> float:
-    """Truncated RBO with the query's own term quantization (9dp
-    decimal terms, x0.1, 6dp emit)."""
+    """Truncated RBO with the query's own term quantization (r7
+    form: 1e-9-unit integer FLOOR per term, raw x0.1 emit — the
+    engine-unambiguous quantizer that replaced ROUND finals)."""
+    import math
+
     pa = {item: i + 1 for i, item in enumerate(ra[:k])}
     pb = {item: i + 1 for i, item in enumerate(rb[:k])}
     total = 0
@@ -82,9 +85,8 @@ def _brute_rbo(ra: list, rb: list, k: int = 20) -> float:
             for item, r in pa.items()
             if r <= d and item in pb and pb[item] <= d
         )
-        term = round(float(_RBO_P[d - 1]) * ov / d, 9)
-        total += round(term * 10**9)
-    return round(total / 10**9 * 0.1, 6)
+        total += math.floor(float(_RBO_P[d - 1]) * ov / d * 1e9)
+    return float(total) / 1e9 * 0.1
 
 
 def test_rbo_matches_brute_force(spark, sf_dir):
@@ -144,7 +146,8 @@ def test_ucb1_scores_and_rank(spark, sf_dir):
         n = len(sub)
         x = int((sub.o_orderstatus == "F").sum())
         assert (r["n"], r["x"]) == (n, x), r["arm"]
-        ucb = round(x / n + math.sqrt(2 * math.log(n_total) / n), 6)
+        # r7 quantizer: micro-unit floor (q6), not round
+        ucb = math.floor((x / n + math.sqrt(2 * math.log(n_total) / n)) * 1e6) / 1e6
         assert r["ucb_score"] == ucb, r["arm"]
         scored.append((ucb, r["arm"]))
     want = sorted(scored, key=lambda t: (-t[0], t[1]))

@@ -42,7 +42,6 @@ def test_oracle_coverage_ratio():
         "bpe_tokenize",                 # iterative learned tokenizer
         "hll_rollup_customers",         # DataSketches HLL (no DuckDB twin)
         "hopping_windows_approx",       # HLL estimate (100 TB distinct path)
-        "pagerank_copurchase",          # iterative power iteration
         "revenue_percentiles_approx",   # GK sketch
         "similarity_topk_ivf_kmeans",   # learned quantizer (iterative)
         "similarity_topk_ivfpq",        # two learned quantizers (iterative)

@@ -750,14 +750,17 @@ def test_hard_negative_matches_brute_force(spark):
     mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     labels = np.array(t.column("label").to_pylist())
     vec_ids = np.array(t.column("vec_id").to_pylist())
-    # mirror the quantization pipeline: centroid of 6dp-quantized mean,
-    # vectors quantized to 6dp
+    # mirror the quantization pipeline (r7 form): centroid mean
+    # FLOOR-gridded to 6dp (functions/quantize semantics), vectors
+    # cast to decimal(12,6)
     q = np.round(mat, 6)
     cents = {}
     for lab in np.unique(labels):
         m = mat[labels == lab].astype(np.float64)
-        # decimal(38,6) sum of quantized elements / n, rounded to 6
-        cents[lab] = np.round(np.round(m, 6).sum(axis=0) / len(m), 6)
+        # decimal(38,6) sum of quantized elements / n, floor-gridded
+        cents[lab] = np.floor(
+            np.round(m, 6).sum(axis=0) / len(m) * 1e6
+        ) / 1e6
     expect = {}
     for i, vid in enumerate(vec_ids):
         own = labels[i]
@@ -765,10 +768,9 @@ def test_hard_negative_matches_brute_force(spark):
         for lab, c in cents.items():
             if lab == own:
                 continue
-            cos = round(
-                float(q[i] @ c)
-                / (math.sqrt(float(q[i] @ q[i])) * math.sqrt(float(c @ c))),
-                6,
+            # r7: raw cosine (the query emits the unrounded quotient)
+            cos = float(q[i] @ c) / (
+                math.sqrt(float(q[i] @ q[i])) * math.sqrt(float(c @ c))
             )
             k = (cos, -lab)
             if best is None or k > best[0]:
