@@ -18,6 +18,14 @@ DuckDB's float-scaled rounding can differ by 1 output ulp across
 engine versions (it hash-failed ``anova_oneway`` in the round-6
 driver environment), while ``floor`` of the identical double is
 engine-unambiguous.
+
+Round-7 addendum: ``CAST(double AS DECIMAL)`` of a value >= 2^53 is
+ALSO engine-ambiguous (Spark converts the JVM Double.toString
+digits, DuckDB the exact binary value — see ``_floor_sat_safe``'s
+residual-hazard note and ``plans/staged_r8_queries.py``). Any term
+that can cross 2^53 at an oracle-checked sf must stay in doubles
+through a fixed-textual-order reduction instead of re-entering
+decimals.
 """
 
 from __future__ import annotations
@@ -61,7 +69,21 @@ def _floor_sat_safe(q: F.Column, out_type: str) -> F.Column:
     double), so oracles keep a plain floor(); past the out_type's own
     ceiling the final cast raises loudly under ANSI instead of
     clamping. Gate on |q| — doubles <= -2^53 are integral too, and a
-    plain floor saturates at Long.MIN there just as silently."""
+    plain floor saturates at Long.MIN there just as silently.
+
+    RESIDUAL HAZARD (round 7, staged_r8_queries module docstring):
+    the >= 2^53 identity branch ends in ``q.cast(decimal)``, and
+    Spark's double->decimal cast converts via the JVM's
+    Double.toString digits — which past 2^53 is NOT always the exact
+    binary integer DuckDB converts (measured: 4.0829644555931686e17
+    casts to …860 on Spark/Java 17, …864 = exact on DuckDB). Safe
+    HERE only because every registry user's quantized terms stay
+    below 2^53 at every ORACLE-CHECKED sf (they cross only in
+    oracle-less 1000x probes). Do NOT reuse this carrier for a term
+    that exceeds 2^53 at sf0.01 — pivot the bounded group terms into
+    fixed columns and sum in one textual order in doubles instead
+    (the staged-r8 pattern, pinned by
+    ``test_double_to_decimal_cast_is_ambiguous_past_2_53``)."""
     return (
         F.when(F.abs(q) < F.lit(float(2**53)), F.floor(q).cast(out_type))
         .otherwise(q.cast(out_type))

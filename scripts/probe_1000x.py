@@ -72,6 +72,28 @@ PROBES = {
     ),
 }
 
+# round-8 staged keys (plans/staged_r8_queries.py) — same
+# pre-registration decade-past-the-curve discipline
+from music_streaming_etl_spark.plans.staged_r8_queries import (  # noqa: E402
+    q_brown_forsythe,
+    q_changepoint_mean_shift,
+    q_kruskal_wallis,
+)
+
+PROBES.update(
+    {
+        "kruskal_wallis": (
+            q_kruskal_wallis, materialize_orders, "ord", "orders",
+        ),
+        "changepoint_mean_shift": (
+            q_changepoint_mean_shift, materialize_orders, "ord", "orders",
+        ),
+        "brown_forsythe": (
+            q_brown_forsythe, materialize_star, "star", "lineitem",
+        ),
+    }
+)
+
 # Fourth sweep: the predicted ROUND-7 re-verify window (the 35 oldest-
 # evidence r1-era keys at positions 16-50) probed at 1000× before the
 # driver re-checks them — same pre-driver pattern that caught the

@@ -1030,6 +1030,20 @@ def main() -> None:
     for _k, _mn in _STAGED_PROBES.items():
         _m, _b = _MATS[_mn]
         probes.setdefault(_k, (_STAGED[_k][0], _m, _b))
+    # round-8 STAGED keys (plans/staged_r8_queries.py): same
+    # pre-registration probing discipline.
+    from music_streaming_etl_spark.plans.staged_r8_queries import (
+        REGISTRY_STAGED_R8 as _STAGED_R8,
+    )
+
+    _STAGED_R8_PROBES = {
+        "kruskal_wallis": "orders",
+        "changepoint_mean_shift": "orders",
+        "brown_forsythe": "star",
+    }
+    for _k, _mn in _STAGED_R8_PROBES.items():
+        _m, _b = _MATS[_mn]
+        probes.setdefault(_k, (_STAGED_R8[_k][0], _m, _b))
     # posting-list pair ops: fan-out is Σ|doc|² — the df-cap is the
     # documented scale knob, so the uncapped probe stops at 10×
     # (r4: token_pmi's registered form is now rarest-K-capped with a
