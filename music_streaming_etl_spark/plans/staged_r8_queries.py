@@ -83,10 +83,37 @@ def _dec(col: F.Column, p: int = 19) -> F.Column:
 
 
 #: closed group domains (TPC-H column value sets) — the pivot basis
-#: for the fixed-order k-term sums; a value outside these sets would
-#: surface as a row-count/k mismatch against the oracle, not silence
+#: for the fixed-order k-term sums. A value OUTSIDE these sets would
+#: be counted in k/n_rows but excluded from the pivoted term sum in
+#: BOTH engines (they would agree cell-exactly on a statistically
+#: wrong value), so the queries guard explicitly: when k exceeds the
+#: number of non-null pivot columns, every derived statistic is
+#: NULLed — identically in the oracle (``_domain_guard_sql``) — and
+#: the test battery pins the guard with a crafted 6th group.
 _PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 _RETURNFLAGS = ("A", "N", "R")
+
+
+def _pivot_present(n_groups: int, den_col: str) -> F.Column:
+    """Count of groups actually captured by the pivot columns — the
+    guard comparand for k."""
+    acc = None
+    for i in range(n_groups):
+        term = F.when(F.col(f"{den_col}_{i}").isNotNull(), 1).otherwise(0)
+        acc = term if acc is None else acc + term
+    return acc.cast("bigint")
+
+
+def _pivot_present_sql(n_groups: int, den_col: str) -> str:
+    """SQL mirror of :func:`_pivot_present`."""
+    return (
+        "CAST(("
+        + " + ".join(
+            f"CASE WHEN {den_col}_{i} IS NOT NULL THEN 1 ELSE 0 END"
+            for i in range(n_groups)
+        )
+        + ") AS BIGINT)"
+    )
 
 
 def _pivot_term(i: int, num_col: str, den_col: str) -> F.Column:
@@ -193,7 +220,9 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [_pivot_term(i, "r2", "n") for i in range(len(_PRIORITIES))]
             ),
         )
+        .withColumn("present", _pivot_present(len(_PRIORITIES), "n"))
     )
+    guard = F.col("k") == F.col("present")
     nd = F.col("n_all").cast("double")
     # fixed operation order, mirrored textually in the oracle; the
     # /4 undoes the rank doubling (r2² = 4·R²) AFTER the k-term sum
@@ -208,8 +237,13 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         F.col("k").alias("n_groups"),
         F.col("n_all").alias("n_rows"),
-        F.col("rank_terms"),
-        F.try_divide(h_num, F.nullif(corr, F.lit(0.0))).alias("h_stat"),
+        # domain guard: a group value outside _PRIORITIES is counted
+        # in k/n_rows but missing from the pivot — NULL the derived
+        # stats rather than agree with the oracle on a wrong value
+        F.when(guard, F.col("rank_terms")).alias("rank_terms"),
+        F.when(
+            guard, F.try_divide(h_num, F.nullif(corr, F.lit(0.0)))
+        ).alias("h_stat"),
     )
 
 
@@ -267,17 +301,20 @@ WITH s AS (
   FROM jg
 ), terms AS (
   SELECT k, n_all, ties,
-    {_terms_fold_sql(len(_PRIORITIES), "r2", "n")} AS rank_terms
+    {_terms_fold_sql(len(_PRIORITIES), "r2", "n")} AS rank_terms,
+    {_pivot_present_sql(len(_PRIORITIES), "n")} AS present
   FROM tot, ties
 )
-SELECT k AS n_groups, n_all AS n_rows, rank_terms,
+SELECT k AS n_groups, n_all AS n_rows,
+       CASE WHEN k = present THEN rank_terms END AS rank_terms,
+       CASE WHEN k = present THEN
        ((12.0 * (rank_terms / 4.0))
           / NULLIF(CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1.0), 0.0)
         - 3.0 * (CAST(n_all AS DOUBLE) + 1.0))
        / NULLIF(1.0 - CAST(ties AS DOUBLE)
                 / NULLIF(CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE)
                          * CAST(n_all AS DOUBLE) - CAST(n_all AS DOUBLE), 0.0),
-                0.0) AS h_stat
+                0.0) END AS h_stat
 FROM terms
 """
 
@@ -366,7 +403,7 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fixed_order_sum(
             [_pivot_term(i, "sm", "n") for i in range(len(_RETURNFLAGS))]
         ),
-    )
+    ).withColumn("present", _pivot_present(len(_RETURNFLAGS), "n"))
     grand = (
         F.col("s_all").cast("double")
         * F.col("s_all").cast("double")
@@ -375,8 +412,16 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = tot.select(
         "k",
         "n_all",
-        (F.col("sg") - grand).alias("ssb"),
-        (F.col("ss_all").cast("double") - F.col("sg")).alias("ssw"),
+        # domain guard: see _PRIORITIES/_RETURNFLAGS note — an
+        # unpivoted group would silently skew the term sum in BOTH
+        # engines, so derived stats are NULLed instead
+        F.when(F.col("k") == F.col("present"), F.col("sg") - grand).alias(
+            "ssb"
+        ),
+        F.when(
+            F.col("k") == F.col("present"),
+            F.col("ss_all").cast("double") - F.col("sg"),
+        ).alias("ssw"),
     )
     return wide.select(
         F.col("k").alias("n_groups"),
@@ -428,13 +473,16 @@ WITH s AS (
   FROM st
 ), terms AS (
   SELECT k, n_all, s_all, ss_all,
-    {_terms_fold_sql(len(_RETURNFLAGS), "sm", "n")} AS sg
+    {_terms_fold_sql(len(_RETURNFLAGS), "sm", "n")} AS sg,
+    {_pivot_present_sql(len(_RETURNFLAGS), "n")} AS present
   FROM tot
 ), wide AS (
   SELECT k, n_all,
-         sg - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
-              / CAST(n_all AS DOUBLE) AS ssb,
-         CAST(ss_all AS DOUBLE) - sg AS ssw
+         CASE WHEN k = present THEN
+           sg - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                / CAST(n_all AS DOUBLE) END AS ssb,
+         CASE WHEN k = present THEN
+           CAST(ss_all AS DOUBLE) - sg END AS ssw
   FROM terms
 )
 SELECT k AS n_groups, n_all AS n_rows,

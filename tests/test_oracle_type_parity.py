@@ -24,9 +24,7 @@ import pytest
 
 from music_streaming_etl_spark.plans.registry import REGISTRY
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from conftest import TABLES  # noqa: F401  (re-export: staged suites import it here)
 
 # (query, column) pairs where the canonical types differ but the
 # driver's hash has been observed GREEN (CORRECTNESS_r01/r02.json), so
@@ -78,15 +76,6 @@ def canon_spark(t: str) -> str:
     if t in ("timestamp_ntz", "timestamp_ltz"):
         return "timestamp"
     return t
-
-
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    yield con
-    con.close()
 
 
 def test_oracle_types_match_spark_schema(spark, sf_dir, duck):

@@ -9,7 +9,6 @@ register them without staging unproven code into the driver window.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -20,16 +19,7 @@ from music_streaming_etl_spark.plans.staged_queries import (
 )
 from music_streaming_etl_spark.sources.upsert import merge_into
 
-from test_oracle_type_parity import TABLES, canon_duck, canon_spark
-
-
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    yield con
-    con.close()
+from test_oracle_type_parity import canon_duck, canon_spark
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY_STAGED))

@@ -28,15 +28,6 @@ from music_streaming_etl_spark.plans.staged_r8_queries import (
 from test_oracle_type_parity import TABLES, canon_duck, canon_spark
 
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    yield con
-    con.close()
-
-
 @pytest.mark.parametrize("name", sorted(REGISTRY_STAGED_R8))
 def test_staged_r8_oracle_parity(spark, sf_dir, duck, name):
     """Cell-exact vs DuckDB at sf0.001 — the driver-gate replica."""
@@ -191,11 +182,83 @@ def test_changepoint_matches_bruteforce(spark, sf_dir, duck):
     assert row.shift_stat == pytest.approx(best[1], rel=1e-9)
 
 
-def test_changepoint_is_the_argmax(spark, sf_dir):
-    """The returned row is LIMIT 1 of a frame ordered by (stat DESC,
-    day ASC) — re-run without the limit and assert the head."""
-    full = q_changepoint_mean_shift(spark, sf_dir)
-    assert full.count() == 1
+def _write_orders(spark, sf_dir, tmp_path, rows, name="crafted"):
+    """Minimal orders.parquet (the three columns the staged keys
+    read) plus empty siblings for the rest of the table set."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "o_orderdate timestamp, o_totalprice double, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    for t in TABLES:
+        if t != "orders":
+            pq.write_table(
+                pq.read_table(f"{sf_dir}/{t}.parquet").slice(0, 0),
+                str(d / f"{t}.parquet"),
+            )
+    return str(d)
+
+
+def test_changepoint_tie_breaks_to_earliest_day(spark, sf_dir, tmp_path):
+    """Argmax total order (stat DESC, day ASC): a symmetric series
+    makes the first and third splits bit-identically tied (same
+    |mean difference|, same n₁n₂/N), so the EARLIEST day must win —
+    this pins the ordering itself, which the sf0.001 twin only
+    exercises incidentally."""
+    import datetime as dt
+
+    days = [dt.datetime(2024, 1, i + 1) for i in range(4)]
+    rows = [
+        (days[0], 0.0, "1-URGENT"),
+        (days[1], 1.0, "1-URGENT"),
+        (days[2], 1.0, "1-URGENT"),
+        (days[3], 0.0, "1-URGENT"),
+    ]
+    d = _write_orders(spark, sf_dir, tmp_path, rows)
+    row = q_changepoint_mean_shift(spark, d).collect()[0]
+    # splits after day1 and day3 tie exactly (diff = ∓50/3 cents,
+    # squared; n1·n2/N = 3/4 both); day2's split has stat 0
+    assert row.split_date == dt.date(2024, 1, 1)
+    assert row.n_before == 1 and row.n_after == 3
+    assert row.shift_stat == pytest.approx((3.0 / 4.0) * (200.0 / 3.0) ** 2)
+
+
+def test_kruskal_domain_guard_nulls_stats(spark, sf_dir, tmp_path):
+    """A group value OUTSIDE the closed pivot domain is counted in
+    n_groups/n_rows but cannot contribute a pivoted term — both
+    engines would agree on a statistically wrong H, so the guard
+    NULLs the derived stats instead (k != present)."""
+    import datetime as dt
+
+    day = dt.datetime(2024, 1, 1)
+    rows = [
+        (day, float(10 * i + p), pri)
+        for i in range(3)
+        for p, pri in enumerate(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW", "6-ROGUE"]
+        )
+    ]
+    d = _write_orders(spark, sf_dir, tmp_path, rows)
+    row = q_kruskal_wallis(spark, d).collect()[0]
+    assert row.n_groups == 6 and row.n_rows == 18
+    assert row.rank_terms is None and row.h_stat is None
+    # the oracle takes the identical branch
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; glob its part files
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'"
+    )
+    from music_streaming_etl_spark.plans.staged_r8_queries import (
+        ORACLE_KRUSKAL_WALLIS,
+    )
+
+    ok, on, orank, oh = con.execute(ORACLE_KRUSKAL_WALLIS).fetchone()
+    con.close()
+    assert (ok, on) == (6, 18) and orank is None and oh is None
 
 
 # --------------------------------------------------------------------------
@@ -255,14 +318,14 @@ def test_fixed_order_sum_matches_python_fold(spark):
     assert got == acc  # bit-exact, not approx
 
 
-def test_kruskal_single_group_is_null(spark, duck, tmp_path):
+def test_kruskal_single_group_is_null(spark, sf_dir, tmp_path):
     """k == 1: H's denominator N³−N is fine but ties == N³−N makes
     the correction 0 → NULL (all values in one group can still
     differ, then corr > 0 and H is finite ≥ 0 — both legs checked)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    src = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    src = pq.read_table(f"{sf_dir}/orders.parquet")
     one = src.filter(
         pa.compute.equal(src["o_orderpriority"], "1-URGENT")
     )
@@ -273,7 +336,7 @@ def test_kruskal_single_group_is_null(spark, duck, tmp_path):
             pq.write_table(one, str(d / "orders.parquet"))
         else:
             pq.write_table(
-                pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 0),
+                pq.read_table(f"{sf_dir}/{t}.parquet").slice(0, 0),
                 str(d / f"{t}.parquet"),
             )
     row = q_kruskal_wallis(spark, str(d)).collect()[0]
