@@ -3398,9 +3398,16 @@ def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").cast("decimal(12,6)").alias("vq"),
     )
     # squared euclidean distance to each centroid via exact decimal
-    # sums of (vq - c)^2 terms
+    # sums of (vq - c)^2 terms. BROADCAST the centroid side: it is
+    # |labels|×64 rows by construction, and a shuffle join ON `dim`
+    # (64 distinct keys) is the r4 partial-agg trap — it scatters
+    # every (vec_id, label) group across ALL tasks (hash state =
+    # total groups per task, not groups-per-partition) and shuffles
+    # the full |V|·64·|L| fan-out (measured: disk exhaustion at 2M
+    # vectors in the r7 1000× sweep; broadcast form runs scan-bound).
+    # Decimal sums are order-independent, so results are bit-equal.
     d2 = (
-        flat.join(cent, "dim")
+        flat.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "label", "c_label")
         .agg(
             F.sum(
@@ -4120,14 +4127,19 @@ FROM pc
 
 def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How much of daily revenue variation is weekly seasonality?
-    STL-lite: detrend with a centered 7-day moving average (exact
-    rational, FLOOR-quantized to micro-cents — clean rationals are
-    where engine rounding modes diverge), estimate the day-of-week
-    component as each dow's mean detrended value (same quantization),
-    and report F_s = max(0, 1 − Var(remainder)/Var(detrended)) — 1.0
-    = purely weekly, 0 = no weekly structure. All variances come from
-    exact decimal sums of the quantized integer series; the windows
-    run on the calendar-bounded day frame."""
+    STL-lite: detrend with a centered 7-day moving average carried on
+    the (cents × 7) grid — d = 7·c − Σ₇c is the EXACT ×7 residual,
+    pure integer arithmetic with no float, floor, or quantization
+    residue (the variance RATIO is grid-invariant) — estimate the
+    day-of-week component as each dow's floor-quantized mean
+    detrended value, and report F_s = max(0, 1 −
+    Var(remainder)/Var(detrended)) — 1.0 = purely weekly, 0 = no
+    weekly structure. All variances come from exact decimal sums of
+    the integer series; the windows run on the calendar-bounded day
+    frame. (The pre-r7 ×1e6 micro-cent grid inflated the variance
+    carrier ~1e10×: Σd² hit 1.06e38 > DECIMAL(38,0) at the 1000×
+    probe — ANSI raised loudly, sixth sweep; the ×7 grid keeps Σd²
+    ~1e27 there and inside DECIMAL(38,0) past 100000×.)"""
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders")
@@ -4141,16 +4153,9 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s7", F.sum("c").over(w7))
         .where(F.col("n7") == 7)
         .withColumn(
+            # exact ×7 residual: no double, no floor (see docstring)
             "d",
-            # _floor_sat_safe: the floor argument is ~9e17 at the
-            # 1000× probe grain (daily cents scale linearly with SF)
-            # — one decade from floor(DOUBLE)'s silent Long.MAX
-            # saturation; the gate is value-identical below 2^53 and
-            # identity (like DuckDB) above.
-            F.col("c") * 1000000
-            - _floor_sat_safe(
-                F.col("s7").cast("double") / 7.0 * 1000000.0, "bigint"
-            ),
+            F.col("c") * 7 - F.col("s7"),
         )
         .withColumn("dow", F.weekday("day"))
     )
@@ -4204,8 +4209,7 @@ WITH daily AS (
   FROM daily
 ), det AS (
   SELECT day, c,
-         c * 1000000
-         - CAST(floor(CAST(s7 AS DOUBLE) / 7.0 * 1000000.0) AS BIGINT) AS d,
+         c * 7 - CAST(s7 AS BIGINT) AS d,
          CAST(isodow(day) - 1 AS INT) AS dow
   FROM ma WHERE n7 = 7
 ), dow_mean AS (

@@ -32,8 +32,10 @@ sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
 from scale_probe import (  # noqa: E402
     materialize_baskets,
+    materialize_customer,
     materialize_events,
     materialize_llm,
+    materialize_llm_fixed_labels,
     materialize_orders,
     materialize_star,
 )
@@ -195,6 +197,83 @@ _R8_WINDOW_1000X = {
     "embedding_neardup": "llm_emb",
 }
 
+# Sixth sweep: the predicted ROUND-9 re-verify window (oldest-evidence
+# positions ~101-150 of the rotation — r3/r4-era keys) probed at 1000×
+# two rounds early, same pre-driver pattern. Deliberate skips, with
+# rationale: ref_pipeline_genre_kpis (fixed real-data CSV inputs,
+# independent of sf_dir — it pins real-data parity, not scale);
+# dedup_clusters / dedup_clusters_twophase / dedup_canonical /
+# training_corpus (all compose dedup_minhash's banded self-join, whose
+# 1000× shuffle exceeds this box's free local disk — the recorded
+# dedup_minhash cap covers the class; their 100× curves stand).
+_CORPUS["customer"] = (materialize_customer, "cust", "customer")
+_CORPUS["llm_fixed_labels_emb"] = (
+    materialize_llm_fixed_labels, "llmfix", "embeddings",
+)
+_R9_WINDOW_1000X = {
+    # events-backed
+    "sprt_decision": "events",
+    "shapley_attribution": "events",
+    "stratified_ate": "events",
+    "difference_in_differences": "events",
+    "pseudonymize_users": "events",
+    "key_skew_profile": "events",
+    "time_weighted_value": "events",
+    "event_transitions": "events",
+    "variant_props_stats": "events",
+    "cms_frequency": "events",
+    "funnel_conversion": "events",
+    "locf_fill": "events",
+    "scd2_user_state": "events",
+    # orders-backed (customer dim symlinked by the materializer)
+    "weighted_median_price": "orders",
+    "nearest_warehouse": "orders",
+    "npv_revenue_stream": "orders",
+    "conformal_interval": "orders",
+    "seasonality_strength": "orders",
+    "revenue_trend": "orders",
+    "cohort_retention": "orders",
+    "quantile_sketch_rollup": "orders",
+    "zorder_values": "orders",
+    "rolling_7day_revenue": "orders",
+    "bucketed_join_revenue": "orders",
+    "lateral_top_orders": "orders",
+    # consistently re-keyed orders×lineitem
+    "business_days_to_ship": "star",
+    "partial_correlation": "star",
+    "range_join_windows": "star",
+    # lineitem-only
+    "copurchase_pairs": "baskets",
+    "salted_skew_count": "baskets",
+    "unpivot_metrics": "baskets",
+    # documents / embeddings
+    "sample_per_key": "llm",
+    "corpus_shuffle": "llm",
+    "duplicate_spans": "llm",
+    "pack_sequences": "llm",
+    "domain_top_docs": "llm",
+    "pii_redaction": "llm",
+    # centroid_silhouette fans out |V|·|L| BY DESIGN — the generic
+    # llm multiplier RE-KEYS labels (|L| grows 1000×, fan-out goes
+    # quadratic: measured a zero-progress 1.28T-row join before this
+    # mapping was corrected). Like hard_negative_centroids, it must
+    # scale on the FIXED-labels corpus: vectors grow, the label
+    # domain does not — the realistic shape.
+    "centroid_silhouette": "llm_fixed_labels_emb",
+    "embedding_mmd": "llm_emb",
+    "semdedup": "llm_emb",
+    # customer-backed. entity_resolution is EXCLUDED at 1000×: the
+    # synthetic name corpus (custkey-derived, shared `Customer#0…`
+    # stem) makes SymSpell deletion-variant blocks grow superlinearly
+    # with corpus size — the 15M-row verify join spills past the
+    # box's free disk even at 48g heap (measured, SCALE.md sixth
+    # sweep); 100× (6.83s) stands as its largest clean point.
+    "k_anonymity": "customer",
+    "snapshot_diff": "customer",
+    "profile_table": "customer",
+    "fuzzy_name_pairs": "customer",
+}
+
 
 def _pid_alive(pid: int) -> bool:
     """True iff ``pid`` is a live process (signal-0 probe; EPERM
@@ -211,7 +290,11 @@ def _pid_alive(pid: int) -> bool:
 def _extend_with_registry() -> None:
     from music_streaming_etl_spark.plans.registry import REGISTRY as _REG
 
-    for k, c in {**_R7_WINDOW_1000X, **_R8_WINDOW_1000X}.items():
+    for k, c in {
+        **_R7_WINDOW_1000X,
+        **_R8_WINDOW_1000X,
+        **_R9_WINDOW_1000X,
+    }.items():
         m, p, b = _CORPUS[c]
         PROBES.setdefault(k, (_REG[k][0], m, p, b))
 

@@ -1279,7 +1279,8 @@ def test_seasonality_strength_matches_brute_force(spark):
     det = []
     for i in range(3, len(c) - 3):
         s7 = sum(c[i - 3 : i + 4])
-        d = c[i] * 1000000 - math.floor(s7 / 7.0 * 1000000.0)
+        # exact ×7 residual (r7 carrier fix — see q_seasonality_strength)
+        d = c[i] * 7 - s7
         det.append((days[i].weekday(), d))
     from collections import defaultdict
 
