@@ -978,12 +978,17 @@ def embedding_neardup_pairs(
         norms = np.sqrt((mat * mat).sum(axis=1))
         gram = mat @ mat.T
         raw = gram / np.outer(norms, norms)
-        # round-7 sweep: FLOOR to the 1e-6 grid (toward -inf), the
-        # same engine-unambiguous quantizer as functions/quantize.q6
-        # and the reworked oracle — ROUND's half-rule was the
-        # cross-engine ambiguity class (np.round is banker's,
-        # DuckDB scales in float, Spark in BigDecimal)
-        cos = np.floor(raw * 1e6) / 1e6
+        # HALF-UP floor onto the 1e-6 grid: floor(x·1e6 + 0.5)/1e6,
+        # mirrored textually in the oracle. Engine-unambiguous like
+        # q6 (a pure floor, no ROUND half-rule), but the absorbing
+        # cliff sits at half-points instead of grid points — cosine's
+        # NATURAL values (1.0 for duplicate vectors — the case a
+        # near-dup op exists for — and 0/−1) are grid points, where a
+        # plain q6 floor split engines on the ±1-ulp raws
+        # (sqrt(s)² ≠ s): measured constant-corpus red, spark
+        # 0.999999 vs oracle 1.0, round 7. |cos| ≤ 1, so no 2^53 gate
+        # is needed.
+        cos = np.floor(raw * 1e6 + 0.5) / 1e6
         iu, ju = np.triu_indices(n, k=1)
         keep = cos[iu, ju] >= threshold
         ia, ib = ids[iu[keep]], ids[ju[keep]]

@@ -461,15 +461,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EMB_NEARDUP = """
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CASE WHEN abs(CAST((list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) END AS cosine_sim
+       floor(CAST((list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cosine_sim
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE CASE WHEN abs(CAST((list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) < 9007199254740992.0 THEN floor(CAST((list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6) / 1e6 ELSE CAST((list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) END >= 0.35
+WHERE floor(CAST((list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 >= 0.35
 """
 
 
