@@ -1,0 +1,125 @@
+"""Per-key SOURCE FINGERPRINTS for the change-aware driver rotation
+(VERDICT r7 item 3).
+
+`_auto_rotate` (registry.py) used to order already-green keys by
+evidence AGE only, so a key whose implementation was rewritten AFTER
+its latest green driver row kept that stale row and waited behind
+untouched r2-era keys (`winnow_fingerprints` in round 7: operator
+replaced wholesale, driver row certified the gen-3 form). This module
+computes a deterministic fingerprint of each registry key's SOURCE
+CLOSURE — the plan function, its oracle SQL, and (recursively) every
+in-package function / class / module the plan code references — so
+the rotation can front keys whose code changed since the round that
+certified them.
+
+The certified fingerprints live in the builder-owned sidecar
+``FINGERPRINTS.json`` at the repo root: ``{key: {"fp": md5,
+"round": N}}`` where N is the round of the key's latest green
+CORRECTNESS row and fp is the closure fingerprint of the source AT
+THAT ROUND. The sidecar is updated by ``scripts/record_fingerprints.py``
+run at ROUND START, before any source edits — the driver runs against
+the round's final commit, so at the start of the NEXT round the live
+tree is exactly the tree its green rows certified.
+
+Determinism contract (mirrors `_auto_rotate`'s): the fingerprint is a
+pure function of committed source text, so any two checkouts of the
+same commit agree. Only IN-PACKAGE objects enter the closure —
+pyspark / stdlib churn must not invalidate evidence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import types
+
+_PKG_ROOT = __name__.split(".")[0]  # "music_streaming_etl_spark"
+
+
+def _is_in_package(obj) -> bool:
+    mod = getattr(obj, "__module__", None)
+    if isinstance(obj, types.ModuleType):
+        mod = obj.__name__
+    return bool(mod) and (
+        mod == _PKG_ROOT or str(mod).startswith(_PKG_ROOT + ".")
+    )
+
+
+def _code_names(code: types.CodeType) -> set[str]:
+    """All global-ish names referenced by a code object, including
+    nested code objects (lambdas, comprehensions, inner defs)."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _closure_sources(fn, sources: dict[str, str], seen: set[int]) -> None:
+    """Recursively collect ``{stable_id: source_text}`` for ``fn`` and
+    every in-package object its code references by name."""
+    if id(fn) in seen:
+        return
+    seen.add(id(fn))
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    key = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
+    sources[key] = src
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return
+    globs = getattr(fn, "__globals__", {})
+    for name in sorted(_code_names(code)):
+        obj = globs.get(name)
+        if obj is None:
+            continue
+        if isinstance(obj, types.ModuleType):
+            if _is_in_package(obj):
+                mod_id = f"module:{obj.__name__}"
+                if mod_id not in sources:
+                    try:
+                        sources[mod_id] = inspect.getsource(obj)
+                    except (OSError, TypeError):
+                        sources[mod_id] = obj.__name__
+        elif isinstance(obj, types.FunctionType):
+            if _is_in_package(obj):
+                _closure_sources(obj, sources, seen)
+        elif inspect.isclass(obj):
+            if _is_in_package(obj):
+                cls_id = f"class:{obj.__module__}.{obj.__qualname__}"
+                if cls_id not in sources:
+                    try:
+                        sources[cls_id] = inspect.getsource(obj)
+                    except (OSError, TypeError):
+                        sources[cls_id] = repr(obj)
+        elif isinstance(obj, (str, int, float, tuple, frozenset)):
+            # module-level constants a plan reads (oracle templates,
+            # domain tuples): their VALUE is part of the closure.
+            # Module-qualified — same-named constants in different
+            # plan modules must not collide.
+            mod = getattr(fn, "__module__", "?")
+            sources.setdefault(f"const:{mod}.{name}", repr(obj))
+
+
+def key_fingerprint(fn, oracle: str | None) -> str:
+    """md5 over the sorted source closure of (plan fn, oracle SQL)."""
+    sources: dict[str, str] = {}
+    _closure_sources(fn, sources, set())
+    h = hashlib.md5()
+    for ident in sorted(sources):
+        h.update(ident.encode())
+        h.update(b"\x00")
+        h.update(sources[ident].encode())
+        h.update(b"\x00")
+    h.update((oracle or "<rows-only>").encode())
+    return h.hexdigest()
+
+
+def live_fingerprints(registry: dict) -> dict[str, str]:
+    """Fingerprint every key of a ``{key: (fn, oracle)}`` registry."""
+    return {
+        k: key_fingerprint(fn, oracle)
+        for k, (fn, oracle) in registry.items()
+    }

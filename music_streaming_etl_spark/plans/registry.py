@@ -15,6 +15,7 @@ from .analytics_queries import REGISTRY_ANALYTICS
 from .decision_queries import REGISTRY_DECISION
 from .extension_queries import REGISTRY_EXT
 from .staged_queries import REGISTRY_STAGED
+from .staged_r8_queries import REGISTRY_STAGED_R8
 from .stats_queries import REGISTRY_STATS
 from .testdata_queries import REGISTRY as REGISTRY_CORE
 from .tpch_queries import REGISTRY_TPCH
@@ -28,6 +29,7 @@ REGISTRY.update(REGISTRY_ADV)
 REGISTRY.update(REGISTRY_STATS)
 REGISTRY.update(REGISTRY_DECISION)
 REGISTRY.update(REGISTRY_STAGED)
+REGISTRY.update(REGISTRY_STAGED_R8)
 
 # The driver's correctness gate checks the FIRST 50 registry keys, so
 # ordering is load-bearing. Round-3 rotation plan (VERDICT r2 item 4):
@@ -41,6 +43,13 @@ REGISTRY.update(REGISTRY_STAGED)
 # window slot. Every key stays covered by scripts/selfcheck.py
 # (cell-exact, all keys) regardless of position.
 _PRIORITY: list[str] = [
+    # ROUND-8 REGISTRATION (VERDICT r7 item 2): the three keys staged
+    # in round 7 (`plans/staged_r8_queries.py`, evidence banked there
+    # and in tests/test_staged_round8.py) enter at the FRONT — new
+    # code is the riskiest and earns driver rows immediately.
+    "kruskal_wallis",
+    "brown_forsythe",
+    "changepoint_mean_shift",
     # ROUND-7 REGISTRATION (VERDICT r6 item 2): the three keys staged
     # in round 6 (`plans/staged_queries.py`, evidence banked there and
     # in tests/test_staged_round7.py) enter at the FRONT — new code is
@@ -199,8 +208,31 @@ def _collect_evidence(root: str) -> dict[str, int]:
     return latest_green
 
 
+def _load_certified_fingerprints(root: str) -> dict[str, str]:
+    """Read the builder-owned sidecar ``FINGERPRINTS.json`` written by
+    ``scripts/record_fingerprints.py`` at each round start:
+    ``{key: {"fp": closure-md5-at-latest-green-round, "round": N}}``.
+    Missing / malformed sidecar → empty map (rotation degrades to the
+    age-only behavior, never fails)."""
+    import json
+
+    path = os.path.join(root, "FINGERPRINTS.json")
+    try:
+        with open(path) as f:
+            recorded = json.load(f)
+        return {
+            k: v["fp"]
+            for k, v in recorded.items()
+            if isinstance(v, dict) and isinstance(v.get("fp"), str)
+        }
+    except Exception:  # noqa: BLE001 — sidecar is optional evidence
+        return {}
+
+
 def _auto_rotate(
-    registry: dict, checked: "set | dict | None" = None
+    registry: dict,
+    checked: "set | dict | None" = None,
+    certified_fps: "dict[str, str] | None" = None,
 ) -> dict:
     """SELF-ROTATING driver window (round 5, hardened round 6):
     re-order the registry at import time so the driver's 50-key
@@ -220,6 +252,18 @@ def _auto_rotate(
        `no_oracle`, so they must never occupy a window slot an
        oracle-backed key could use.
 
+    Round-8 hardening (VERDICT r7 item 3): the rotation is now
+    CHANGE-AWARE. A green key whose live source-closure fingerprint
+    (`fingerprints.key_fingerprint`) differs from the fingerprint its
+    latest green row certified (sidecar ``FINGERPRINTS.json``, written
+    at round start by ``scripts/record_fingerprints.py``) joins the
+    never-checked tier: its evidence describes code that no longer
+    exists, so it must lead the window ahead of merely-stale keys
+    (`winnow_fingerprints` in r7 — operator replaced wholesale, green
+    row certified the gen-3 form — is the motivating case). A key with
+    no sidecar entry is treated as unchanged (age order), so a missing
+    sidecar degrades to the round-7 behavior exactly.
+
     Why: the external correctness gate checks the FIRST 50 keys only
     and records CORRECTNESS_r{N}.json in the repo root. Rounds 3-5
     each began with a hand-staged rotation, and the round-4 verdict's
@@ -232,23 +276,42 @@ def _auto_rotate(
     two checkouts of the same commit agree. ``checked`` accepts a
     bare set (tests / simulations — all members equally stale) or the
     ``{key: latest_green_round}`` map `_collect_evidence` builds."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     if checked is None:
-        root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
         checked = _collect_evidence(root)
+        # change-awareness rides on REAL evidence only: a simulated
+        # `checked` set (tests) gets fingerprint handling solely when
+        # the caller passes `certified_fps` explicitly.
+        if certified_fps is None:
+            certified_fps = _load_certified_fingerprints(root)
     if not checked:
         return registry
+    if certified_fps is None:
+        certified_fps = {}
     staleness = (
         checked
         if isinstance(checked, dict)
         else {k: 0 for k in checked}
     )
+    changed: set[str] = set()
+    if certified_fps:
+        try:
+            from .fingerprints import key_fingerprint
+
+            for k, fp in certified_fps.items():
+                if k in registry and k in staleness:
+                    fn, oracle = registry[k]
+                    if key_fingerprint(fn, oracle) != fp:
+                        changed.add(k)
+        except Exception:  # noqa: BLE001 — evidence layer must not
+            changed = set()  # break query serving; degrade to age order
     fresh, seen, rows_only = [], [], []
     for k, (_, oracle) in registry.items():
         if oracle is None:
             rows_only.append(k)
-        elif k in staleness:
+        elif k in staleness and k not in changed:
             seen.append(k)
         else:
             fresh.append(k)

@@ -226,9 +226,13 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n_all").cast("double")
     # fixed operation order, mirrored textually in the oracle; the
     # /4 undoes the rank doubling (r2² = 4·R²) AFTER the k-term sum
-    # so both engines divide the identical double
+    # so both engines divide the identical double. Division by 4 is
+    # a power-of-two scaling — exact in IEEE 754, so folding it into
+    # the EMITTED column (ADVICE r7: a consumer reading rank_terms
+    # must get the textbook ΣR_g²/n_g, not 4× it) costs nothing.
+    terms4 = F.col("rank_terms") / F.lit(4.0)
     h_num = F.try_divide(
-        F.lit(12.0) * (F.col("rank_terms") / F.lit(4.0)),
+        F.lit(12.0) * terms4,
         nd * (nd + F.lit(1.0)),
     ) - F.lit(3.0) * (nd + F.lit(1.0))
     corr = F.lit(1.0) - F.try_divide(
@@ -240,7 +244,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         # domain guard: a group value outside _PRIORITIES is counted
         # in k/n_rows but missing from the pivot — NULL the derived
         # stats rather than agree with the oracle on a wrong value
-        F.when(guard, F.col("rank_terms")).alias("rank_terms"),
+        F.when(guard, terms4).alias("rank_terms"),
         F.when(
             guard, F.try_divide(h_num, F.nullif(corr, F.lit(0.0)))
         ).alias("h_stat"),
@@ -306,7 +310,7 @@ WITH s AS (
   FROM tot, ties
 )
 SELECT k AS n_groups, n_all AS n_rows,
-       CASE WHEN k = present THEN rank_terms END AS rank_terms,
+       CASE WHEN k = present THEN rank_terms / 4.0 END AS rank_terms,
        CASE WHEN k = present THEN
        ((12.0 * (rank_terms / 4.0))
           / NULLIF(CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1.0), 0.0)
@@ -331,12 +335,18 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (median-centered, so heavy tails do not inflate the
     statistic the way mean-centered Levene does).
 
-    Exact lower median (rank ⌊(n_g+1)/2⌋ — the ``median_by_group``
-    convention: interpolation-free, engine-agnostic) found at the
-    (group, value) grain: the per-group cumulative window runs over
-    DISTINCT cents values, bounded by the price domain (≤ ~10.4M
-    possible values for l_extendedprice) rather than fact
-    cardinality, so the window never sees 100 TB. Deviations are
+    Exact TRUE median (scipy.stats.levene(center='median') parity —
+    ADVICE r7: the lower-median shortcut measurably deviated for even
+    group sizes) computed interpolation-free on the DOUBLED-cents
+    grid: with v_lo at rank ⌊(n_g+1)/2⌋ and v_hi at rank ⌊n_g/2⌋+1,
+    the doubled median m2 = v_lo + v_hi is integral (= 2·v for odd
+    n_g), so doubled deviations z = |2v − m2| stay exact integers and
+    the emitted SS columns are the doubled-grid sums divided by 4.0 —
+    a power-of-two scaling, exact in IEEE 754, and F is invariant to
+    it. Found at the (group, value) grain: the per-group cumulative
+    window runs over DISTINCT cents values, bounded by the price
+    domain (≤ ~10.4M possible values for l_extendedprice) rather than
+    fact cardinality, so the window never sees 100 TB. Deviations are
     exact integers, so n_g/S_g/SS_g are exact decimals; the
     return flags are a closed 3-value domain, so the S_g²/n_g terms
     are pivoted into fixed columns and summed in one fixed textual
@@ -366,15 +376,32 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wcum).cast("bigint").alias("cum"),
         F.sum("c").over(wall).cast("bigint").alias("n_g"),
     )
-    # lower-median rank: floor division on BOTH sides (DuckDB int "/"
-    # yields DOUBLE; Spark "/" is double too — floor is the shared
-    # semantics, same as median_by_group)
-    target = F.floor((F.col("n_g") + 1) / 2).cast("bigint")
-    med = cw.filter(
-        (F.col("cum") >= target) & (F.col("cum") - F.col("c") < target)
-    ).select("g", F.col("v").alias("m"))
+    # true-median ranks: v_lo at ⌊(n_g+1)/2⌋, v_hi at ⌊n_g/2⌋+1
+    # (equal when n_g is odd). Floor division on BOTH sides (DuckDB
+    # int "//"; Spark F.floor of the double quotient — exact for
+    # counts < 2^52). MIN(CASE…) picks the single matching distinct
+    # value per rank; the doubled median m2 = v_lo + v_hi stays
+    # integral on the doubled grid.
+    r_lo = F.floor((F.col("n_g") + 1) / 2).cast("bigint")
+    r_hi = (F.floor(F.col("n_g") / 2) + 1).cast("bigint")
+    med = cw.groupBy("g").agg(
+        F.min(
+            F.when(
+                (F.col("cum") >= r_lo) & (F.col("cum") - F.col("c") < r_lo),
+                F.col("v"),
+            )
+        ).alias("vlo"),
+        F.min(
+            F.when(
+                (F.col("cum") >= r_hi) & (F.col("cum") - F.col("c") < r_hi),
+                F.col("v"),
+            )
+        ).alias("vhi"),
+    )
     z = gv.join(F.broadcast(med), "g").select(
-        "g", "c", F.abs(F.col("v") - F.col("m")).alias("z")
+        "g",
+        "c",
+        F.abs(2 * F.col("v") - (F.col("vlo") + F.col("vhi"))).alias("z"),
     )
     zd = F.col("z").cast("decimal(14,0)")
     st = z.groupBy("g").agg(
@@ -426,8 +453,11 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.col("k").alias("n_groups"),
         F.col("n_all").alias("n_rows"),
-        F.col("ssb").alias("ss_between"),
-        F.col("ssw").alias("ss_within"),
+        # /4.0 restores the cents² grid from the doubled-deviation
+        # grid (z = 2·|v − median| ⇒ SS × 4) — exact IEEE scaling
+        (F.col("ssb") / F.lit(4.0)).alias("ss_between"),
+        (F.col("ssw") / F.lit(4.0)).alias("ss_within"),
+        # F is invariant to the doubling: the /4 cancels bit-exactly
         F.try_divide(
             F.try_divide(F.col("ssb"), (F.col("k") - 1).cast("double")),
             F.try_divide(
@@ -452,10 +482,14 @@ WITH s AS (
          CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n_g
   FROM gv
 ), med AS (
-  SELECT g, v AS m FROM cw
-  WHERE cum >= (n_g + 1) // 2 AND cum - c < (n_g + 1) // 2
+  SELECT g,
+         MIN(CASE WHEN cum >= (n_g + 1) // 2
+                   AND cum - c < (n_g + 1) // 2 THEN v END) AS vlo,
+         MIN(CASE WHEN cum >= n_g // 2 + 1
+                   AND cum - c < n_g // 2 + 1 THEN v END) AS vhi
+  FROM cw GROUP BY g
 ), z AS (
-  SELECT gv.g AS g, c, abs(gv.v - m) AS z
+  SELECT gv.g AS g, c, abs(2 * gv.v - (vlo + vhi)) AS z
   FROM gv JOIN med ON gv.g = med.g
 ), st AS (
   SELECT g, CAST(SUM(c) AS BIGINT) AS n,
@@ -486,7 +520,7 @@ WITH s AS (
   FROM terms
 )
 SELECT k AS n_groups, n_all AS n_rows,
-       ssb AS ss_between, ssw AS ss_within,
+       ssb / 4.0 AS ss_between, ssw / 4.0 AS ss_within,
        (ssb / NULLIF(CAST(k - 1 AS DOUBLE), 0.0))
          / NULLIF(ssw / NULLIF(CAST(n_all - k AS DOUBLE), 0.0), 0.0) AS f_stat
 FROM wide

@@ -14,6 +14,20 @@ TABLES = (
 ).split()
 
 
+def pytest_configure(config):
+    # ADVICE r7: engine-behavior DIRECTION PINS (tests that assert a
+    # measured Spark/DuckDB quirk still EXISTS) carry this marker so
+    # an engine upgrade that fixes the quirk reads as "playbook
+    # re-evaluation needed" (deselect with `-m 'not
+    # engine_behavior_pin'`), not as a generic suite failure.
+    config.addinivalue_line(
+        "markers",
+        "engine_behavior_pin: asserts a measured engine quirk still "
+        "exists; failure after an engine upgrade means re-evaluate "
+        "the determinism playbook, not a code regression",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", master="local[4]", shuffle_partitions=4)

@@ -366,28 +366,32 @@ def _r6(x: float) -> float:
 
 
 def test_anova_oneway_matches_brute_force(spark):
+    """EXACT integer twin of the round-8 IEEE-free anova form: Python
+    ints are arbitrary-precision and ``//`` is exact, so every emitted
+    cell must match to the unit — no tolerances anywhere."""
     from music_streaming_etl_spark.plans.stats_queries import q_anova_oneway
 
     o = pd.read_parquet(f"{SF}/orders.parquet")
     g = {}
     for pri, grp in o.groupby("o_orderpriority"):
-        p = [Decimal(str(round(x, 2))) for x in grp["o_totalprice"]]
-        g[pri] = (len(p), sum(p), sum(x * x for x in p))
+        c = [
+            int(Decimal(str(round(x, 2))) * 100)
+            for x in grp["o_totalprice"]
+        ]
+        g[pri] = (len(c), sum(c), sum(x * x for x in c))
     k = len(g)
     n_all = sum(v[0] for v in g.values())
     s_all = sum(v[1] for v in g.values())
-    ss_all = sum(v[2] for v in g.values())
-    sg = sum(
-        math.floor(float(s) * float(s) / float(n)) for n, s, _ in g.values()
-    )
-    ssb = sg - math.floor(float(s_all) * float(s_all) / float(n_all))
-    ssw = ss_all - sg
-    f_stat = (ssb / (k - 1)) / (float(ssw) / (n_all - k))
+    q_all = sum(v[2] for v in g.values())
+    sg = sum(s * s // (n * 10000) for n, s, _ in g.values())
+    ssb = max(sg - s_all * s_all // (n_all * 10000), 0)
+    ssw = max(q_all // 10000 - sg, 0)
+    f_micro = (ssb * 10**6 // (k - 1)) // (ssw // (n_all - k))
     r = q_anova_oneway(spark, SF).collect()[0]
     assert (r["n_groups"], r["n_rows"]) == (k, n_all)
-    assert r["ss_between"] == ssb
-    assert float(r["ss_within"]) == float(ssw)
-    assert _close(r["f_stat"], f_stat, 1e-4)
+    assert int(r["ss_between_d2"]) == ssb
+    assert int(r["ss_within_d2"]) == ssw
+    assert r["f_stat_micro"] == f_micro
 
 
 def test_keyness_llr_matches_brute_force(spark):

@@ -176,3 +176,79 @@ def test_survey_mentions_every_registry_key():
     assert not missing, (
         f"SURVEY.md key map stale — run scripts/sync_survey_keys.py: {missing}"
     )
+
+
+def test_auto_rotation_fronts_changed_since_green_keys():
+    """VERDICT r7 item 3: a green key whose live source-closure
+    fingerprint differs from the one its latest green row certified
+    (sidecar FINGERPRINTS.json) must join the never-checked tier and
+    lead the window ahead of merely-stale keys — its evidence
+    describes code that no longer exists. A key with no sidecar entry
+    stays in the age-ordered green tier (missing sidecar == round-7
+    behavior)."""
+    from music_streaming_etl_spark.plans.fingerprints import (
+        key_fingerprint,
+    )
+    from music_streaming_etl_spark.plans.registry import _auto_rotate
+
+    oracle_backed = [k for k, (_, o) in REGISTRY.items() if o is not None]
+    staleness = {k: 1 + (i % 5) for i, k in enumerate(oracle_backed)}
+    # pick a "rewritten" key deep in the stale tier: certify a WRONG
+    # fingerprint for it, a CORRECT one for a control key
+    rewritten, control = oracle_backed[37], oracle_backed[11]
+    fps = {
+        rewritten: "0" * 32,  # certified fp != live fp
+        control: key_fingerprint(*REGISTRY[control]),  # unchanged
+    }
+    rotated = list(_auto_rotate(REGISTRY, checked=staleness,
+                                certified_fps=fps))
+    window = rotated[:50]
+    assert rewritten in window, "changed-since-green key must front"
+    # it precedes EVERY age-tier key, including the freshest evidence
+    stale_tier = [k for k in rotated if k in staleness and k != rewritten
+                  and k != control or k == control]
+    assert rotated.index(rewritten) < rotated.index(stale_tier[0])
+    # the control key stays ordered by evidence age, not fronted
+    first_stale_round = staleness[control]
+    ahead = [k for k in rotated[: rotated.index(control)]
+             if k in staleness and k != rewritten]
+    assert all(staleness[k] <= first_stale_round for k in ahead)
+
+
+def test_fingerprint_closure_sees_operator_rewrites():
+    """The winnow_fingerprints poster child: the plan function was
+    untouched in r7 while its OPERATOR was replaced wholesale, so a
+    getsource(fn)-only fingerprint would have missed the rewrite. The
+    closure fingerprint must change when (a) the plan fn changes, (b)
+    a referenced in-package helper changes, and (c) the oracle text
+    changes — and must NOT change across identical recomputation."""
+    from music_streaming_etl_spark.plans.fingerprints import (
+        key_fingerprint,
+    )
+
+    fn, oracle = REGISTRY["winnow_fingerprints"]
+    base = key_fingerprint(fn, oracle)
+    assert base == key_fingerprint(fn, oracle), "not deterministic"
+    assert base != key_fingerprint(fn, (oracle or "") + " -- x"), (
+        "oracle text must be part of the fingerprint"
+    )
+    # closure must include the operator module the plan fn calls into
+    import inspect
+
+    from music_streaming_etl_spark.plans.fingerprints import (
+        _closure_sources,
+    )
+
+    sources: dict = {}
+    _closure_sources(fn, sources, set())
+    winnow_src = inspect.getsource(
+        __import__(
+            "music_streaming_etl_spark.operators.text",
+            fromlist=["winnow_fingerprints"],
+        ).winnow_fingerprints
+    )
+    assert any(winnow_src in s or s in winnow_src or
+               "winnow" in ident.lower()
+               for ident, s in sources.items()), (
+        "closure must reach the operator the plan delegates to"
+    )

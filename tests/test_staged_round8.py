@@ -113,12 +113,17 @@ def test_kruskal_wallis_matches_bruteforce(spark, sf_dir, duck):
     row = q_kruskal_wallis(spark, sf_dir).collect()[0]
     assert row.n_rows == n
     assert row.n_groups == df["g"].nunique()
+    # ADVICE r7: the EMITTED rank_terms must be the textbook
+    # ΣR_g²/n_g (the /4 un-doubling folded in), not 4× it
+    assert row.rank_terms == pytest.approx(sum_terms, rel=1e-9)
     assert row.h_stat == pytest.approx(h, rel=1e-9)
 
 
 def test_brown_forsythe_matches_bruteforce(spark, sf_dir, duck):
-    """F on |v − lower-median_g| via plain per-group float sums equals
-    the distributed exact-decimal pivot plan."""
+    """F on |v − median_g| (TRUE midpoint median, the
+    scipy.stats.levene(center='median') convention — pandas .median()
+    interpolates the same way) via plain per-group float sums equals
+    the distributed doubled-grid exact-integer pivot plan."""
     df = duck.execute(
         "SELECT l_returnflag AS g, "
         "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v "
@@ -126,8 +131,7 @@ def test_brown_forsythe_matches_bruteforce(spark, sf_dir, duck):
     ).fetchdf()
     z_parts = []
     for g, sub in df.groupby("g"):
-        vs = sorted(sub["v"])
-        m = vs[(len(vs) + 1) // 2 - 1]  # lower median, rank (n+1)//2
+        m = sub["v"].median()  # midpoint-interpolated true median
         z_parts.append(pd.DataFrame({"g": g, "z": (sub["v"] - m).abs()}))
     z = pd.concat(z_parts)
     k = z["g"].nunique()
@@ -266,6 +270,7 @@ def test_kruskal_domain_guard_nulls_stats(spark, sf_dir, tmp_path):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.engine_behavior_pin
 def test_double_to_decimal_cast_is_ambiguous_past_2_53(spark):
     """DIRECTION PIN for the staged-r8 design rule (module docstring):
     Spark casts double→decimal via the JVM's Double.toString digits,

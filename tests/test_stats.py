@@ -1412,9 +1412,9 @@ def test_anova_matches_textbook_formula(spark):
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert row["n_groups"] == k and row["n_rows"] == n
     # integer-dollars² quantization: within k units of the float value
-    assert abs(float(row["ss_between"]) - ssb) < k + 1
-    assert abs(float(row["ss_within"]) - ssw) < k + 1
-    assert abs(row["f_stat"] - f) < 1e-4
+    assert abs(float(row["ss_between_d2"]) - ssb) < k + 1
+    assert abs(float(row["ss_within_d2"]) - ssw) < k + 1
+    assert abs(row["f_stat_micro"] / 1e6 - f) < 1e-4
 
 
 def test_floor_sat_safe_no_silent_saturation(spark):
