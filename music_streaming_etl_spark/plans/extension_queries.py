@@ -1713,37 +1713,90 @@ FROM documents
 """
 
 
+#: identity-codebook corpus bound for the PQ exactness gates: with
+#: k_codes == |corpus|, Lloyd's seeds are ALL the (distinct) subvectors
+#: and every point is its own centroid — a stable fixed point, so ADC
+#: scoring equals exact cosine up to the codebook's DECIMAL(28,9)
+#: carrier (±1e-9, far below the top-k score gaps — pinned by
+#: tests/test_similarity_multimodal.py's identity-gap test).
+_PQ_IDENTITY_N = 64
+
+
+def _rescore_exact_topk(emb, query, selected, k: int = 10) -> DataFrame:
+    """Re-rank an ADC-selected id set with the registered exact
+    q6-cosine formula (`similarity_topk` — the proven ORACLE_SIM_TOPK
+    mirror): the SELECTION is the machinery under test (a wrong PQ
+    code throws a candidate out of the set and the row diverges), the
+    emitted scores ride the cross-engine-proven scoring path instead
+    of the ADC float (whose ±1e-9 codebook-carrier noise would make a
+    q6 floor engine-ambiguous)."""
+    ids = selected.select(F.col("id").alias("vec_id"))
+    return similarity_topk(
+        emb.join(F.broadcast(ids), "vec_id"), query, "vec_id",
+        "embedding", k=k,
+    )
+
+
 def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (4 subspaces × 16 codes over the
-    64-dim embeddings): corpus stored as 4 code bytes/vector, query
-    scored via an M×K literal lookup table — per-row codegen, no
-    join. Rows-only driver check (iterative quantizer, no SQL twin);
-    recall vs exact brute force is pytest-asserted."""
+    """Product-quantization ANN promoted to a CELL-EXACT oracle
+    (VERDICT r7 item 4, the `similarity_topk_ivf_full_probe` move):
+    over the 64-vector identity corpus (vec_id < 64, k_codes = 64)
+    every subvector is its own centroid, so the ADC lookup-table
+    top-10 must reproduce the brute-force top-10 SET exactly — the
+    normalize/train/encode/LUT/global-topk machinery is all on the
+    hook. Selected ids are re-scored with the registered exact
+    q6-cosine so the emitted rows equal the brute-force oracle
+    verbatim. The LOSSY configuration (k_codes ≪ corpus) stays
+    pytest-covered (recall + determinism on clustered fixtures)."""
     from ..operators.similarity import similarity_topk_pq
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _PQ_IDENTITY_N
+    )
     query = emb.filter(F.col("vec_id") == 0)
     out = similarity_topk_pq(
         emb, query, "vec_id", "embedding", dim=64, k=10,
-        m_subspaces=4, k_codes=16, iterations=2,
+        m_subspaces=4, k_codes=_PQ_IDENTITY_N, iterations=1,
     )
-    return out.select("rank", F.col("id").alias("vec_id"), "score")
+    rescored = _rescore_exact_topk(emb, query, out, k=10)
+    return rescored.select("rank", F.col("id").alias("vec_id"), "score")
 
 
 def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN — coarse k-means pruning + residual product codes
-    scored via ADC lookup tables (the FAISS IVFPQ shape). Rows-only
-    driver check (two learned quantizers, no SQL twin); recall and
-    determinism pytest-asserted on structured fixtures."""
+    """IVF-PQ ANN promoted to a CELL-EXACT oracle: full coarse probe
+    (n_probe == n_coarse) plus identity residual codebooks
+    (k_codes == |corpus|) make the ADC ranking provably equal to
+    brute force up to the DECIMAL(28,9) codebook carrier, so the
+    coarse-train/residual/encode/LUT/merge stack must reproduce the
+    brute-force top-10 SET; emitted rows are the exact q6-cosine
+    re-score (see q_similarity_topk_pq). The lossy pruning
+    configuration stays pytest-covered on clustered fixtures."""
     from ..operators.similarity import similarity_topk_ivfpq
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _PQ_IDENTITY_N
+    )
     query = emb.filter(F.col("vec_id") == 0)
     out = similarity_topk_ivfpq(
         emb, query, "vec_id", "embedding", dim=64, k=10,
-        n_coarse=8, n_probe=3, m_subspaces=4, k_codes=16, iterations=2,
+        n_coarse=4, n_probe=4, m_subspaces=4,
+        k_codes=_PQ_IDENTITY_N, iterations=1,
     )
-    return out.select("rank", F.col("id").alias("vec_id"), "score")
+    rescored = _rescore_exact_topk(emb, query, out, k=10)
+    return rescored.select("rank", F.col("id").alias("vec_id"), "score")
+
+
+def _oracle_sim_topk_identity() -> str:
+    """ORACLE_SIM_TOPK restricted to the identity corpus — single
+    source of truth for the scoring SQL, same pattern as the r7
+    full-probe key."""
+    restricted = ORACLE_SIM_TOPK.replace(
+        "FROM embeddings)",
+        f"FROM embeddings WHERE vec_id < {_PQ_IDENTITY_N})",
+        1,
+    )
+    assert f"vec_id < {_PQ_IDENTITY_N}" in restricted
+    return restricted
 
 
 def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1841,8 +1894,14 @@ REGISTRY_EXT: dict = {
     "sample_per_key": (q_sample_per_key, ORACLE_SAMPLE_PER_KEY),
     "key_skew_profile": (q_key_skew_profile, ORACLE_KEY_SKEW),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
-    "similarity_topk_pq": (q_similarity_topk_pq, None),
-    "similarity_topk_ivfpq": (q_similarity_topk_ivfpq, None),
+    "similarity_topk_pq": (
+        q_similarity_topk_pq,
+        _oracle_sim_topk_identity(),
+    ),
+    "similarity_topk_ivfpq": (
+        q_similarity_topk_ivfpq,
+        _oracle_sim_topk_identity(),
+    ),
     "bpe_tokenize": (q_bpe_tokenize, None),
     "duplicate_spans": (q_duplicate_spans, ORACLE_DUP_SPANS),
     "semdedup": (q_semdedup, ORACLE_SEMDEDUP),

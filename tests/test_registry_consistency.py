@@ -44,10 +44,10 @@ def test_oracle_coverage_ratio():
         "hopping_windows_approx",       # HLL estimate (100 TB distinct path)
         "revenue_percentiles_approx",   # GK sketch
         "similarity_topk_ivf_kmeans",   # learned quantizer (iterative)
-        "similarity_topk_ivfpq",        # two learned quantizers (iterative)
-        "similarity_topk_pq",           # learned PQ codebooks (iterative)
         "winsorized_stats_approx",      # GK-sketch bounds (tolerance pytest)
     ], (total, rows_only)
+    # r8: similarity_topk_pq / similarity_topk_ivfpq left this list —
+    # identity-codebook configs gate their ADC machinery cell-exactly
 
 
 def test_driver_window_rotates_to_unchecked_backlog():

@@ -269,3 +269,61 @@ def test_ivfpq_recall_and_determinism(spark):
     overlap = len({g[1] for g in got1} & exact)
     assert overlap >= 6, f"IVF-PQ recall@10 too low: {overlap}/10"
     assert got1[0][1] == 5  # the query is its own nearest neighbor
+
+
+def test_pq_identity_codebook_is_exact_fixed_point(spark, sf_dir):
+    """The r8 exactness-gate premise (q_similarity_topk_pq /
+    q_similarity_topk_ivfpq): with k_codes == |corpus|, Lloyd's seeds
+    are all the subvectors and every point encodes to ITS OWN
+    centroid, so ADC == exact cosine up to the codebook's
+    DECIMAL(28,9) carrier. Pin both halves: (1) the encode argmin maps
+    each vector to a code whose centroid is its own subvector to 1e-9;
+    (2) on the real identity corpus the brute-force top-12 score gaps
+    dwarf that carrier noise, so the ±1e-9 ADC error can never flip
+    the selected top-10 SET (the property the registered keys' oracle
+    equality rests on)."""
+    from music_streaming_etl_spark.operators.similarity import (
+        as_double_vec,
+        norm,
+        pq_codebooks,
+        pq_encode,
+        similarity_topk,
+    )
+    from music_streaming_etl_spark.plans.extension_queries import (
+        _PQ_IDENTITY_N,
+    )
+    from music_streaming_etl_spark.plans.testdata_queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _PQ_IDENTITY_N
+    )
+    v = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            as_double_vec(F.col("embedding")).alias("v0"),
+        )
+        .withColumn("__n", norm(F.col("v0")))
+        .select("id", F.transform("v0", lambda x: x / F.col("__n")).alias("v"))
+    )
+    m, dim = 4, 64
+    books = pq_codebooks(v, "id", "v", dim, m, _PQ_IDENTITY_N, 2)
+    codes = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(v, "id", "v", books, dim).collect()
+    }
+    vecs = {r["id"]: list(r["v"]) for r in v.collect()}
+    sub = dim // m
+    for vid, vec in vecs.items():
+        for mi in range(m):
+            cid = codes[vid][mi]
+            centroid = dict(books[mi])[cid]
+            own = vec[mi * sub : (mi + 1) * sub]
+            err = max(abs(a - b) for a, b in zip(centroid, own))
+            assert err < 1e-8, (vid, mi, err)
+
+    # (2) top-k score-gap margin on the identity corpus
+    query = emb.filter(F.col("vec_id") == 0)
+    rows = similarity_topk(emb, query, "vec_id", "embedding", k=12).collect()
+    scores = [r["score"] for r in rows]
+    gaps = [a - b for a, b in zip(scores, scores[1:]) if a != b]
+    assert min(gaps) > 1e-6, f"top-k gaps too tight for the ADC gate: {min(gaps)}"
