@@ -90,10 +90,33 @@ def _cpu_ticks() -> tuple[int, int]:
         return 0, 0
 
 
+def _wait_for_quiet() -> tuple[float, float, bool]:
+    """Ambient-load gate (VERDICT r7 item 6): r07's bench ran at
+    loadavg 3.37 and sub-second medians wobbled ±20% while the mins
+    stayed flat — every such artifact then needs manual attribution.
+    Poll the 1-minute loadavg BEFORE the session starts (so our own
+    JVM doesn't count) and hold up to ``BENCH_QUIET_WAIT_S`` (default
+    180 s) for it to drop under ``BENCH_QUIET_LOAD`` (default 1.0).
+    Returns (ambient_load_at_start, seconds_waited, still_loaded) —
+    ``still_loaded`` self-flags the JSON when the box never went
+    quiet, so a noisy snapshot reads as noisy instead of as a
+    regression."""
+    threshold = float(os.environ.get("BENCH_QUIET_LOAD", "1.0"))
+    budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "180"))
+    start = time.time()
+    ambient = _load1()
+    load = ambient
+    while load >= threshold and time.time() - start < budget:
+        time.sleep(5.0)
+        load = _load1()
+    return ambient, round(time.time() - start, 1), load >= threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
+    ambient_load, quiet_wait_s, load_warn = _wait_for_quiet()
     spark = get_spark("bench")
 
     # JVM/codegen warm-up (not timed): a trivial scan plus one
@@ -144,6 +167,9 @@ def main() -> None:
         "runs_per_query": n_runs,
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        "ambient_load_at_start": ambient_load,
+        "quiet_wait_s": quiet_wait_s,
+        "load_warn": load_warn,
         "steal_pct": steal_pct,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -1,0 +1,622 @@
+"""Round-9 STAGED registry surface — built, oracle-twinned, and
+pytest-verified in round 8, but NOT wired into ``registry.py``.
+
+The freeze discipline (VERDICT r6 item 7, kept every round since):
+new surface is pre-staged one round ahead with its evidence banked —
+cell-exact oracle parity (normal + hostile), degenerate trio,
+independent brute-force twins, 1×→1000× scale curves — so the next
+round's registration is a two-line ``registry.py`` change instead of
+fresh unproven code in the driver window. This module completes the
+X42/X49 statistical-inference family with three more classical tests,
+each re-expressed as a bounded-grain exact-arithmetic plan:
+
+- ``ks_two_sample`` — two-sample Kolmogorov-Smirnov D between the
+  URGENT and LOW order-value distributions. ENTIRELY IEEE-FREE (the
+  round-8 anova playbook): D's sup-gap is an exact integer
+  ``max_v |n_b·cumA(v) − n_a·cumB(v)|`` over the distinct-value
+  grain, and the emitted statistic is exact integer micro-units via
+  `_idiv` (HUGEINT ``//`` in the oracle). The ECDF sup runs over
+  DISTINCT cents values — bounded by the price domain, never by fact
+  cardinality.
+- ``jonckheere_terpstra`` — the ordered-alternative k-group trend
+  test (priorities are ordinal: 1-URGENT < … < 5-LOW, and the
+  string order IS the ordinal order). J = Σ_{g<h} U_gh decomposes at
+  the value grain: ONE unpartitioned window over distinct values
+  (domain-bounded) computes per-group exclusive prefix counts, and
+  the doubled statistic J2 = Σ_v Σ_{g<h} c_hv·(2·cumB_g(v) + c_gv)
+  is an exact integer sum — no float aggregation anywhere. E[J2] is
+  exact; z is ONE fixed-order double expression over exact integer
+  tie/group cubics (the tie-corrected three-term variance).
+- ``mood_median_test`` — Mood's k-group median test on lineitem
+  return flags: classify every value against the GRAND true median
+  (midpoint-interpolated on the doubled-cents grid, the
+  brown_forsythe r8 convention), then the 2×k contingency chi² over
+  the closed 3-flag pivot in one fixed-order double expression.
+  Emits the doubled grand median as an EXACT integer.
+
+All group domains are CLOSED (5 priorities / 3 return flags), so the
+k-term reductions pivot into fixed columns with the staged-r8 domain
+guard: a value outside the pivot domain NULLs the derived statistics
+identically in both engines instead of silently skewing them.
+
+Reference parity: the reference pipeline (KPrince-coder/
+music-streaming-etl, dags/music_streaming_etl_dags.py) has no
+hypothesis-test primitive — pandas delegates to scipy on collected
+data; these are the distributed-native equivalents a 100 TB corpus
+needs (scipy.stats.ks_2samp / jonckheere via R's DescTools /
+scipy.stats.median_test are the single-node twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .staged_r8_queries import (
+    _PRIORITIES,
+    _RETURNFLAGS,
+    _dec,
+)
+from .stats_queries import _CENTS, _cents, _idiv
+from .testdata_queries import _t
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov (URGENT vs LOW order totals)
+# --------------------------------------------------------------------------
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are URGENT and LOW order-value DISTRIBUTIONS different (not
+    just their means — KS sees shape)? D = sup_v |F_a(v) − F_b(v)|
+    over the pooled distinct values.
+
+    IEEE-FREE: with cumA/cumB the inclusive per-group cumulative
+    counts at value v, the sup-gap numerator
+    ``d_num = max_v |n_b·cumA − n_a·cumB|`` is an exact integer
+    (D = d_num/(n_a·n_b)), emitted alongside exact integer micro-units
+    ``d_micro = (d_num·10⁶) DIV (n_a·n_b)`` via `_idiv` — no double
+    anywhere in or feeding the row (the anova r8 playbook).
+    ``at_value`` is the smallest cents value attaining the sup (total
+    order). Magnitude audit: n_g ≤ 3e10 at sf100k ⇒ n_b·cumA ≤ 9e20,
+    d_num·10⁶ ≤ 9e26, n_a·n_b ≤ 9e20 — all inside DECIMAL(38,0).
+    The window runs UNPARTITIONED over DISTINCT cents values: bounded
+    by the price domain (≤ ~10.4M keys), never by fact cardinality —
+    the documented bounded-window class."""
+    orders = _t(spark, sf_dir, "orders")
+    two = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        _cents().alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_a"),
+    )
+    gv = two.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = gv.select(
+        "v",
+        F.sum("ca").over(wcum).cast("decimal(19,0)").alias("cuma"),
+        F.sum("cb").over(wcum).cast("decimal(19,0)").alias("cumb"),
+    )
+    tot = gv.agg(
+        F.sum("ca").cast("decimal(19,0)").alias("n_a"),
+        F.sum("cb").cast("decimal(19,0)").alias("n_b"),
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("n_b") * F.col("cuma") - F.col("n_a") * F.col("cumb")
+        )
+        .cast("decimal(38,0)")
+        .alias("gap"),
+    )
+    m = gap.groupBy("n_a", "n_b").agg(
+        F.max("gap").cast("decimal(38,0)").alias("d_num")
+    )
+    at = (
+        gap.join(F.broadcast(m), ["n_a", "n_b"])
+        .filter(F.col("gap") == F.col("d_num"))
+        .groupBy("n_a", "n_b", "d_num")
+        .agg(F.min("v").cast("bigint").alias("at_value"))
+    )
+    return at.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("d_num").alias("d_num"),
+        "at_value",
+        _idiv(F.col("d_num") * F.lit(1000000), F.col("n_a") * F.col("n_b"))
+        .cast("bigint")
+        .alias("d_micro"),
+    )
+
+
+ORACLE_KS_TWO_SAMPLE = f"""
+WITH s AS (
+  SELECT {_CENTS} AS v, (o_orderpriority = '1-URGENT') AS is_a
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), gv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM s GROUP BY 1
+), cum AS (
+  SELECT v,
+         CAST(SUM(ca) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cumb
+  FROM gv
+), tot AS (
+  SELECT CAST(SUM(ca) AS HUGEINT) AS n_a, CAST(SUM(cb) AS HUGEINT) AS n_b
+  FROM gv
+), gap AS (
+  SELECT v, n_a, n_b, abs(n_b * cuma - n_a * cumb) AS gap
+  FROM cum, tot
+), m AS (
+  SELECT n_a, n_b, MAX(gap) AS d_num FROM gap GROUP BY 1, 2
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(d_num AS DECIMAL(38,0)) AS d_num,
+       (SELECT MIN(v) FROM gap WHERE gap = (SELECT d_num FROM m))
+         AS at_value,
+       CAST((d_num * 1000000) // NULLIF(n_a * n_b, 0) AS BIGINT)
+         AS d_micro
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Jonckheere-Terpstra (ordered k-group trend)
+# --------------------------------------------------------------------------
+
+
+def _cubic(n: F.Column) -> F.Column:
+    """n(n−1)(2n+5) as exact decimal — the tie/group term of the
+    Jonckheere variance."""
+    nd = _dec(n, 19)
+    return (nd * (nd - 1) * (2 * nd + 5)).cast("decimal(38,0)")
+
+
+def _perm2(n: F.Column) -> F.Column:
+    nd = _dec(n, 19)
+    return (nd * (nd - 1)).cast("decimal(38,0)")
+
+
+def _perm3(n: F.Column) -> F.Column:
+    nd = _dec(n, 19)
+    return (nd * (nd - 1) * (nd - 2)).cast("decimal(38,0)")
+
+
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does order value TREND across the ordered priorities
+    (1-URGENT < 2-HIGH < … < 5-LOW)? Jonckheere-Terpstra: J =
+    Σ_{g<h} U_gh, the sum of pairwise Mann-Whitney counts in the
+    ordinal direction — strictly more powerful than Kruskal-Wallis
+    when the alternative is monotone.
+
+    Value-grain decomposition: pivot the per-value counts into the
+    five closed-domain columns c_0..c_4, take their EXCLUSIVE prefix
+    sums b_0..b_4 with ONE unpartitioned window over distinct values
+    (domain-bounded, the documented class), and the doubled statistic
+
+        J2 = Σ_v Σ_{h} c_hv · Σ_{g<h} (2·b_gv + c_gv)
+
+    is an EXACT integer sum (ties count half ⇒ doubling keeps it
+    integral). E[J2] = (N² − Σn_g²) DIV 2 is exact (the numerator is
+    always even). Only the final z is IEEE: the tie-corrected
+    three-term variance (Hollander & Wolfe) assembled from exact
+    integer cubics in one fixed operation order mirrored textually:
+
+      72·V = A − Σ_g G3_g − Σ_v T3_v               (cubic terms)
+      + 36·V₂ = … n-perm3·t-perm3 / N-perm3        (second term)
+      + 8·V₃  = … n-perm2·t-perm2 / N-perm2        (third term)
+
+    Domain guard: a priority outside the closed pivot would be
+    counted in n_rows but missing from the term sum — both stats are
+    NULLed when the live group count exceeds the pivoted one."""
+    orders = _t(spark, sf_dir, "orders")
+    gv = (
+        orders.select(
+            F.col("o_orderpriority").alias("g"), _cents().alias("v")
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("t"),
+            F.countDistinct("g").alias("_kv"),
+            *[
+                F.sum(F.when(F.col("g") == p, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c_{i}")
+                for i, p in enumerate(_PRIORITIES)
+            ],
+        )
+    )
+    k = len(_PRIORITIES)
+    wexc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = gv.select(
+        "v",
+        "t",
+        *[F.col(f"c_{i}") for i in range(k)],
+        *[
+            F.coalesce(F.sum(f"c_{i}").over(wexc), F.lit(0))
+            .cast("decimal(19,0)")
+            .alias(f"b_{i}")
+            for i in range(k)
+        ],
+    )
+    # per-value doubled pair term: Σ_h c_h · Σ_{g<h} (2·b_g + c_g)
+    term = None
+    for h in range(1, k):
+        inner = None
+        for g in range(h):
+            piece = 2 * F.col(f"b_{g}") + F.col(f"c_{g}")
+            inner = piece if inner is None else inner + piece
+        t_h = _dec(F.col(f"c_{h}"), 19) * inner
+        term = t_h if term is None else term + t_h
+    # group-size guard: count groups OUTSIDE the closed pivot at the
+    # value grain (any v whose per-group split doesn't add up)
+    pivot_sum = None
+    for i in range(k):
+        c = F.col(f"c_{i}")
+        pivot_sum = c if pivot_sum is None else pivot_sum + c
+    tot = cum.agg(
+        F.sum("t").cast("bigint").alias("n_rows"),
+        F.sum(term.cast("decimal(38,0)")).cast("decimal(38,0)").alias("j2"),
+        F.sum(
+            F.when(F.col("t") != pivot_sum, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_v"),
+        *[
+            F.sum(f"c_{i}").cast("decimal(19,0)").alias(f"n_{i}")
+            for i in range(k)
+        ],
+        F.sum(_cubic(F.col("t"))).cast("decimal(38,0)").alias("t3"),
+        F.sum(_perm2(F.col("t"))).cast("decimal(38,0)").alias("tp2"),
+        F.sum(_perm3(F.col("t"))).cast("decimal(38,0)").alias("tp3"),
+    )
+    nsum2 = None
+    g3 = None
+    gp2 = None
+    gp3 = None
+    for i in range(k):
+        n_i = F.col(f"n_{i}")
+        sq = (n_i * n_i).cast("decimal(38,0)")
+        nsum2 = sq if nsum2 is None else nsum2 + sq
+        c3 = _cubic(n_i)
+        g3 = c3 if g3 is None else g3 + c3
+        p2 = _perm2(n_i)
+        gp2 = p2 if gp2 is None else gp2 + p2
+        p3 = _perm3(n_i)
+        gp3 = p3 if gp3 is None else gp3 + p3
+    nd = F.col("n_rows").cast("decimal(19,0)")
+    e2 = _idiv((nd * nd).cast("decimal(38,0)") - nsum2, F.lit(2))
+    wide = tot.select(
+        "n_rows",
+        F.col("j2"),
+        e2.cast("decimal(38,0)").alias("e2"),
+        g3.cast("decimal(38,0)").alias("g3"),
+        gp2.cast("decimal(38,0)").alias("gp2"),
+        gp3.cast("decimal(38,0)").alias("gp3"),
+        "t3",
+        "tp2",
+        "tp3",
+        "bad_v",
+    )
+    n = F.col("n_rows").cast("double")
+    a_term = _cubic(F.col("n_rows")).cast("double")
+    # fixed-order variance: term1 + term2 + term3, each a ratio of
+    # exact-integer carriers cast to double (scale-0 decimal→double is
+    # the correctly-rounded binary conversion in both engines)
+    v1 = (
+        a_term - F.col("g3").cast("double") - F.col("t3").cast("double")
+    ) / F.lit(72.0)
+    v2 = (
+        F.col("gp3").cast("double") * F.col("tp3").cast("double")
+    ) / (F.lit(36.0) * (n * (n - F.lit(1.0)) * (n - F.lit(2.0))))
+    v3 = (
+        F.col("gp2").cast("double") * F.col("tp2").cast("double")
+    ) / (F.lit(8.0) * (n * (n - F.lit(1.0))))
+    z = F.try_divide(
+        F.col("j2").cast("double") - F.col("e2").cast("double"),
+        F.lit(2.0) * F.sqrt(F.nullif(v1 + v2 + v3, F.lit(0.0))),
+    )
+    guard = F.col("bad_v") == 0
+    return wide.select(
+        "n_rows",
+        F.when(guard, F.col("j2")).alias("j2"),
+        F.when(guard, F.col("e2")).alias("e2"),
+        F.when(guard, z).alias("z_stat"),
+    )
+
+
+def _jt_pivot_counts_sql() -> str:
+    return ",\n         ".join(
+        f"CAST(SUM(CASE WHEN g = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{i}"
+        for i, p in enumerate(_PRIORITIES)
+    )
+
+
+def _jt_prefix_sql() -> str:
+    return ",\n         ".join(
+        f"CAST(COALESCE(SUM(c_{i}) OVER (ORDER BY v ROWS BETWEEN "
+        f"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DECIMAL(19,0)) AS b_{i}"
+        for i in range(len(_PRIORITIES))
+    )
+
+
+def _jt_term_sql() -> str:
+    k = len(_PRIORITIES)
+    parts = []
+    for h in range(1, k):
+        inner = " + ".join(f"(2 * b_{g} + c_{g})" for g in range(h))
+        parts.append(f"CAST(c_{h} AS DECIMAL(19,0)) * ({inner})")
+    return " + ".join(parts)
+
+
+def _jt_groups_sql(expr: str) -> str:
+    """Sum an expression template over the k pivoted group-size
+    columns n_0..n_4 (fixed order)."""
+    return " + ".join(
+        expr.format(n=f"n_{i}") for i in range(len(_PRIORITIES))
+    )
+
+
+ORACLE_JONCKHEERE = f"""
+WITH s AS (
+  SELECT o_orderpriority AS g, {_CENTS} AS v FROM orders
+), gv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS _kv,
+         {_jt_pivot_counts_sql()}
+  FROM s GROUP BY 1
+), cum AS (
+  SELECT v, t, c_0, c_1, c_2, c_3, c_4,
+         {_jt_prefix_sql()}
+  FROM gv
+), tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST({_jt_term_sql()} AS DECIMAL(38,0)))
+           AS DECIMAL(38,0)) AS j2,
+         CAST(SUM(CASE WHEN t != c_0 + c_1 + c_2 + c_3 + c_4
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bad_v,
+         {", ".join(f"CAST(SUM(c_{i}) AS DECIMAL(19,0)) AS n_{i}" for i in range(len(_PRIORITIES)))},
+         CAST(SUM(CAST(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)
+                  * (2 * CAST(t AS DECIMAL(19,0)) + 5) AS DECIMAL(38,0)))
+           AS DECIMAL(38,0)) AS t3,
+         CAST(SUM(CAST(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)
+                  AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tp2,
+         CAST(SUM(CAST(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)
+                  * (CAST(t AS DECIMAL(19,0)) - 2) AS DECIMAL(38,0)))
+           AS DECIMAL(38,0)) AS tp3
+  FROM cum
+), wide AS (
+  SELECT n_rows, j2, bad_v, t3, tp2, tp3,
+         CAST(({_jt_groups_sql("{n} * {n}")}) AS DECIMAL(38,0)) AS nsum2,
+         CAST(({_jt_groups_sql("{n} * ({n} - 1) * (2 * {n} + 5)")})
+           AS DECIMAL(38,0)) AS g3,
+         CAST(({_jt_groups_sql("{n} * ({n} - 1)")}) AS DECIMAL(38,0)) AS gp2,
+         CAST(({_jt_groups_sql("{n} * ({n} - 1) * ({n} - 2)")})
+           AS DECIMAL(38,0)) AS gp3
+  FROM tot
+), fin AS (
+  SELECT n_rows, j2, bad_v, g3, gp2, gp3, t3, tp2, tp3,
+         CAST(CAST(CAST(n_rows AS HUGEINT) * CAST(n_rows AS HUGEINT)
+              - CAST(nsum2 AS HUGEINT) AS HUGEINT) // 2 AS DECIMAL(38,0)) AS e2
+  FROM wide
+)
+SELECT n_rows,
+       CASE WHEN bad_v = 0 THEN j2 END AS j2,
+       CASE WHEN bad_v = 0 THEN e2 END AS e2,
+       CASE WHEN bad_v = 0 THEN
+         (CAST(j2 AS DOUBLE) - CAST(e2 AS DOUBLE))
+         / (2.0 * sqrt(NULLIF(
+             (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1)
+              * (2 * CAST(n_rows AS DOUBLE) + 5)
+              - CAST(g3 AS DOUBLE) - CAST(t3 AS DOUBLE)) / 72.0
+             + (CAST(gp3 AS DOUBLE) * CAST(tp3 AS DOUBLE))
+               / (36.0 * (CAST(n_rows AS DOUBLE)
+                  * (CAST(n_rows AS DOUBLE) - 1.0)
+                  * (CAST(n_rows AS DOUBLE) - 2.0)))
+             + (CAST(gp2 AS DOUBLE) * CAST(tp2 AS DOUBLE))
+               / (8.0 * (CAST(n_rows AS DOUBLE)
+                  * (CAST(n_rows AS DOUBLE) - 1.0))), 0.0)))
+       END AS z_stat
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
+# Mood's median test (k-group, grand true median)
+# --------------------------------------------------------------------------
+
+
+def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the return-flag groups share a common median price? Mood's
+    median test: classify every lineitem price against the GRAND true
+    median (midpoint-interpolated on the doubled-cents grid — the
+    brown_forsythe r8 convention, so the doubled median m2 is an
+    exact integer), then chi² over the 2×k above/not-above
+    contingency.
+
+    The grand median comes from ONE unpartitioned cumulative window
+    over DISTINCT cents values (domain-bounded). Cell counts are
+    exact integers; the flags are a closed 3-value domain, so chi² =
+    [Σ_g (a_g·N − n_g·A)²/n_g] / (A·(N−A)) · 1 — assembled as a
+    fixed-order double expression over the pivoted exact counts
+    (raw-or-q6 playbook: pure ratio of exact integers, emitted raw).
+    Domain guard: an unpivoted flag NULLs chi² in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    tv = base.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cw = tv.select(
+        "v",
+        "t",
+        F.sum("t").over(wcum).cast("bigint").alias("cum"),
+        F.sum("t").over(wall).cast("bigint").alias("n_all"),
+    )
+    r_lo = F.floor((F.col("n_all") + 1) / 2).cast("bigint")
+    r_hi = (F.floor(F.col("n_all") / 2) + 1).cast("bigint")
+    med = cw.agg(
+        F.min(
+            F.when(
+                (F.col("cum") >= r_lo) & (F.col("cum") - F.col("t") < r_lo),
+                F.col("v"),
+            )
+        ).alias("vlo"),
+        F.min(
+            F.when(
+                (F.col("cum") >= r_hi) & (F.col("cum") - F.col("t") < r_hi),
+                F.col("v"),
+            )
+        ).alias("vhi"),
+    ).select((F.col("vlo") + F.col("vhi")).alias("m2"))
+    k = len(_RETURNFLAGS)
+    st = base.crossJoin(F.broadcast(med)).groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("g").alias("k_all"),
+        F.max("m2").alias("m2"),
+        *[
+            c
+            for i, flag in enumerate(_RETURNFLAGS)
+            for c in (
+                F.sum(F.when(F.col("g") == flag, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{i}"),
+                F.sum(
+                    F.when(
+                        (F.col("g") == flag)
+                        & (2 * F.col("v") > F.col("m2")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"a_{i}"),
+            )
+        ],
+    )
+    present = None
+    a_tot = None
+    for i in range(k):
+        p = F.when(F.col(f"n_{i}") > 0, 1).otherwise(0)
+        present = p if present is None else present + p
+        a = F.col(f"a_{i}")
+        a_tot = a if a_tot is None else a_tot + a
+    nd = F.col("n_rows").cast("double")
+    ad = a_tot.cast("double")
+    chi_num = None
+    for i in range(k):
+        nid = F.col(f"n_{i}").cast("double")
+        aid = F.col(f"a_{i}").cast("double")
+        piece = F.try_divide(
+            (aid * nd - nid * ad) * (aid * nd - nid * ad), nid
+        )
+        piece = F.coalesce(piece, F.lit(0.0))
+        chi_num = piece if chi_num is None else chi_num + piece
+    chi2 = F.try_divide(chi_num, ad * (nd - ad))
+    guard = F.col("k_all") == present.cast("bigint")
+    return st.select(
+        "n_rows",
+        F.col("k_all").alias("n_groups"),
+        F.col("m2").alias("grand_median_x2"),
+        F.when(guard, a_tot.cast("bigint")).alias("n_above"),
+        F.when(guard, chi2).alias("chi2_stat"),
+    )
+
+
+def _mood_pivot_sql() -> str:
+    return ",\n         ".join(
+        f"CAST(SUM(CASE WHEN g = '{flag}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i},\n         "
+        f"CAST(SUM(CASE WHEN g = '{flag}' AND 2 * v > m2 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS a_{i}"
+        for i, flag in enumerate(_RETURNFLAGS)
+    )
+
+
+def _mood_chi_sql() -> str:
+    k = len(_RETURNFLAGS)
+    a_tot = " + ".join(f"a_{i}" for i in range(k))
+    pieces = []
+    for i in range(k):
+        d = (
+            f"(CAST(a_{i} AS DOUBLE) * CAST(n_rows AS DOUBLE)"
+            f" - CAST(n_{i} AS DOUBLE) * CAST({a_tot} AS DOUBLE))"
+        )
+        pieces.append(
+            f"COALESCE({d} * {d} / NULLIF(CAST(n_{i} AS DOUBLE), 0.0), 0.0)"
+        )
+    num = " + ".join(pieces)
+    return (
+        f"({num}) / NULLIF(CAST({a_tot} AS DOUBLE)"
+        f" * (CAST(n_rows AS DOUBLE) - CAST({a_tot} AS DOUBLE)), 0.0)"
+    )
+
+
+ORACLE_MOOD_MEDIAN = f"""
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+), tv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1
+), cw AS (
+  SELECT v, t,
+         CAST(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(t) OVER () AS BIGINT) AS n_all
+  FROM tv
+), med AS (
+  SELECT MIN(CASE WHEN cum >= (n_all + 1) // 2
+                   AND cum - t < (n_all + 1) // 2 THEN v END)
+       + MIN(CASE WHEN cum >= n_all // 2 + 1
+                   AND cum - t < n_all // 2 + 1 THEN v END) AS m2
+  FROM cw
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS k_all,
+         MAX(m2) AS m2,
+         {_mood_pivot_sql()}
+  FROM base, med
+)
+SELECT n_rows, k_all AS n_groups, m2 AS grand_median_x2,
+       CASE WHEN k_all = {" + ".join(f"CASE WHEN n_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_RETURNFLAGS)))}
+            THEN CAST({" + ".join(f"a_{i}" for i in range(len(_RETURNFLAGS)))} AS BIGINT) END AS n_above,
+       CASE WHEN k_all = {" + ".join(f"CASE WHEN n_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_RETURNFLAGS)))}
+            THEN {_mood_chi_sql()} END AS chi2_stat
+FROM st
+"""
+
+
+# Round-9 registration payload — NOT imported by registry.py this
+# round (the freeze). Registration is:
+#   from .staged_r9_queries import REGISTRY_STAGED_R9
+#   REGISTRY.update(REGISTRY_STAGED_R9)
+# plus fronting the three keys in _PRIORITY (new-code-first rule).
+REGISTRY_STAGED_R9: dict = {
+    "ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
+    "jonckheere_terpstra": (q_jonckheere_terpstra, ORACLE_JONCKHEERE),
+    "mood_median_test": (q_mood_median_test, ORACLE_MOOD_MEDIAN),
+}

@@ -262,12 +262,14 @@ _R9_WINDOW_1000X = {
     "centroid_silhouette": "llm_fixed_labels_emb",
     "embedding_mmd": "llm_emb",
     "semdedup": "llm_emb",
-    # customer-backed. entity_resolution is EXCLUDED at 1000×: the
-    # synthetic name corpus (custkey-derived, shared `Customer#0…`
-    # stem) makes SymSpell deletion-variant blocks grow superlinearly
-    # with corpus size — the 15M-row verify join spills past the
-    # box's free disk even at 48g heap (measured, SCALE.md sixth
-    # sweep); 100× (6.83s) stands as its largest clean point.
+    # customer-backed. entity_resolution re-INCLUDED at 1000× in r8:
+    # the old exclusion was a synthetic-corpus artifact (all names
+    # shared one `Customer#0…` stem, violating the operator's
+    # documented blocking contract) — materialize_customer now gives
+    # each 100-key century a distinct md5 stem, so blocks stay
+    # bounded by name diversity and the corpus exercises the contract
+    # instead of an adversarial degenerate namespace.
+    "entity_resolution": "customer",
     "k_anonymity": "customer",
     "snapshot_diff": "customer",
     "profile_table": "customer",

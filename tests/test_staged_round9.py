@@ -1,0 +1,275 @@
+"""Round-9 staged surface (plans/staged_r9_queries.py) — full pre-
+registration battery: cell-exact oracle parity, DESCRIBE type parity,
+independent brute-force property twins, degenerate behavior, and the
+domain guard. These keys are NOT in the live registry (276 through
+round 8); this suite is the evidence that round 9 can register them
+without staging unproven code into the driver window.
+"""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_etl_spark.plans.staged_r9_queries import (
+    REGISTRY_STAGED_R9,
+    q_jonckheere_terpstra,
+    q_ks_two_sample,
+    q_mood_median_test,
+)
+
+from test_oracle_type_parity import canon_duck, canon_spark
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY_STAGED_R9))
+def test_staged_r9_oracle_parity(spark, sf_dir, duck, name):
+    """Cell-exact vs DuckDB at sf0.001 — the driver-gate replica."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from selfcheck import compare
+
+    fn, osql = REGISTRY_STAGED_R9[name]
+    sdf = fn(spark, sf_dir).toPandas()
+    spark.catalog.clearCache()
+    odf = duck.execute(osql).fetchdf()
+    assert compare(name, sdf, odf), f"{name} diverged from oracle"
+
+
+def test_staged_r9_oracle_type_parity(spark, sf_dir, duck):
+    """The registry-wide DESCRIBE gate, applied pre-registration."""
+    problems = []
+    for name, (fn, oracle) in REGISTRY_STAGED_R9.items():
+        spark_types = {
+            f.name.lower(): canon_spark(f.dataType.simpleString())
+            for f in fn(spark, sf_dir).schema.fields
+        }
+        desc = duck.execute(f"DESCRIBE {oracle}").fetchall()
+        for col, dtype, *_ in desc:
+            dt = canon_duck(dtype)
+            st = spark_types.get(col.lower())
+            if dt == "hugeint" or (dt.startswith("decimal(38,") and dt != st):
+                problems.append(
+                    f"{name}.{col}: oracle widened to {dtype} (spark={st})"
+                )
+            elif st is not None and dt != st:
+                problems.append(f"{name}.{col}: oracle={dt} spark={st}")
+        oracle_cols = {c.lower() for c, *_ in desc}
+        if set(spark_types) != oracle_cols:
+            problems.append(
+                f"{name}: column-set mismatch spark-only="
+                f"{sorted(set(spark_types) - oracle_cols)} "
+                f"oracle-only={sorted(oracle_cols - set(spark_types))}"
+            )
+    assert not problems, "\n".join(problems)
+
+
+# --------------------------------------------------------------------------
+# independent brute-force twins (pure python, exact integers where the
+# plan is exact — no shared code with the distributed plans)
+# --------------------------------------------------------------------------
+
+
+def _orders_cents(duck):
+    return duck.execute(
+        "SELECT o_orderpriority AS g, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v "
+        "FROM orders"
+    ).fetchdf()
+
+
+def test_ks_two_sample_matches_bruteforce(spark, sf_dir, duck):
+    """EXACT integer twin: Python ints are arbitrary-precision, so
+    d_num / d_micro / at_value must match to the unit."""
+    df = _orders_cents(duck)
+    a = sorted(df[df["g"] == "1-URGENT"]["v"])
+    b = sorted(df[df["g"] == "5-LOW"]["v"])
+    na, nb = len(a), len(b)
+    best, at = -1, None
+    for v in sorted(set(a) | set(b)):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        gap = abs(nb * ca - na * cb)
+        if gap > best:
+            best, at = gap, v
+    row = q_ks_two_sample(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert int(row.d_num) == best
+    assert row.at_value == at
+    assert row.d_micro == best * 10**6 // (na * nb)
+
+
+def test_jonckheere_matches_bruteforce(spark, sf_dir, duck):
+    """O(n²) pairwise twin on the 1.5k-order corpus: J2 and E2 are
+    exact integers; z must agree with the float textbook assembly to
+    1e-9 relative."""
+    df = _orders_cents(duck)
+    order = sorted(df["g"].unique())  # the string order IS ordinal
+    groups = [sorted(df[df["g"] == g]["v"]) for g in order]
+    j2 = 0
+    for gi in range(len(groups)):
+        for hi in range(gi + 1, len(groups)):
+            for x in groups[gi]:
+                for y in groups[hi]:
+                    if x < y:
+                        j2 += 2
+                    elif x == y:
+                        j2 += 1
+    n = len(df)
+    ns = [len(g) for g in groups]
+    e2 = (n * n - sum(x * x for x in ns)) // 2
+    from collections import Counter
+
+    t = Counter(df["v"])
+    a_t = n * (n - 1) * (2 * n + 5)
+    g3 = sum(x * (x - 1) * (2 * x + 5) for x in ns)
+    t3 = sum(x * (x - 1) * (2 * x + 5) for x in t.values())
+    gp2 = sum(x * (x - 1) for x in ns)
+    tp2 = sum(x * (x - 1) for x in t.values())
+    gp3 = sum(x * (x - 1) * (x - 2) for x in ns)
+    tp3 = sum(x * (x - 1) * (x - 2) for x in t.values())
+    var = (
+        (a_t - g3 - t3) / 72.0
+        + (gp3 * tp3) / (36.0 * n * (n - 1) * (n - 2))
+        + (gp2 * tp2) / (8.0 * n * (n - 1))
+    )
+    z = (j2 - e2) / (2.0 * var**0.5)
+    row = q_jonckheere_terpstra(spark, sf_dir).collect()[0]
+    assert row.n_rows == n
+    assert int(row.j2) == j2
+    assert int(row.e2) == e2
+    assert row.z_stat == pytest.approx(z, rel=1e-9)
+
+
+def test_mood_median_matches_bruteforce(spark, sf_dir, duck):
+    """Twin via statistics.median (midpoint-interpolated, the r8
+    true-median convention) + the scipy.stats.median_test contingency
+    chi² (ties counted in the ≤ cell)."""
+    df = duck.execute(
+        "SELECT l_returnflag AS g, "
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v "
+        "FROM lineitem"
+    ).fetchdf()
+    vals = sorted(df["v"])
+    n = len(vals)
+    m = statistics.median(vals)
+    m2 = int(round(m * 2))
+    flags = sorted(df["g"].unique())
+    ns = {g: int((df["g"] == g).sum()) for g in flags}
+    above = {
+        g: int(((df["g"] == g) & (2 * df["v"] > m2)).sum()) for g in flags
+    }
+    a_tot = sum(above.values())
+    chi2 = sum(
+        (above[g] * n - ns[g] * a_tot) ** 2 / ns[g] for g in flags
+    ) / (a_tot * (n - a_tot))
+    row = q_mood_median_test(spark, sf_dir).collect()[0]
+    assert row.n_rows == n and row.n_groups == len(flags)
+    assert row.grand_median_x2 == m2
+    assert row.n_above == a_tot
+    assert row.chi2_stat == pytest.approx(chi2, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# degenerate + guard behavior
+# --------------------------------------------------------------------------
+
+
+def _write_orders(spark, tmp_path, rows):
+    out = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderstatus string, o_orderpriority string, o_orderdate date",
+    ).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_ks_constant_corpus_zero_gap(spark, sf_dir, tmp_path):
+    """All values identical → the two ECDFs coincide → d_num = 0 and
+    at_value is that single value."""
+    import datetime
+
+    rows = [
+        (i, i, 100.0, "O", p, datetime.date(1995, 1, 1))
+        for i in range(20)
+        for p in ("1-URGENT", "5-LOW")
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    row = q_ks_two_sample(spark, d).collect()[0]
+    assert (row.n_a, row.n_b) == (20, 20)
+    assert int(row.d_num) == 0 and row.d_micro == 0
+    assert row.at_value == 10000
+
+
+def test_ks_empty_corpus_empty_result(spark, sf_dir, tmp_path):
+    """No URGENT/LOW rows → zero result rows (both engines agree: the
+    max-gap frame is empty)."""
+    import datetime
+
+    rows = [(1, 1, 100.0, "O", "3-MEDIUM", datetime.date(1995, 1, 1))]
+    d = _write_orders(spark, tmp_path, rows)
+    assert q_ks_two_sample(spark, d).count() == 0
+
+
+def test_jonckheere_domain_guard_nulls_stats(spark, sf_dir, tmp_path):
+    """A 6th priority outside the closed pivot domain must NULL the
+    derived statistics (it would otherwise be counted in n_rows but
+    missing from the doubled pair sum)."""
+    import datetime
+
+    rows = [
+        (i, i, 100.0 + i, "O", p, datetime.date(1995, 1, 1))
+        for i, p in enumerate(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW", "6-EXOTIC"]
+        )
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    row = q_jonckheere_terpstra(spark, d).collect()[0]
+    assert row.n_rows == 6
+    assert row.j2 is None and row.e2 is None and row.z_stat is None
+
+
+def test_jonckheere_no_trend_is_zeroish(spark, sf_dir, tmp_path):
+    """Identical distributions in every group → J2 == E2 exactly on a
+    symmetric corpus → z == 0."""
+    import datetime
+
+    rows = []
+    i = 0
+    for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+              "5-LOW"):
+        for v in (100.0, 200.0, 300.0):
+            rows.append((i, i, v, "O", p, datetime.date(1995, 1, 1)))
+            i += 1
+    d = _write_orders(spark, tmp_path, rows)
+    row = q_jonckheere_terpstra(spark, d).collect()[0]
+    assert int(row.j2) == int(row.e2)
+    assert row.z_stat == 0.0
+
+
+def test_mood_constant_corpus_chi2_null(spark, sf_dir, tmp_path):
+    """Every value equals the median → the 'above' row of the
+    contingency is all-zero → chi² NULL (A·(N−A) = 0), never a
+    division error."""
+    out = str(tmp_path / "lineitem.parquet")
+    spark.createDataFrame(
+        [(i, "A" if i % 3 == 0 else ("N" if i % 3 == 1 else "R"), 50.0)
+         for i in range(30)],
+        "l_orderkey long, l_returnflag string, l_extendedprice double",
+    ).write.mode("overwrite").parquet(out)
+    row = q_mood_median_test(spark, str(tmp_path)).collect()[0]
+    assert row.n_rows == 30
+    assert row.grand_median_x2 == 10000
+    assert row.n_above == 0
+    assert row.chi2_stat is None
