@@ -276,6 +276,46 @@ _R9_WINDOW_1000X = {
     "fuzzy_name_pairs": "customer",
 }
 
+# Seventh sweep (round 8): the predicted ROUND-10 re-verify window
+# (rotation positions ~101-150) probed at 1000× two rounds early —
+# the standing pre-driver pattern. Deliberate skips, with rationale:
+# scan_binary_ingest / scan_xml_roundtrip / scan_orc_roundtrip are
+# serializer-roundtrip keys (the probe would time the XML/ORC/binary
+# WRITER on 60M rows, not the plan — their plans are plain scans);
+# tpch_q2_min_cost_supplier scales on the part/supplier DIMENSIONS,
+# which no corpus multiplier models (facts are the growth axis
+# everywhere else); scd2_user_state / salted_skew_count /
+# range_join_windows / unpivot_metrics / rolling_7day_revenue carry
+# 1000× rows from earlier sweeps.
+_R10_WINDOW_1000X = {
+    "daily_active_users": "events",
+    "event_interarrival": "events",
+    "asof_join_signup": "events",
+    "sessionize_events": "events",
+    "bitemporal_state_lookup": "events",
+    "capped_running_balance": "events",
+    "quarantine_split": "events",
+    "customer_retention": "orders",
+    "rolling_median_7d": "orders",
+    "cohort_ltv": "orders",
+    "ks_drift": "orders",
+    "growth_accounting": "orders",
+    "daily_autocorrelation": "orders",
+    "percent_rank_cume": "orders",
+    "revenue_deciles": "orders",
+    "grouping_sets": "orders",
+    "monthly_rollup": "orders",
+    "partitioned_sink_prune": "orders",
+    "window_running_total": "orders",
+    "rollup_priority_status": "orders",
+    "pivot_status_by_priority": "orders",
+    "frequent_triples": "baskets",
+    "median_by_group": "baskets",
+    "cube_returnflag_status": "baskets",
+    "tpch_q3_shipping": "star",
+    "tpch_q7_volume_shipping": "star",
+}
+
 
 def _pid_alive(pid: int) -> bool:
     """True iff ``pid`` is a live process (signal-0 probe; EPERM
@@ -296,6 +336,7 @@ def _extend_with_registry() -> None:
         **_R7_WINDOW_1000X,
         **_R8_WINDOW_1000X,
         **_R9_WINDOW_1000X,
+        **_R10_WINDOW_1000X,
     }.items():
         m, p, b = _CORPUS[c]
         PROBES.setdefault(k, (_REG[k][0], m, p, b))
