@@ -33,6 +33,13 @@ each re-expressed as a bounded-grain exact-arithmetic plan:
   brown_forsythe r8 convention), then the 2×k contingency chi² over
   the closed 3-flag pivot in one fixed-order double expression.
   Emits the doubled grand median as an EXACT integer.
+- ``cramers_v`` — the chi-square EFFECT SIZE over a 3×k variant ×
+  event-type contingency (reuses the proven floor-quantized
+  DECIMAL(27,0) cell recipe of `chi_square_independence` verbatim).
+- ``wilcoxon_signed_rank`` — the PAIRED two-sample test (each
+  customer against itself, 1995 vs 1996 spend): exact integer cents
+  differences, doubled pooled ranks of |d| from one exclusive prefix
+  window, W2/E2 exact integers, z the only IEEE final.
 
 All group domains are CLOSED (5 priorities / 3 return flags), so the
 k-term reductions pivot into fixed columns with the staged-r8 domain
@@ -44,7 +51,8 @@ music-streaming-etl, dags/music_streaming_etl_dags.py) has no
 hypothesis-test primitive — pandas delegates to scipy on collected
 data; these are the distributed-native equivalents a 100 TB corpus
 needs (scipy.stats.ks_2samp / jonckheere via R's DescTools /
-scipy.stats.median_test are the single-node twins).
+scipy.stats.median_test / chi2_contingency-with-Cramér's-V /
+scipy.stats.wilcoxon are the single-node twins).
 """
 
 from __future__ import annotations
@@ -610,13 +618,258 @@ FROM st
 """
 
 
+# --------------------------------------------------------------------------
+# Cramér's V (chi-square effect size over a 3×k contingency)
+# --------------------------------------------------------------------------
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW STRONG is the variant × event-type association (a p-value
+    says "exists"; Cramér's V says "matters")?
+    V = sqrt((χ²/N) / (min(r,c) − 1)) over the (user_id % 3) ×
+    event_type contingency — three variants so min(r,c) is a real
+    argmin, not constant 1.
+
+    Reuses the proven chi-square cell recipe verbatim
+    (`chi_square_independence`): exact integer cell counts, each
+    (O−E)²/E contribution floor-quantized to 1e-9 units of an exact
+    DECIMAL(27,0) sum (order-free — a raw double SUM over shuffled
+    cells would be partitioning-dependent), chi²/V as fixed-order
+    doubles of exact carriers; min() of two exact counts; sqrt is
+    correctly-rounded IEEE. Cells are bounded (3 × |event types|):
+    every frame after the first aggregate is tiny."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 3).cast("bigint").alias("variant"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    row_tot = cells.groupBy("variant").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("event_type").agg(F.sum("o").alias("ct"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    contrib = (
+        cells.join(F.broadcast(row_tot), "variant")
+        .join(F.broadcast(col_tot), "event_type")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.floor(d * d / e * F.lit(1e9)).cast("decimal(27,0)").alias(
+                "cell_u"
+            ),
+            "n",
+        )
+    )
+    agg = contrib.groupBy("n").agg(
+        F.sum("cell_u").cast("decimal(38,0)").alias("chi2_nano"),
+    )
+    # distinct r/c from the bounded cells frame (post-agg, tiny)
+    dims = cells.agg(
+        F.count_distinct("variant").cast("bigint").alias("r"),
+        F.count_distinct("event_type").cast("bigint").alias("c"),
+    )
+    wide = agg.crossJoin(F.broadcast(dims))
+    chi2 = F.col("chi2_nano").cast("double") / F.lit(1e9)
+    nd = F.col("n").cast("double")
+    mind = F.least(F.col("r"), F.col("c")).cast("double") - F.lit(1.0)
+    return wide.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("r").alias("n_variants"),
+        F.col("c").alias("n_types"),
+        chi2.alias("chi2_stat"),
+        F.sqrt(
+            F.try_divide(F.try_divide(chi2, nd), F.nullif(mind, F.lit(0.0)))
+        ).alias("v_stat"),
+    )
+
+
+ORACLE_CRAMERS_V = """
+WITH cells AS (
+  SELECT CAST(user_id % 3 AS BIGINT) AS variant, event_type,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT variant, SUM(o) AS rt FROM cells GROUP BY 1),
+   ct AS (SELECT event_type, SUM(o) AS ct FROM cells GROUP BY 1),
+   nt AS (SELECT SUM(o) AS n FROM cells),
+contrib AS (
+  SELECT CAST(floor(
+           (CAST(o AS DOUBLE)
+              - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+              - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE))
+           / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nt.n AS DOUBLE))
+           * 1e9) AS DECIMAL(27,0)) AS cell_u,
+         nt.n AS n
+  FROM cells JOIN rt USING (variant) JOIN ct USING (event_type), nt
+), agg AS (
+  SELECT n, CAST(SUM(cell_u) AS DECIMAL(38,0)) AS chi2_nano FROM contrib
+  GROUP BY n
+), dims AS (
+  SELECT CAST(COUNT(DISTINCT variant) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS c
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_rows, r AS n_variants, c AS n_types,
+       CAST(chi2_nano AS DOUBLE) / 1e9 AS chi2_stat,
+       sqrt((CAST(chi2_nano AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+            / NULLIF(CAST(LEAST(r, c) AS DOUBLE) - 1.0, 0.0)) AS v_stat
+FROM agg, dims
+"""
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank (paired year-over-year customer spend)
+# --------------------------------------------------------------------------
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did per-customer spend SHIFT from 1995 to 1996, pairing each
+    customer with itself? Wilcoxon signed-rank on the paired
+    differences d = spend₁₉₉₆ − spend₁₉₉₅ (customers active in BOTH
+    years; zero differences dropped — the standard convention).
+
+    Exact-arithmetic shape: cents differences are exact integers; the
+    |d| value grain gets DOUBLED pooled average ranks from an
+    exclusive prefix sum (one unpartitioned window over DISTINCT |d|
+    values — in the worst case one value per pair, but the frame is
+    pair-grain ≤ |customers|, itself dimension-like; the
+    mann_whitney/kruskal machinery), so the doubled positive-rank sum
+    W2 = Σ_v p_v·(2·cumb_v + t_v + 1) and E2 = n(n+1) DIV 2 are exact
+    integers. Only z is IEEE: the tie-corrected variance
+    Var = [n(n+1)(2n+1) − Σ(t³−t)/2] / 24 assembled from exact
+    integer carriers in one fixed operation order.
+    Magnitude audit: n ≤ 1.5e10 customers at sf100k ⇒ n(n+1)(2n+1)
+    ≈ 6.75e30 < 1e38 ✓; W2 ≤ n·(2n+1) ≈ 4.5e20 ✓."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.year("o_orderdate").alias("y"),
+        _cents().alias("c"),
+    ).filter(F.col("y").isin(1995, 1996))
+    per = yr.groupBy("cust").agg(
+        F.sum(F.when(F.col("y") == 1995, F.col("c"))).alias("s94"),
+        F.sum(F.when(F.col("y") == 1996, F.col("c"))).alias("s95"),
+    )
+    d = per.filter(
+        F.col("s94").isNotNull() & F.col("s95").isNotNull()
+    ).select((F.col("s95") - F.col("s94")).alias("d")).filter(
+        F.col("d") != 0
+    )
+    gv = d.groupBy(F.abs(F.col("d")).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("p"),
+    )
+    wexc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = gv.select(
+        "v",
+        "t",
+        "p",
+        F.coalesce(F.sum("t").over(wexc), F.lit(0))
+        .cast("decimal(19,0)")
+        .alias("cumb"),
+    )
+    tot = cum.agg(
+        F.sum("t").cast("bigint").alias("n_pairs"),
+        F.sum(
+            (
+                _dec(F.col("p"), 19)
+                * (2 * F.col("cumb") + F.col("t") + F.lit(1))
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("w2_pos"),
+        F.sum(
+            (
+                _dec(F.col("t"), 19) * _dec(F.col("t"), 19) * _dec(F.col("t"), 19)
+                - F.col("t")
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    nd19 = _dec(F.col("n_pairs"), 19)
+    e2 = _idiv((nd19 * (nd19 + 1)).cast("decimal(38,0)"), F.lit(2))
+    n = F.col("n_pairs").cast("double")
+    var = (
+        n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0))
+        - F.col("ties").cast("double") / F.lit(2.0)
+    ) / F.lit(24.0)
+    z = F.try_divide(
+        F.col("w2_pos").cast("double") - e2.cast("double"),
+        F.lit(2.0) * F.sqrt(F.nullif(var, F.lit(0.0))),
+    )
+    return tot.select(
+        "n_pairs",
+        F.col("w2_pos"),
+        e2.cast("decimal(38,0)").alias("e2"),
+        z.alias("z_stat"),
+    )
+
+
+ORACLE_WILCOXON = f"""
+WITH yr AS (
+  SELECT o_custkey AS cust, EXTRACT(year FROM o_orderdate) AS y,
+         {_CENTS} AS c
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+), per AS (
+  SELECT cust,
+         SUM(CASE WHEN y = 1995 THEN c END) AS s94,
+         SUM(CASE WHEN y = 1996 THEN c END) AS s95
+  FROM yr GROUP BY 1
+), d AS (
+  SELECT s95 - s94 AS d FROM per
+  WHERE s94 IS NOT NULL AND s95 IS NOT NULL AND s95 - s94 != 0
+), gv AS (
+  SELECT abs(d) AS v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM d GROUP BY 1
+), cum AS (
+  SELECT v, t, p,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DECIMAL(19,0)) AS cumb
+  FROM gv
+), tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(CAST(p AS DECIMAL(19,0))
+              * (2 * cumb + t + 1) AS DECIMAL(38,0)))
+           AS DECIMAL(38,0)) AS w2_pos,
+         CAST(SUM(CAST(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+                  * CAST(t AS DECIMAL(19,0)) - t AS DECIMAL(38,0)))
+           AS DECIMAL(38,0)) AS ties
+  FROM cum
+), fin AS (
+  SELECT n_pairs, w2_pos, ties,
+         CAST(CAST(CAST(n_pairs AS HUGEINT)
+              * (CAST(n_pairs AS HUGEINT) + 1) AS HUGEINT) // 2
+           AS DECIMAL(38,0)) AS e2
+  FROM tot
+)
+SELECT n_pairs, w2_pos, e2,
+       (CAST(w2_pos AS DOUBLE) - CAST(e2 AS DOUBLE))
+       / (2.0 * sqrt(NULLIF(
+           (CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+            * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0)
+            - CAST(ties AS DOUBLE) / 2.0) / 24.0, 0.0))) AS z_stat
+FROM fin
+"""
+
+
 # Round-9 registration payload — NOT imported by registry.py this
 # round (the freeze). Registration is:
 #   from .staged_r9_queries import REGISTRY_STAGED_R9
 #   REGISTRY.update(REGISTRY_STAGED_R9)
-# plus fronting the three keys in _PRIORITY (new-code-first rule).
+# plus fronting the five keys in _PRIORITY (new-code-first rule).
 REGISTRY_STAGED_R9: dict = {
     "ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "jonckheere_terpstra": (q_jonckheere_terpstra, ORACLE_JONCKHEERE),
     "mood_median_test": (q_mood_median_test, ORACLE_MOOD_MEDIAN),
+    "cramers_v": (q_cramers_v, ORACLE_CRAMERS_V),
+    "wilcoxon_signed_rank": (q_wilcoxon_signed_rank, ORACLE_WILCOXON),
 }

@@ -48,6 +48,13 @@ from music_streaming_etl_spark.plans.staged_queries import (  # noqa: E402
     q_merge_upsert_kpis,
     q_similarity_topk_ivf_full_probe,
 )
+from music_streaming_etl_spark.plans.staged_r9_queries import (  # noqa: E402
+    q_cramers_v,
+    q_jonckheere_terpstra,
+    q_ks_two_sample,
+    q_mood_median_test,
+    q_wilcoxon_signed_rank,
+)
 from music_streaming_etl_spark.plans.stats_queries import (  # noqa: E402
     q_tpch_q1_piped,
 )
@@ -92,6 +99,23 @@ PROBES.update(
         ),
         "brown_forsythe": (
             q_brown_forsythe, materialize_star, "star", "lineitem",
+        ),
+        # round-9 staged keys (plans/staged_r9_queries.py) — same
+        # pre-registration decade-past-the-curve discipline
+        "ks_two_sample": (
+            q_ks_two_sample, materialize_orders, "ord", "orders",
+        ),
+        "jonckheere_terpstra": (
+            q_jonckheere_terpstra, materialize_orders, "ord", "orders",
+        ),
+        "mood_median_test": (
+            q_mood_median_test, materialize_star, "star", "lineitem",
+        ),
+        "cramers_v": (
+            q_cramers_v, materialize_events, "ev", "events",
+        ),
+        "wilcoxon_signed_rank": (
+            q_wilcoxon_signed_rank, materialize_orders, "ord", "orders",
         ),
     }
 )

@@ -1072,6 +1072,8 @@ def main() -> None:
         "ks_two_sample": "orders",
         "jonckheere_terpstra": "orders",
         "mood_median_test": "star",
+        "cramers_v": "events",
+        "wilcoxon_signed_rank": "orders",
     }
     for _k, _mn in _STAGED_R9_PROBES.items():
         _m, _b = _MATS[_mn]

@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 
 from music_streaming_etl_spark.plans.staged_r9_queries import (
     REGISTRY_STAGED_R9,
+    q_cramers_v,
     q_jonckheere_terpstra,
     q_ks_two_sample,
     q_mood_median_test,
+    q_wilcoxon_signed_rank,
 )
 
 from test_oracle_type_parity import canon_duck, canon_spark
@@ -273,3 +275,60 @@ def test_mood_constant_corpus_chi2_null(spark, sf_dir, tmp_path):
     assert row.grand_median_x2 == 10000
     assert row.n_above == 0
     assert row.chi2_stat is None
+
+
+def test_cramers_v_matches_bruteforce(spark, sf_dir, duck):
+    """Twin via plain float contingency math (numpy-free): chi² and V
+    to 1e-6 relative (the 1e-9 cell quantization is far below)."""
+    df = duck.execute(
+        "SELECT CAST(user_id % 3 AS BIGINT) AS variant, event_type, "
+        "COUNT(*) AS o FROM events GROUP BY 1, 2"
+    ).fetchdf()
+    n = df["o"].sum()
+    rt = df.groupby("variant")["o"].sum()
+    ct = df.groupby("event_type")["o"].sum()
+    chi2 = 0.0
+    for _, row in df.iterrows():
+        e = rt[row["variant"]] * ct[row["event_type"]] / n
+        chi2 += (row["o"] - e) ** 2 / e
+    r, c = df["variant"].nunique(), df["event_type"].nunique()
+    v = ((chi2 / n) / (min(r, c) - 1)) ** 0.5
+    got = q_cramers_v(spark, sf_dir).collect()[0]
+    assert got.n_rows == n
+    assert (got.n_variants, got.n_types) == (r, c)
+    assert got.chi2_stat == pytest.approx(chi2, rel=1e-6)
+    assert got.v_stat == pytest.approx(v, rel=1e-6)
+
+
+def test_wilcoxon_matches_bruteforce(spark, sf_dir, duck):
+    """EXACT integer twin for W2/E2 (python ints), float twin for z:
+    pandas average ranks of |d| over the paired 95→96 customer cents
+    differences, zeros dropped."""
+    import pandas as pd
+
+    df = duck.execute(
+        "SELECT o_custkey AS cust, EXTRACT(year FROM o_orderdate) AS y, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c "
+        "FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)"
+    ).fetchdf()
+    per = df.pivot_table(
+        index="cust", columns="y", values="c", aggfunc="sum"
+    )
+    both = per.dropna()
+    d = (both[1996] - both[1995]).astype(int)
+    d = d[d != 0]
+    n = len(d)
+    ranks = d.abs().rank(method="average")
+    w = float(ranks[d > 0].sum())
+    e = n * (n + 1) / 4.0
+    from collections import Counter
+
+    t = Counter(d.abs())
+    ties = sum(x**3 - x for x in t.values())
+    var = (n * (n + 1) * (2 * n + 1) - ties / 2.0) / 24.0
+    z = (w - e) / var**0.5
+    got = q_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    assert got.n_pairs == n
+    assert int(got.w2_pos) == int(round(2 * w))
+    assert int(got.e2) == n * (n + 1) // 2
+    assert got.z_stat == pytest.approx(z, rel=1e-9)
