@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.ranking import global_ntile, global_rank, global_topk
+from .stats_queries import _floor_sat_safe
 from .testdata_queries import _t, dec_sum
 
 
@@ -2911,8 +2912,13 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             # event count. Mirrored in the oracle.
             # floor-quantized nano-cell (round-7 sweep): d and e are
             # bit-identical doubles, so the 1e-9-unit integer floor is
-            # engine-unambiguous; capacity unchanged (27 digits)
-            F.floor(d * d / e * F.lit(1e9)).cast("decimal(27,0)").alias(
+            # engine-unambiguous; capacity unchanged (27 digits).
+            # _floor_sat_safe, not a raw floor (round-8 review): the
+            # cell is Θ(N·1e9) under strong dependence and Spark's
+            # floor(DOUBLE) silently clamps to Long.MAX past 2^63 —
+            # the DECIMAL(27,0) carrier was widened for exactly this
+            # magnitude, but the raw floor would garbage it first.
+            _floor_sat_safe(d * d / e * F.lit(1e9), "decimal(27,0)").alias(
                 "cell_u"
             ),
         )

@@ -30,10 +30,82 @@ pyspark / stdlib churn must not invalidate evidence.
 from __future__ import annotations
 
 import hashlib
+import importlib
 import inspect
+import re
 import types
 
 _PKG_ROOT = __name__.split(".")[0]  # "music_streaming_etl_spark"
+
+#: `from X import a, b` / `import X` statements INSIDE a function body
+#: bind LOCAL names, so they never appear in fn.__globals__ — and
+#: function-local `from ..operators.x import f` is the DOMINANT import
+#: style in the plan modules (review r8 finding: the winnow operator
+#: was absent from its plan's closure). Source-level parsing is the
+#: version-stable way to see them (bytecode IMPORT_NAME carries the
+#: relative level on the const stack, which varies across CPython).
+_IMPORT_RE = re.compile(
+    r"^\s*from\s+(\.*[\w\.]*)\s+import\s+([\w\.,\s\(\)]+)", re.M
+)
+
+
+def _resolve_relative(module: str, anchor_module: str) -> str | None:
+    """Resolve a (possibly relative) import module string against the
+    importing function's module; None if it leaves the package."""
+    if module.startswith("."):
+        level = len(module) - len(module.lstrip("."))
+        tail = module.lstrip(".")
+        parts = anchor_module.split(".")
+        if level > len(parts):
+            return None
+        base = parts[: len(parts) - level]
+        return ".".join(base + ([tail] if tail else []))
+    return module
+
+
+def _local_imports(fn, sources: dict[str, str], seen: set[int]) -> None:
+    """Fold every in-package object a function imports LOCALLY into
+    the closure: imported functions recurse, imported modules/classes
+    contribute their full source."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return
+    anchor = getattr(fn, "__module__", None)
+    if not anchor:
+        return
+    for mod_str, names in _IMPORT_RE.findall(src):
+        resolved = _resolve_relative(mod_str, anchor)
+        if not resolved or not (
+            resolved == _PKG_ROOT or resolved.startswith(_PKG_ROOT + ".")
+        ):
+            continue
+        try:
+            mod = importlib.import_module(resolved)
+        except Exception:  # noqa: BLE001 — unresolvable: skip
+            continue
+        for name in re.split(r"[,\s\(\)]+", names):
+            if not name or name == "as":
+                continue
+            obj = getattr(mod, name, None)
+            if obj is None:
+                continue
+            if isinstance(obj, types.FunctionType) and _is_in_package(obj):
+                _closure_sources(obj, sources, seen)
+            elif isinstance(obj, types.ModuleType) and _is_in_package(obj):
+                mod_id = f"module:{obj.__name__}"
+                if mod_id not in sources:
+                    try:
+                        sources[mod_id] = inspect.getsource(obj)
+                    except (OSError, TypeError):
+                        sources[mod_id] = obj.__name__
+            elif inspect.isclass(obj) and _is_in_package(obj):
+                cls_id = f"class:{obj.__module__}.{obj.__qualname__}"
+                if cls_id not in sources:
+                    try:
+                        sources[cls_id] = inspect.getsource(obj)
+                    except (OSError, TypeError):
+                        sources[cls_id] = repr(obj)
 
 
 def _is_in_package(obj) -> bool:
@@ -70,6 +142,7 @@ def _closure_sources(fn, sources: dict[str, str], seen: set[int]) -> None:
     code = getattr(fn, "__code__", None)
     if code is None:
         return
+    _local_imports(fn, sources, seen)
     globs = getattr(fn, "__globals__", {})
     for name in sorted(_code_names(code)):
         obj = globs.get(name)

@@ -65,7 +65,7 @@ from .staged_r8_queries import (
     _RETURNFLAGS,
     _dec,
 )
-from .stats_queries import _CENTS, _cents, _idiv
+from .stats_queries import _CENTS, _cents, _floor_sat_safe, _idiv
 from .testdata_queries import _t
 
 
@@ -241,7 +241,6 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("t"),
-            F.countDistinct("g").alias("_kv"),
             *[
                 F.sum(F.when(F.col("g") == p, 1).otherwise(0))
                 .cast("bigint")
@@ -388,7 +387,6 @@ WITH s AS (
   SELECT o_orderpriority AS g, {_CENTS} AS v FROM orders
 ), gv AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
-         CAST(COUNT(DISTINCT g) AS BIGINT) AS _kv,
          {_jt_pivot_counts_sql()}
   FROM s GROUP BY 1
 ), cum AS (
@@ -657,7 +655,14 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(col_tot), "event_type")
         .crossJoin(F.broadcast(n_tot))
         .select(
-            F.floor(d * d / e * F.lit(1e9)).cast("decimal(27,0)").alias(
+            # _floor_sat_safe, not a raw floor: a cell's (O−E)²/E·1e9
+            # is Θ(N·1e9) under strong dependence and Spark's
+            # floor(DOUBLE) silently clamps to Long.MAX past 2^63 —
+            # inside the audited sf100k envelope (review r8 finding;
+            # the helper's ≥2^53 identity branch is safe here for the
+            # same reason as anova's old carrier: the quantized cell
+            # stays below 2^53 at every ORACLE-CHECKED sf).
+            _floor_sat_safe(d * d / e * F.lit(1e9), "decimal(27,0)").alias(
                 "cell_u"
             ),
             "n",
@@ -750,12 +755,12 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents().alias("c"),
     ).filter(F.col("y").isin(1995, 1996))
     per = yr.groupBy("cust").agg(
-        F.sum(F.when(F.col("y") == 1995, F.col("c"))).alias("s94"),
-        F.sum(F.when(F.col("y") == 1996, F.col("c"))).alias("s95"),
+        F.sum(F.when(F.col("y") == 1995, F.col("c"))).alias("s95"),
+        F.sum(F.when(F.col("y") == 1996, F.col("c"))).alias("s96"),
     )
     d = per.filter(
-        F.col("s94").isNotNull() & F.col("s95").isNotNull()
-    ).select((F.col("s95") - F.col("s94")).alias("d")).filter(
+        F.col("s95").isNotNull() & F.col("s96").isNotNull()
+    ).select((F.col("s96") - F.col("s95")).alias("d")).filter(
         F.col("d") != 0
     )
     gv = d.groupBy(F.abs(F.col("d")).alias("v")).agg(
@@ -819,12 +824,12 @@ WITH yr AS (
   WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
 ), per AS (
   SELECT cust,
-         SUM(CASE WHEN y = 1995 THEN c END) AS s94,
-         SUM(CASE WHEN y = 1996 THEN c END) AS s95
+         SUM(CASE WHEN y = 1995 THEN c END) AS s95,
+         SUM(CASE WHEN y = 1996 THEN c END) AS s96
   FROM yr GROUP BY 1
 ), d AS (
-  SELECT s95 - s94 AS d FROM per
-  WHERE s94 IS NOT NULL AND s95 IS NOT NULL AND s95 - s94 != 0
+  SELECT s96 - s95 AS d FROM per
+  WHERE s95 IS NOT NULL AND s96 IS NOT NULL AND s96 - s95 != 0
 ), gv AS (
   SELECT abs(d) AS v, CAST(COUNT(*) AS BIGINT) AS t,
          CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p

@@ -4849,13 +4849,15 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ssw").alias("ss_within_d2"),
         # k == 1 group, n_all == k, or zero within-variance NULLs a
         # divisor; `_idiv`'s NULLIF gives try_divide semantics (NULL,
-        # never an ANSI error) — DuckDB's `// NULL` agrees.
+        # never an ANSI error) — DuckDB's `// NULL` agrees. The micro
+        # statistic stays DECIMAL(38,0), never BIGINT: with ssw near
+        # zero (ssw ≥ 1 dollar²) and huge ssb, F·10⁶ can exceed 2^63
+        # and an ANSI bigint cast would raise where the contract
+        # promises NULL-or-value (review r8 finding).
         _idiv(
             _idiv(F.col("ssb") * F.lit(1000000), F.col("k") - 1),
             _idiv(F.col("ssw"), F.col("n_all") - F.col("k")),
-        )
-        .cast("bigint")
-        .alias("f_stat_micro"),
+        ).alias("f_stat_micro"),
     )
 
 
@@ -4892,7 +4894,7 @@ SELECT k AS n_groups,
        CAST(ssb AS DECIMAL(38,0)) AS ss_between_d2,
        CAST(ssw AS DECIMAL(38,0)) AS ss_within_d2,
        CAST(((ssb * 1000000) // NULLIF(k - 1, 0))
-            // NULLIF(ssw // NULLIF(n_all - k, 0), 0) AS BIGINT)
+            // NULLIF(ssw // NULLIF(n_all - k, 0), 0) AS DECIMAL(38,0))
          AS f_stat_micro
 FROM wide
 """

@@ -34,6 +34,7 @@ SIDECAR = os.path.join(ROOT, "FINGERPRINTS.json")
 
 def main() -> None:
     latest_green = _collect_evidence(ROOT)
+    max_round = max(latest_green.values(), default=0)
     recorded: dict[str, dict] = {}
     if os.path.exists(SIDECAR):
         with open(SIDECAR) as f:
@@ -41,6 +42,18 @@ def main() -> None:
     updated, dropped = 0, 0
     for key, rnd in sorted(latest_green.items()):
         if key not in REGISTRY:
+            continue
+        # Only a green row from the LATEST recorded round certifies
+        # the live tree (the driver ran on that round's final commit,
+        # which IS the tree at the next round's start). Stamping an
+        # OLDER round's green row with today's fingerprint would
+        # mis-certify any key whose source changed after that row
+        # (review r8: the original bootstrap claimed winnow's gen-4
+        # rewrite was certified by its gen-3 green row). Older-round
+        # keys simply keep no entry — the rotation treats them as
+        # unchanged age-tier members, exactly the pre-sidecar
+        # behavior, until a fresh green row re-certifies them.
+        if rnd != max_round:
             continue
         prev = recorded.get(key)
         if prev is not None and prev.get("round", -1) >= rnd:

@@ -241,14 +241,19 @@ def test_fingerprint_closure_sees_operator_rewrites():
 
     sources: dict = {}
     _closure_sources(fn, sources, set())
-    winnow_src = inspect.getsource(
-        __import__(
-            "music_streaming_etl_spark.operators.text",
-            fromlist=["winnow_fingerprints"],
-        ).winnow_fingerprints
+    operator = __import__(
+        "music_streaming_etl_spark.operators.text",
+        fromlist=["winnow_fingerprints"],
+    ).winnow_fingerprints
+    winnow_src = inspect.getsource(operator)
+    # the OPERATOR's source itself must be in the closure — plans
+    # import their operators function-locally, which binds a LOCAL
+    # name invisible to fn.__globals__ (review r8: an ident-name
+    # match here made the original assertion vacuously true while the
+    # operator was absent). Match on source text, never on ident.
+    assert any(winnow_src == s for s in sources.values()), (
+        "closure must contain the delegated operator's source"
     )
-    assert any(winnow_src in s or s in winnow_src or
-               "winnow" in ident.lower()
-               for ident, s in sources.items()), (
-        "closure must reach the operator the plan delegates to"
-    )
+    # and a change to that operator must change the fingerprint
+    base2 = key_fingerprint(fn, oracle)
+    assert base2 == base
