@@ -106,7 +106,15 @@ def _idiv(a: F.Column, b: F.Column) -> F.Column:
     is HUGEINT ``//`` (int128 truncating division — exact at every
     magnitude we emit; DuckDB's DECIMAL ``//`` converts to DOUBLE and
     must never be used). Truncation == floor because callers clamp
-    operands non-negative first."""
+    operands non-negative first.
+
+    QUOTIENT CEILING: the division carrier is DECIMAL(38,6) — 32
+    integer digits — so a QUOTIENT ≥ 1e32 raises loudly under ANSI
+    (NUMERIC_VALUE_OUT_OF_RANGE; pinned by
+    tests/test_quantize.py::test_idiv_quotient_ceiling_raises_loudly)
+    rather than silently corrupting. Every registry user's quotient
+    is audited ≤ ~1e27 at sf100k (anova msb_micro the largest); do
+    NOT reuse this helper where the quotient can cross 1e32."""
     bz = F.nullif(b.cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
     a38 = a.cast("decimal(38,0)")
     return ((a38 - a38 % bz) / bz).cast("decimal(38,0)")

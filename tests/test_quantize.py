@@ -53,3 +53,72 @@ def test_gate_is_identity_above_2_53(spark):
 def test_floor_semantics_negative(spark):
     df = spark.createDataFrame([(-1e-7,)], "x double")
     assert df.select(q6(F.col("x")).alias("q")).collect()[0][0] == -1e-06
+
+
+# --------------------------------------------------------------------------
+# round-8: the exact-integer-division carrier (`stats_queries._idiv`)
+# --------------------------------------------------------------------------
+
+
+def test_idiv_matches_python_and_duckdb_hugeint(spark):
+    """The entire round-8 IEEE-free arithmetic class (anova's S²/n
+    terms and micro-statistics, ks_two_sample's d_micro) rides on
+    `_idiv(a, b)` being EXACTLY Python's // for non-negative exact
+    decimals AND exactly DuckDB's HUGEINT // — across the full
+    magnitude envelope up to the DECIMAL(38,0) ceiling, through the
+    quotient-near-integer cases where a naive floor(a/b) would round
+    HALF_UP across the boundary, and NULL (never an ANSI error) on a
+    zero divisor."""
+    import duckdb
+
+    from music_streaming_etl_spark.plans.stats_queries import _idiv
+
+    cases = [
+        (0, 1),
+        (7, 2),
+        (10**37, 10**6),                     # quotient 1e31: near the
+        (5 * 10**36, 7 * 10**5),             # DECIMAL(38,6) carrier cap
+        (2**53 + 1, 2),                      # past the double-exact gate
+        (10**30 - 1, 10**15),                # quotient just below 1e15
+        (999999999999999999999999, 10**10),  # frac part ~.99999 — the
+        (10**25 + 10**12 - 1, 10**12),       # HALF_UP-vs-floor traps
+        (123456789012345678901234567, 991),
+        (3, 0),                              # zero divisor -> NULL
+    ]
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in cases], "a string, b string"
+    ).select(
+        F.col("a").cast("decimal(38,0)").alias("a"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+    )
+    got = [
+        None if r.q is None else int(r.q)
+        for r in df.select(_idiv(F.col("a"), F.col("b")).alias("q"))
+        .collect()
+    ]
+    expect = [None if b == 0 else a // b for a, b in cases]
+    assert got == expect, "Spark _idiv != Python //"
+    con = duckdb.connect()
+    for (a, b), e in zip(cases, expect):
+        duck = con.execute(
+            f"SELECT CAST({a} AS HUGEINT) // NULLIF(CAST({b} AS HUGEINT), 0)"
+        ).fetchone()[0]
+        assert (None if duck is None else int(duck)) == e, (a, b)
+    con.close()
+
+
+def test_idiv_quotient_ceiling_raises_loudly(spark):
+    """`_idiv`'s division carrier is DECIMAL(38,6) — 32 integer
+    digits. A quotient ≥ 1e32 must raise LOUDLY under ANSI (the
+    helper's documented ceiling), never return a silently wrong
+    value; every registry user is audited ≤ ~1e27 at sf100k."""
+    import pytest as _pytest
+
+    from music_streaming_etl_spark.plans.stats_queries import _idiv
+
+    df = spark.createDataFrame([("1" + "0" * 36, "3")], "a string, b string").select(
+        F.col("a").cast("decimal(38,0)").alias("a"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+    )
+    with _pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        df.select(_idiv(F.col("a"), F.col("b")).alias("q")).collect()
