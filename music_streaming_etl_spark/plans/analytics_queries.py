@@ -420,24 +420,41 @@ FROM agg QUALIFY rank <= 50
 
 
 def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact lower-median price per returnflag via windowed rank —
-    deterministic in any engine, unlike interpolated medians and
-    approx percentiles."""
+    """Exact lower-median price per returnflag — deterministic in any
+    engine, unlike interpolated medians and approx percentiles.
+
+    ROUND-8 REWRITE, at the VALUE grain (the brown_forsythe median
+    machinery): the original row-grain `row_number` window sorted
+    EVERY fact row inside three single-task partitions — the 1000×
+    probe measured 291s at 600M rows (2.1M rows/s, the seventh
+    sweep's slowest healthy riser). Aggregating to (flag, DISTINCT
+    price) first collapses the window input to the price DOMAIN
+    (≤ ~10.4M values however large the fact grows) behind one
+    map-side-combined shuffle; the per-group cumulative count then
+    selects the value whose cumulative range covers rank
+    ⌊(n_g+1)/2⌋. Output rows identical (the median VALUE does not
+    depend on intra-tie order), so the oracle is unchanged.
+    Floor division on BOTH sides: DuckDB's int "/" yields DOUBLE and
+    CAST rounds half-to-even, Spark's cast truncates — floor is the
+    one semantics every engine agrees on."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    gv = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    ranked = li.select(
+    wcum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("l_returnflag")
+    cw = gv.select(
         "l_returnflag",
         "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("cnt"),
+        "c",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n_g"),
     )
-    # floor division on BOTH sides: DuckDB's int "/" yields DOUBLE and
-    # CAST rounds half-to-even, Spark's cast truncates — floor is the
-    # one semantics every engine agrees on
-    return ranked.filter(
-        F.col("rn") == F.floor((F.col("cnt") + 1) / 2).cast("int")
+    target = F.floor((F.col("n_g") + 1) / 2).cast("bigint")
+    return cw.filter(
+        (F.col("cum") >= target) & (F.col("cum") - F.col("c") < target)
     ).select("l_returnflag", F.col("l_extendedprice").alias("median_price"))
 
 

@@ -208,6 +208,16 @@ def _collect_evidence(root: str) -> dict[str, int]:
     return latest_green
 
 
+#: keys REWRITTEN this round whose latest green row predates the
+#: sidecar's certification scope (FINGERPRINTS.json only certifies
+#: keys green in the LATEST driver round — older rows certify trees we
+#: can no longer fingerprint), so the change-aware rotation cannot see
+#: the rewrite. Listing them here forces them into the fresh tier for
+#: one round; clear the set once their new driver rows land.
+#: r8: median_by_group (row-grain window → value-grain rewrite).
+_FORCE_FRESH: frozenset[str] = frozenset({"median_by_group"})
+
+
 def _load_certified_fingerprints(root: str) -> dict[str, str]:
     """Read the builder-owned sidecar ``FINGERPRINTS.json`` written by
     ``scripts/record_fingerprints.py`` at each round start:
@@ -279,6 +289,7 @@ def _auto_rotate(
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    live_evidence = checked is None
     if checked is None:
         checked = _collect_evidence(root)
         # change-awareness rides on REAL evidence only: a simulated
@@ -295,7 +306,12 @@ def _auto_rotate(
         if isinstance(checked, dict)
         else {k: 0 for k in checked}
     )
-    changed: set[str] = set()
+    # _FORCE_FRESH applies to the LIVE rotation only — simulated
+    # `checked` sets (tests) must not be perturbed by the round's
+    # hand-listed rewrites.
+    changed: set[str] = (
+        set(_FORCE_FRESH) & set(staleness) if live_evidence else set()
+    )
     if certified_fps:
         try:
             from .fingerprints import key_fingerprint

@@ -1414,7 +1414,7 @@ def test_anova_matches_textbook_formula(spark):
     # integer-dollars² quantization: within k units of the float value
     assert abs(float(row["ss_between_d2"]) - ssb) < k + 1
     assert abs(float(row["ss_within_d2"]) - ssw) < k + 1
-    assert abs(row["f_stat_micro"] / 1e6 - f) < 1e-4
+    assert abs(float(row["f_stat_micro"]) / 1e6 - f) < 1e-4
 
 
 def test_floor_sat_safe_no_silent_saturation(spark):
