@@ -513,16 +513,44 @@ def q_percentile_cont_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = orders.select(
         F.col("o_orderpriority").alias("priority"), cents.alias("v")
     )
-    w = Window.partitionBy("priority").orderBy("v")
-    ranked = vals.withColumn("rn", F.row_number().over(w))
-    counts = vals.groupBy("priority").agg(F.count(F.lit(1)).alias("n"))
-    j = ranked.join(F.broadcast(counts), "priority")
+    # ROUND-8 REWRITE, at the VALUE grain (the median_by_group fix):
+    # the row-grain row_number window sorted every fact row inside k
+    # single-task partitions — this was SCALE.md's "slowest riser".
+    # Aggregating to (priority, DISTINCT cents) first bounds the
+    # window input by the price domain at any corpus size; the value
+    # whose cumulative-count range covers rank r IS the value at rank
+    # r, so the straddling-rank lookups (and the output) are
+    # unchanged and the oracle stays as-is.
+    gv = vals.groupBy("priority", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.partitionBy("priority").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    j = gv.select(
+        "priority",
+        "v",
+        "c",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(Window.partitionBy("priority"))
+        .cast("bigint")
+        .alias("n"),
+    )
+
+    def _val_at(rank):
+        return F.max(
+            F.when(
+                (F.col("cum") >= rank)
+                & (F.col("cum") - F.col("c") < rank),
+                F.col("v"),
+            )
+        )
 
     def pct(pnum: int, pden: int, name: str):
         lo = F.expr(f"(n - 1) * {pnum} DIV {pden}")
         rem = ((F.col("n") - 1) * pnum) % pden
-        vlo = F.max(F.when(F.col("rn") == lo + 1, F.col("v")))
-        vhi = F.max(F.when(F.col("rn") == lo + 2, F.col("v")))
+        vlo = _val_at(lo + 1)
+        vhi = _val_at(lo + 2)
         scaled = vlo * pden + (F.coalesce(vhi, vlo) - vlo) * F.max(rem)
         # raw (round-7 sweep): one quotient of exact integers
         return (scaled.cast("double") / pden).alias(name)

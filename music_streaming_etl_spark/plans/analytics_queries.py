@@ -744,17 +744,36 @@ def q_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     # customer is fact-scaled (grows with SF) — shuffle-join, no hint.
     seg = orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
-    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
-    ranked = seg.select(
+    # ROUND-8 REWRITE, at the VALUE grain (the median_by_group fix):
+    # the row-grain row_number window sorted every joined row inside
+    # five single-task segment partitions. Distinct (segment, price)
+    # counts + cumulative ranges select the identical nearest-rank
+    # values (the value at rank k is invariant to intra-tie order),
+    # bounded by the price domain at any corpus size; oracle unchanged.
+    gv = seg.groupBy("c_mktsegment", "o_totalprice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.partitionBy("c_mktsegment").orderBy(
+        "o_totalprice"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = gv.select(
         "c_mktsegment",
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("cnt"),
+        "c",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(Window.partitionBy("c_mktsegment"))
+        .cast("bigint")
+        .alias("cnt"),
     )
 
     def pick(p: float, alias: str):
         rank = F.ceil(F.col("cnt") * p).cast("bigint")
-        return F.max(F.when(F.col("rn") == rank, F.col("o_totalprice"))).alias(alias)
+        return F.max(
+            F.when(
+                (F.col("cum") >= rank) & (F.col("cum") - F.col("c") < rank),
+                F.col("o_totalprice"),
+            )
+        ).alias(alias)
 
     return ranked.groupBy("c_mktsegment").agg(
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99")

@@ -214,8 +214,15 @@ def _collect_evidence(root: str) -> dict[str, int]:
 #: can no longer fingerprint), so the change-aware rotation cannot see
 #: the rewrite. Listing them here forces them into the fresh tier for
 #: one round; clear the set once their new driver rows land.
-#: r8: median_by_group (row-grain window → value-grain rewrite).
-_FORCE_FRESH: frozenset[str] = frozenset({"median_by_group"})
+#: r8: median_by_group / percentile_cont_by_group /
+#: revenue_percentiles (row-grain windows → value-grain rewrites).
+_FORCE_FRESH: frozenset[str] = frozenset(
+    {
+        "median_by_group",
+        "percentile_cont_by_group",
+        "revenue_percentiles",
+    }
+)
 
 
 def _load_certified_fingerprints(root: str) -> dict[str, str]:
