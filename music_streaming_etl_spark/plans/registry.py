@@ -215,12 +215,17 @@ def _collect_evidence(root: str) -> dict[str, int]:
 #: the rewrite. Listing them here forces them into the fresh tier for
 #: one round; clear the set once their new driver rows land.
 #: r8: median_by_group / percentile_cont_by_group /
-#: revenue_percentiles (row-grain windows → value-grain rewrites).
+#: revenue_percentiles (row-grain windows → value-grain rewrites);
+#: winnow_fingerprints (VERDICT r7's poster child — operator replaced
+#: wholesale in r7 AFTER its r6 green row, i.e. the one key KNOWN to
+#: carry evidence for code that no longer exists; the sidecar cannot
+#: see it because its certified tree predates the sidecar's scope).
 _FORCE_FRESH: frozenset[str] = frozenset(
     {
         "median_by_group",
         "percentile_cont_by_group",
         "revenue_percentiles",
+        "winnow_fingerprints",
     }
 )
 
