@@ -40,6 +40,10 @@ each re-expressed as a bounded-grain exact-arithmetic plan:
   customer against itself, 1995 vs 1996 spend): exact integer cents
   differences, doubled pooled ranks of |d| from one exclusive prefix
   window, W2/E2 exact integers, z the only IEEE final.
+- ``benchmark_decontamination`` — the one non-stats key: train/eval
+  n-gram collision scrub over ``documents`` (the LLM-pipeline gate
+  that keeps benchmark text out of a training corpus). All-integer
+  counts + one raw quotient; linear span-key joins, never all-pairs.
 
 All group domains are CLOSED (5 priorities / 3 return flags), so the
 k-term reductions pivot into fixed columns with the staged-r8 domain
@@ -60,6 +64,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .extension_queries import SQL_SHINGLES5
 from .staged_r8_queries import (
     _PRIORITIES,
     _RETURNFLAGS,
@@ -866,15 +871,61 @@ FROM fin
 """
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram collision scrub)
+# --------------------------------------------------------------------------
+
+
+def q_benchmark_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/eval n-gram decontamination over ``documents``: the
+    deterministic 5% slice ``doc_id % 20 == 0`` stands in for the
+    held-out benchmark suite, and every training document reports how
+    many of its distinct 5-token spans occur anywhere in that slice —
+    the pre-training scrub that keeps eval numbers meaningful (the
+    GPT-3 13-gram collision check is the single-node twin). See
+    ``operators/dedup.py::benchmark_decontamination`` for the plan
+    shape (linear span-key joins, never all-pairs)."""
+    from ..operators.dedup import benchmark_decontamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return benchmark_decontamination(
+        docs, "doc_id", "text", span_n=5, eval_mod=20
+    )
+
+
+ORACLE_BENCHMARK_DECONTAMINATION = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES5}) AS sh FROM documents
+), ev AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
+)
+SELECT sh.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_eval_hits,
+  CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS contamination_fraction
+FROM sh LEFT JOIN ev USING (sh)
+WHERE sh.doc_id % 20 <> 0
+GROUP BY sh.doc_id
+"""
+
+
 # Round-9 registration payload — NOT imported by registry.py this
 # round (the freeze). Registration is:
 #   from .staged_r9_queries import REGISTRY_STAGED_R9
 #   REGISTRY.update(REGISTRY_STAGED_R9)
-# plus fronting the five keys in _PRIORITY (new-code-first rule).
+# plus fronting the six keys in _PRIORITY (new-code-first rule).
 REGISTRY_STAGED_R9: dict = {
     "ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "jonckheere_terpstra": (q_jonckheere_terpstra, ORACLE_JONCKHEERE),
     "mood_median_test": (q_mood_median_test, ORACLE_MOOD_MEDIAN),
     "cramers_v": (q_cramers_v, ORACLE_CRAMERS_V),
     "wilcoxon_signed_rank": (q_wilcoxon_signed_rank, ORACLE_WILCOXON),
+    "benchmark_decontamination": (
+        q_benchmark_decontamination,
+        ORACLE_BENCHMARK_DECONTAMINATION,
+    ),
 }

@@ -49,6 +49,7 @@ from music_streaming_etl_spark.plans.staged_queries import (  # noqa: E402
     q_similarity_topk_ivf_full_probe,
 )
 from music_streaming_etl_spark.plans.staged_r9_queries import (  # noqa: E402
+    q_benchmark_decontamination,
     q_cramers_v,
     q_jonckheere_terpstra,
     q_ks_two_sample,
@@ -116,6 +117,9 @@ PROBES.update(
         ),
         "wilcoxon_signed_rank": (
             q_wilcoxon_signed_rank, materialize_orders, "ord", "orders",
+        ),
+        "benchmark_decontamination": (
+            q_benchmark_decontamination, materialize_llm, "llm", "documents",
         ),
     }
 )
@@ -344,6 +348,51 @@ _R10_WINDOW_1000X = {
     "tpch_q7_volume_shipping": "star",
 }
 
+# Eighth sweep (round 8, second session): the predicted ROUND-11
+# re-verify window (rotation positions ~151-200) probed at 1000×
+# three rounds early — the standing pre-driver pattern. The window is
+# dominated by the TPC-H decision-support block, whose r4 curves stop
+# at 100×; all seventeen fact-scaled queries extend to 1000× on ONE
+# shared star corpus (600M lineitem + 150M orders, dims fixed —
+# `tpch_q17_small_quantity`'s earlier 100× row used the baskets
+# corpus, but star's lineitem is the identical multiply, so it rides
+# the shared materialization here). Deliberate skips, with rationale:
+# tpch_q2_min_cost_supplier scales on the part/supplier DIMENSIONS
+# (documented seventh-sweep skip — no corpus multiplier models dim
+# growth); rename_column / ddl_recreate are sink-bound (the probe
+# would time a 10-20 GB CSV serialization, not plan shape — the
+# standing fourth-sweep rationale); genre_kpis carries a 1000× row
+# from the r2 flagship sweep; every other position-151-200 key
+# (welch_t_test, max_drawdown, item_jaccard, survival_rmst, the
+# P1-P7/J/V primitives, …) carries 1000× rows from earlier sweeps.
+_R11_WINDOW_1000X = {
+    # events-backed
+    "mcnemar_test": "events",
+    "eb_shrunk_rates": "events",
+    # orders-backed
+    "suggest_constraints": "orders",
+    # documents-backed
+    "cohens_kappa": "llm",
+    # TPC-H block on the shared star corpus
+    "tpch_q4_late_orders": "star",
+    "tpch_q6_forecast": "star",
+    "tpch_q8_market_share": "star",
+    "tpch_q9_product_profit": "star",
+    "tpch_q10_returns": "star",
+    "tpch_q11_important_parts": "star",
+    "tpch_q12_priority_mix": "star",
+    "tpch_q13_order_distribution": "star",
+    "tpch_q14_promo_effect": "star",
+    "tpch_q15_top_supplier": "star",
+    "tpch_q16_supplier_counts": "star",
+    "tpch_q17_small_quantity": "star",
+    "tpch_q18_large_orders": "star",
+    "tpch_q19_disjunctive": "star",
+    "tpch_q20_dominant_supplier": "star",
+    "tpch_q21_waiting_supplier": "star",
+    "tpch_q22_idle_customers": "star",
+}
+
 
 def _pid_alive(pid: int) -> bool:
     """True iff ``pid`` is a live process (signal-0 probe; EPERM
@@ -365,6 +414,7 @@ def _extend_with_registry() -> None:
         **_R8_WINDOW_1000X,
         **_R9_WINDOW_1000X,
         **_R10_WINDOW_1000X,
+        **_R11_WINDOW_1000X,
     }.items():
         m, p, b = _CORPUS[c]
         PROBES.setdefault(k, (_REG[k][0], m, p, b))

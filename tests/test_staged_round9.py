@@ -332,3 +332,123 @@ def test_wilcoxon_matches_bruteforce(spark, sf_dir, duck):
     assert int(got.w2_pos) == int(round(2 * w))
     assert int(got.e2) == n * (n + 1) // 2
     assert got.z_stat == pytest.approx(z, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# benchmark_decontamination
+# --------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    out = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_decontamination_matches_bruteforce(spark, sf_dir):
+    """Independent pure-Python twin: distinct 5-gram sets per doc,
+    eval union from the doc_id % 20 == 0 slice, exact hit counts."""
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def spans(text):
+        toks = re.split(r"\s+", str(text).strip().lower())
+        return {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+
+    by_doc = {r.doc_id: spans(r.text) for r in docs.itertuples()}
+    eval_union = set()
+    for did, s in by_doc.items():
+        if did % 20 == 0:
+            eval_union |= s
+    expected = {
+        did: (len(s), len(s & eval_union))
+        for did, s in by_doc.items()
+        if did % 20 != 0 and s
+    }
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_benchmark_decontamination,
+    )
+
+    got = {
+        r.doc_id: (r.n_spans, r.n_eval_hits, r.contamination_fraction)
+        for r in q_benchmark_decontamination(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for did, (n, hits) in expected.items():
+        gn, gh, frac = got[did]
+        assert (gn, gh) == (n, hits), did
+        assert frac == hits / n, did
+
+
+def test_decontamination_planted_quote(spark, tmp_path):
+    """A training doc quoting an eval doc's 5-gram is flagged with the
+    exact hit count; a disjoint training doc reports zero hits."""
+    rows = [
+        # eval doc (id % 20 == 0)
+        (20, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+        # quotes the eval doc's first 5-gram; 3 distinct spans total
+        (1, "alpha beta gamma delta epsilon qq rr", "en", "s", 37),
+        # disjoint vocabulary
+        (2, "uu vv ww xx yy zz", "en", "s", 17),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    from music_streaming_etl_spark.operators.dedup import (
+        benchmark_decontamination,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in benchmark_decontamination(
+            spark.read.parquet(f"{d}/documents.parquet"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1].n_spans, out[1].n_eval_hits) == (3, 1)
+    assert out[1].contamination_fraction == 1 / 3
+    assert (out[2].n_spans, out[2].n_eval_hits) == (2, 0)
+    assert out[2].contamination_fraction == 0.0
+
+
+def test_decontamination_short_docs_and_eval_docs_absent(spark, tmp_path):
+    """Docs under span_n tokens yield no spans (absent — the
+    duplicate_span_stats convention); eval-slice docs never appear."""
+    rows = [
+        (0, "one two three four five six", "en", "s", 27),  # eval
+        (3, "just four tokens here", "en", "s", 21),  # too short
+        (4, "aa bb cc dd ee ff", "en", "s", 17),  # normal train doc
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    from music_streaming_etl_spark.operators.dedup import (
+        benchmark_decontamination,
+    )
+
+    out = benchmark_decontamination(
+        spark.read.parquet(f"{d}/documents.parquet"), "doc_id", "text"
+    ).collect()
+    assert {r.doc_id for r in out} == {4}
+
+
+def test_decontamination_empty_corpus(spark, tmp_path):
+    """Zero documents → zero result rows in both engines."""
+    d = _write_docs(spark, tmp_path, [])
+    from music_streaming_etl_spark.operators.dedup import (
+        benchmark_decontamination,
+    )
+
+    assert (
+        benchmark_decontamination(
+            spark.read.parquet(f"{d}/documents.parquet"), "doc_id", "text"
+        ).count()
+        == 0
+    )
