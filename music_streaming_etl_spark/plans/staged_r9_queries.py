@@ -44,6 +44,12 @@ each re-expressed as a bounded-grain exact-arithmetic plan:
   n-gram collision scrub over ``documents`` (the LLM-pipeline gate
   that keeps benchmark text out of a training corpus). All-integer
   counts + one raw quotient; linear span-key joins, never all-pairs.
+- ``friedman_test`` — the repeated-measures rank test (complete
+  month-blocks × the closed 5-priority domain): ONE fact-scaled
+  month×priority aggregate, then all ranks as exact integer
+  expressions over the pivoted k cell values — no window, no sort;
+  χ² is the only IEEE final. The block domain is calendar-bounded,
+  so the post-aggregate frame is ~84 rows at ANY corpus size.
 
 All group domains are CLOSED (5 priorities / 3 return flags), so the
 k-term reductions pivot into fixed columns with the staged-r8 domain
@@ -69,6 +75,7 @@ from .staged_r8_queries import (
     _PRIORITIES,
     _RETURNFLAGS,
     _dec,
+    _fixed_order_sum,
 )
 from .stats_queries import _CENTS, _cents, _floor_sat_safe, _idiv
 from .testdata_queries import _t
@@ -913,11 +920,261 @@ GROUP BY sh.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Friedman test (repeated-measures rank test over complete blocks)
+# --------------------------------------------------------------------------
+
+
+def _cnt_cmp(op: str, j: int, k: int) -> F.Column:
+    """Within-block comparison count for pivot column ``j``:
+    Σ_i [v_i ≤ v_j] (``op='le'``) or Σ_i [v_i = v_j] (``op='eq'``)
+    over the k pivoted cell values — exact integer expressions on
+    DECIMAL cell sums, fixed left-fold order mirrored in the SQL."""
+    terms = []
+    for i in range(k):
+        cmp = (
+            F.col(f"v_{i}") <= F.col(f"v_{j}")
+            if op == "le"
+            else F.col(f"v_{i}") == F.col(f"v_{j}")
+        )
+        terms.append(F.when(cmp, 1).otherwise(0))
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def _cnt_cmp_sql(op: str, j: int, k: int) -> str:
+    sym = "<=" if op == "le" else "="
+    parts = [
+        f"(CASE WHEN v_{i} {sym} v_{j} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    ]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = f"({acc} + {p})"
+    return acc
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's repeated-measures rank test: does monthly revenue
+    rank the five order priorities consistently, month after month?
+    Blocks are calendar months (ym = year·100 + month), treatments
+    the closed 5-priority domain, the cell value the block's exact
+    cents total per priority. Friedman requires COMPLETE blocks —
+    months missing a priority are dropped (the standard listwise
+    convention, scipy.stats.friedmanchisquare's input contract).
+
+    Scale shape: the only fact-scaled work is ONE month×priority
+    aggregate (map-side partial, ≤ 12·years·k groups at any SF —
+    the block domain is CALENDAR-bounded, not fact-bounded); ranks
+    never touch a window or a sort. Within each block the k=5 cell
+    values pivot to fixed columns and the DOUBLED average rank of
+    column j is the exact integer 2·Σ[v_i ≤ v_j] − Σ[v_i = v_j] + 1
+    (doubling keeps midpoint tie-ranks integral — the wilcoxon/
+    kruskal convention, the ``r2_``/``2·`` naming making the
+    carrier explicit). Per-block tie cubics come from
+    Σ_j (cnt_eq_j² − 1) = Σ_groups (t³ − t). The emitted doubled
+    rank sums / tie term are exact bigints; the only IEEE value is
+
+        χ² = [12·(ΣR_j²)/(n·k·(k+1)) − 3·n·(k+1)]
+             / (1 − Σ(t³−t)/(n·(k³−k)))
+
+    assembled in one fixed operation order from exact integers
+    (ΣR_j² = Σ(2R_j)²/4 — a power-of-two scaling, exact in IEEE),
+    NULL when every block is fully tied (correction → 0, the NULLIF
+    guard) or no complete block exists. A priority value outside the
+    closed domain (or NULL) NULLs every derived statistic — the
+    staged-r8 domain guard, counted here as ``n_bad`` over ALL
+    months, incomplete ones included.
+
+    Magnitude audit: cell sums ≤ ~1.5e15 cents·1e4 at sf100k <
+    DECIMAL(28,0) ✓; R2_j ≤ 2·n·k with n ≤ 12·calendar-years — the
+    χ² operands never approach 2^53 ✓."""
+    k = len(_PRIORITIES)
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+            "ym"
+        ),
+        F.col("o_orderpriority").alias("g"),
+        _cents().alias("c"),
+    )
+    cells = rows.groupBy("ym").agg(
+        *[
+            F.sum(F.when(F.col("g") == p, F.col("c")))
+            .cast("decimal(28,0)")
+            .alias(f"v_{i}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+        F.sum(
+            F.when(F.col("g").isin(*_PRIORITIES), 0).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("bad"),
+    )
+    badf = cells.agg(
+        F.coalesce(F.sum("bad"), F.lit(0)).cast("bigint").alias("n_bad")
+    )
+    complete = cells
+    for i in range(k):
+        complete = complete.filter(F.col(f"v_{i}").isNotNull())
+    ranked = complete.select(
+        *[
+            (
+                F.lit(2) * _cnt_cmp("le", j, k)
+                - _cnt_cmp("eq", j, k)
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias(f"r2_{j}")
+            for j in range(k)
+        ],
+        _fixed_order_sum(
+            [
+                _cnt_cmp("eq", j, k) * _cnt_cmp("eq", j, k) - F.lit(1)
+                for j in range(k)
+            ]
+        )
+        .cast("bigint")
+        .alias("tie_b"),
+    )
+    tot = (
+        ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            *[
+                F.sum(f"r2_{j}").cast("bigint").alias(f"rs2_{j}")
+                for j in range(k)
+            ],
+            F.sum("tie_b").cast("bigint").alias("tie_term"),
+        )
+        .crossJoin(F.broadcast(badf))
+    )
+    nd = F.col("n_blocks").cast("double")
+    sr2 = _fixed_order_sum(
+        [
+            F.col(f"rs2_{j}").cast("double")
+            * F.col(f"rs2_{j}").cast("double")
+            for j in range(k)
+        ]
+    )
+    chi_un = F.try_divide(
+        F.lit(12.0) * (sr2 / F.lit(4.0)),
+        nd * F.lit(float(k * (k + 1))),
+    ) - F.lit(3.0) * (nd * F.lit(float(k + 1)))
+    corr = F.lit(1.0) - F.try_divide(
+        F.col("tie_term").cast("double"), nd * F.lit(float(k**3 - k))
+    )
+    ok = (F.col("n_bad") == 0) & (F.col("n_blocks") > 0)
+    names = ("urgent", "high", "medium", "notspec", "low")
+    return tot.select(
+        "n_blocks",
+        *[
+            F.when(ok, F.col(f"rs2_{j}")).alias(f"r2_{names[j]}")
+            for j in range(k)
+        ],
+        F.when(ok, F.col("tie_term")).alias("tie_term"),
+        F.when(
+            ok, F.try_divide(chi_un, F.nullif(corr, F.lit(0.0)))
+        ).alias("chi2_stat"),
+    )
+
+
+def _friedman_cells_sql(k: int) -> str:
+    vs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN {_CENTS} END)"
+        f" AS DECIMAL(28,0)) AS v_{i}"
+        for i, p in enumerate(_PRIORITIES)
+    )
+    doms = ", ".join(f"'{p}'" for p in _PRIORITIES)
+    return f"""cells AS (
+  SELECT (EXTRACT(year FROM o_orderdate) * 100
+          + EXTRACT(month FROM o_orderdate)) AS ym,
+         {vs},
+         CAST(SUM(CASE WHEN o_orderpriority IN ({doms}) THEN 0
+                       ELSE 1 END) AS BIGINT) AS bad
+  FROM orders GROUP BY 1
+)"""
+
+
+def _friedman_ranked_sql(k: int) -> str:
+    r2s = ",\n         ".join(
+        f"CAST(2 * {_cnt_cmp_sql('le', j, k)}"
+        f" - {_cnt_cmp_sql('eq', j, k)} + 1 AS BIGINT) AS r2_{j}"
+        for j in range(k)
+    )
+    tie_parts = [
+        f"({_cnt_cmp_sql('eq', j, k)} * {_cnt_cmp_sql('eq', j, k)} - 1)"
+        for j in range(k)
+    ]
+    tie = tie_parts[0]
+    for p in tie_parts[1:]:
+        tie = f"({tie} + {p})"
+    return f"""ranked AS (
+  SELECT {r2s},
+         CAST({tie} AS BIGINT) AS tie_b
+  FROM complete
+)"""
+
+
+def _friedman_oracle_sql() -> str:
+    k = len(_PRIORITIES)
+    names = ("urgent", "high", "medium", "notspec", "low")
+    notnull = " AND ".join(f"v_{i} IS NOT NULL" for i in range(k))
+    rs2 = ",\n         ".join(
+        f"CAST(SUM(r2_{j}) AS BIGINT) AS rs2_{j}" for j in range(k)
+    )
+    sr2_parts = [
+        f"(CAST(rs2_{j} AS DOUBLE) * CAST(rs2_{j} AS DOUBLE))"
+        for j in range(k)
+    ]
+    sr2 = sr2_parts[0]
+    for p in sr2_parts[1:]:
+        sr2 = f"({sr2} + {p})"
+    emit_r2 = ",\n       ".join(
+        f"CASE WHEN ok THEN rs2_{j} END AS r2_{names[j]}"
+        for j in range(k)
+    )
+    kk1 = float(k * (k + 1))
+    k3k = float(k**3 - k)
+    return f"""
+WITH {_friedman_cells_sql(k)},
+complete AS (
+  SELECT * FROM cells WHERE {notnull}
+),
+{_friedman_ranked_sql(k)},
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         {rs2},
+         CAST(SUM(tie_b) AS BIGINT) AS tie_term
+  FROM ranked
+), badt AS (
+  SELECT CAST(COALESCE(SUM(bad), 0) AS BIGINT) AS n_bad FROM cells
+), fin AS (
+  SELECT *, (n_bad = 0 AND n_blocks > 0) AS ok,
+         CAST(n_blocks AS DOUBLE) AS nd
+  FROM tot, badt
+)
+SELECT n_blocks,
+       {emit_r2},
+       CASE WHEN ok THEN tie_term END AS tie_term,
+       CASE WHEN ok THEN
+         ((12.0 * ({sr2} / 4.0)) / (nd * {kk1})
+          - 3.0 * (nd * {float(k + 1)}))
+         / NULLIF(1.0 - CAST(tie_term AS DOUBLE) / (nd * {k3k}), 0.0)
+       END AS chi2_stat
+FROM fin
+"""
+
+
+ORACLE_FRIEDMAN = _friedman_oracle_sql()
+
+
 # Round-9 registration payload — NOT imported by registry.py this
 # round (the freeze). Registration is:
 #   from .staged_r9_queries import REGISTRY_STAGED_R9
 #   REGISTRY.update(REGISTRY_STAGED_R9)
-# plus fronting the six keys in _PRIORITY (new-code-first rule).
+# plus fronting the seven keys in _PRIORITY (new-code-first rule).
 REGISTRY_STAGED_R9: dict = {
     "ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "jonckheere_terpstra": (q_jonckheere_terpstra, ORACLE_JONCKHEERE),
@@ -928,4 +1185,5 @@ REGISTRY_STAGED_R9: dict = {
         q_benchmark_decontamination,
         ORACLE_BENCHMARK_DECONTAMINATION,
     ),
+    "friedman_test": (q_friedman_test, ORACLE_FRIEDMAN),
 }

@@ -51,6 +51,7 @@ from music_streaming_etl_spark.plans.staged_queries import (  # noqa: E402
 from music_streaming_etl_spark.plans.staged_r9_queries import (  # noqa: E402
     q_benchmark_decontamination,
     q_cramers_v,
+    q_friedman_test,
     q_jonckheere_terpstra,
     q_ks_two_sample,
     q_mood_median_test,
@@ -120,6 +121,9 @@ PROBES.update(
         ),
         "benchmark_decontamination": (
             q_benchmark_decontamination, materialize_llm, "llm", "documents",
+        ),
+        "friedman_test": (
+            q_friedman_test, materialize_orders, "ord", "orders",
         ),
     }
 )

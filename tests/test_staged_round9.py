@@ -452,3 +452,146 @@ def test_decontamination_empty_corpus(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+# --------------------------------------------------------------------------
+# friedman_test
+# --------------------------------------------------------------------------
+
+
+def test_friedman_matches_bruteforce(spark, sf_dir, duck):
+    """Independent pandas twin: pivot month×priority cents sums, drop
+    incomplete blocks, average ranks per row, tie-corrected χ² via
+    the scipy.friedmanchisquare formula — exact integer comparison
+    for the doubled rank sums / tie term, 1e-9 rel for χ²."""
+    import pandas as pd
+
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_friedman_test,
+    )
+
+    df = duck.execute(
+        "SELECT (EXTRACT(year FROM o_orderdate) * 100 "
+        "        + EXTRACT(month FROM o_orderdate)) AS ym, "
+        "o_orderpriority AS g, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c "
+        "FROM orders"
+    ).fetchdf()
+    cells = df.pivot_table(
+        index="ym", columns="g", values="c", aggfunc="sum"
+    )
+    pris = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    cells = cells.reindex(columns=pris).dropna()
+    n, k = cells.shape
+    ranks = cells.rank(axis=1, method="average")
+    rsum = ranks.sum(axis=0)
+    ssbn = float((rsum**2).sum())
+    chi_un = 12.0 * ssbn / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    ties = 0
+    for _, row in cells.iterrows():
+        for t in row.value_counts().values:
+            ties += t**3 - t
+    c = 1.0 - ties / (n * (k**3 - k))
+    chi2 = chi_un / c
+    got = q_friedman_test(spark, sf_dir).collect()[0]
+    assert got.n_blocks == n
+    names = ("urgent", "high", "medium", "notspec", "low")
+    for j, p in enumerate(pris):
+        assert int(got[f"r2_{names[j]}"]) == int(round(2 * rsum[p])), p
+    assert int(got.tie_term) == ties
+    assert got.chi2_stat == pytest.approx(chi2, rel=1e-9)
+
+
+def test_friedman_all_tied_chi2_null(spark, sf_dir, tmp_path):
+    """Every block fully tied → correction term hits 0 → χ² NULL;
+    each doubled rank is k+1=6, so every rank sum is 6·n_blocks."""
+    import datetime
+
+    pris = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    rows = [
+        (m * 10 + i, 1, 100.0, "O", p, datetime.date(1995, m, 1))
+        for m in (1, 2)
+        for i, p in enumerate(pris)
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_friedman_test,
+    )
+
+    got = q_friedman_test(spark, d).collect()[0]
+    assert got.n_blocks == 2
+    assert got.chi2_stat is None
+    assert got.tie_term == 2 * (5**3 - 5)
+    for c in ("urgent", "high", "medium", "notspec", "low"):
+        assert got[f"r2_{c}"] == 12
+
+
+def test_friedman_incomplete_blocks_dropped(spark, sf_dir, tmp_path):
+    """A month missing a priority is dropped (listwise complete-block
+    convention) — it contributes to neither n_blocks nor the ranks."""
+    import datetime
+
+    pris = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    rows = [
+        (i, 1, 100.0 + 10 * i, "O", p, datetime.date(1995, 1, 1))
+        for i, p in enumerate(pris)
+    ] + [
+        (10 + i, 1, 50.0, "O", p, datetime.date(1995, 2, 1))
+        for i, p in enumerate(pris[:4])
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_friedman_test,
+    )
+
+    got = q_friedman_test(spark, d).collect()[0]
+    assert got.n_blocks == 1
+    # single strictly-increasing block: doubled ranks 2,4,6,8,10
+    assert [
+        got.r2_urgent, got.r2_high, got.r2_medium,
+        got.r2_notspec, got.r2_low,
+    ] == [2, 4, 6, 8, 10]
+    assert got.tie_term == 0
+
+
+def test_friedman_domain_guard_nulls_stats(spark, sf_dir, tmp_path):
+    """A 6th priority anywhere (even in a month later dropped as
+    incomplete) NULLs every derived statistic — both engines must
+    refuse rather than agree on a statistically wrong value."""
+    import datetime
+
+    pris = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    rows = [
+        (i, 1, 100.0 + 10 * i, "O", p, datetime.date(1995, 1, 1))
+        for i, p in enumerate(pris)
+    ] + [(99, 1, 10.0, "O", "6-ROGUE", datetime.date(1995, 2, 1))]
+    d = _write_orders(spark, tmp_path, rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_friedman_test,
+    )
+
+    got = q_friedman_test(spark, d).collect()[0]
+    assert got.n_blocks == 1
+    assert got.chi2_stat is None and got.tie_term is None
+    assert got.r2_urgent is None and got.r2_low is None
+
+
+def test_friedman_empty_corpus(spark, sf_dir, tmp_path):
+    """Zero orders → the one-row global-agg grain with n_blocks = 0
+    and NULL statistics (both engines emit the single row)."""
+    d = _write_orders(spark, tmp_path, [])
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_friedman_test,
+    )
+
+    got = q_friedman_test(spark, d).collect()[0]
+    assert got.n_blocks == 0
+    assert got.chi2_stat is None
