@@ -1013,42 +1013,55 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bad"),
     )
-    badf = cells.agg(
-        F.coalesce(F.sum("bad"), F.lit(0)).cast("bigint").alias("n_bad")
-    )
-    complete = cells
-    for i in range(k):
-        complete = complete.filter(F.col(f"v_{i}").isNotNull())
-    ranked = complete.select(
+    # completeness-guarded per-block expressions, so ONE aggregate
+    # over the month-grain frame carries complete-block ranks AND the
+    # all-months domain count — no second scan, no crossJoin (the
+    # first draft recomputed the cells aggregate from a second
+    # parquet scan for the bad-count branch; SUM-skips-NULLs folds
+    # the incomplete blocks out identically in both engines)
+    comp = F.col(f"v_{0}").isNotNull()
+    for i in range(1, k):
+        comp = comp & F.col(f"v_{i}").isNotNull()
+    ranked = cells.select(
+        "bad",
+        comp.alias("is_complete"),
         *[
-            (
+            F.when(
+                comp,
                 F.lit(2) * _cnt_cmp("le", j, k)
                 - _cnt_cmp("eq", j, k)
-                + F.lit(1)
+                + F.lit(1),
             )
             .cast("bigint")
             .alias(f"r2_{j}")
             for j in range(k)
         ],
-        _fixed_order_sum(
-            [
-                _cnt_cmp("eq", j, k) * _cnt_cmp("eq", j, k) - F.lit(1)
-                for j in range(k)
-            ]
+        F.when(
+            comp,
+            _fixed_order_sum(
+                [
+                    _cnt_cmp("eq", j, k) * _cnt_cmp("eq", j, k)
+                    - F.lit(1)
+                    for j in range(k)
+                ]
+            ),
         )
         .cast("bigint")
         .alias("tie_b"),
     )
-    tot = (
-        ranked.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
-            *[
-                F.sum(f"r2_{j}").cast("bigint").alias(f"rs2_{j}")
-                for j in range(k)
-            ],
-            F.sum("tie_b").cast("bigint").alias("tie_term"),
+    tot = ranked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_complete"), 1).otherwise(0)),
+            F.lit(0),
         )
-        .crossJoin(F.broadcast(badf))
+        .cast("bigint")
+        .alias("n_blocks"),
+        *[
+            F.sum(f"r2_{j}").cast("bigint").alias(f"rs2_{j}")
+            for j in range(k)
+        ],
+        F.sum("tie_b").cast("bigint").alias("tie_term"),
+        F.coalesce(F.sum("bad"), F.lit(0)).cast("bigint").alias("n_bad"),
     )
     nd = F.col("n_blocks").cast("double")
     sr2 = _fixed_order_sum(
@@ -1098,9 +1111,10 @@ def _friedman_cells_sql(k: int) -> str:
 
 
 def _friedman_ranked_sql(k: int) -> str:
+    comp = " AND ".join(f"v_{i} IS NOT NULL" for i in range(k))
     r2s = ",\n         ".join(
-        f"CAST(2 * {_cnt_cmp_sql('le', j, k)}"
-        f" - {_cnt_cmp_sql('eq', j, k)} + 1 AS BIGINT) AS r2_{j}"
+        f"CAST(CASE WHEN ({comp}) THEN 2 * {_cnt_cmp_sql('le', j, k)}"
+        f" - {_cnt_cmp_sql('eq', j, k)} + 1 END AS BIGINT) AS r2_{j}"
         for j in range(k)
     )
     tie_parts = [
@@ -1111,16 +1125,17 @@ def _friedman_ranked_sql(k: int) -> str:
     for p in tie_parts[1:]:
         tie = f"({tie} + {p})"
     return f"""ranked AS (
-  SELECT {r2s},
-         CAST({tie} AS BIGINT) AS tie_b
-  FROM complete
+  SELECT bad,
+         ({comp}) AS is_complete,
+         {r2s},
+         CAST(CASE WHEN ({comp}) THEN {tie} END AS BIGINT) AS tie_b
+  FROM cells
 )"""
 
 
 def _friedman_oracle_sql() -> str:
     k = len(_PRIORITIES)
     names = ("urgent", "high", "medium", "notspec", "low")
-    notnull = " AND ".join(f"v_{i} IS NOT NULL" for i in range(k))
     rs2 = ",\n         ".join(
         f"CAST(SUM(r2_{j}) AS BIGINT) AS rs2_{j}" for j in range(k)
     )
@@ -1139,21 +1154,18 @@ def _friedman_oracle_sql() -> str:
     k3k = float(k**3 - k)
     return f"""
 WITH {_friedman_cells_sql(k)},
-complete AS (
-  SELECT * FROM cells WHERE {notnull}
-),
 {_friedman_ranked_sql(k)},
 tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_complete THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_blocks,
          {rs2},
-         CAST(SUM(tie_b) AS BIGINT) AS tie_term
+         CAST(SUM(tie_b) AS BIGINT) AS tie_term,
+         CAST(COALESCE(SUM(bad), 0) AS BIGINT) AS n_bad
   FROM ranked
-), badt AS (
-  SELECT CAST(COALESCE(SUM(bad), 0) AS BIGINT) AS n_bad FROM cells
 ), fin AS (
   SELECT *, (n_bad = 0 AND n_blocks > 0) AS ok,
          CAST(n_blocks AS DOUBLE) AS nd
-  FROM tot, badt
+  FROM tot
 )
 SELECT n_blocks,
        {emit_r2},
