@@ -50,6 +50,12 @@ each re-expressed as a bounded-grain exact-arithmetic plan:
   expressions over the pivoted k cell values — no window, no sort;
   χ² is the only IEEE final. The block domain is calendar-bounded,
   so the post-aggregate frame is ~84 rows at ANY corpus size.
+- ``cochrans_q`` — the binary repeated-measures test (McNemar's
+  k-treatment generalization) over fact-scaled user blocks × the
+  funnel trio, with a self-normalizing dominance indicator (the
+  saturated synthetic corpus makes plain ever-did-j degenerate).
+  ENTIRELY IEEE-free: Q's ratio-of-exact-integers identity emits as
+  `_idiv` micro-units — the anova playbook at birth.
 
 All group domains are CLOSED (5 priorities / 3 return flags), so the
 k-term reductions pivot into fixed columns with the staged-r8 domain
@@ -1182,11 +1188,143 @@ FROM fin
 ORACLE_FRIEDMAN = _friedman_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# Cochran's Q (binary repeated-measures over users × the funnel trio)
+# --------------------------------------------------------------------------
+
+#: the funnel trio — a closed treatment domain BY CONSTRUCTION (the
+#: plan filters to exactly these three types, so no domain guard is
+#: needed: an unexpected event_type is simply not a treatment).
+_FUNNEL_TYPES = ("view", "click", "purchase")
+
+
+def q_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: is each funnel stage the DOMINANT one for the
+    same fraction of users?  The k-treatment generalization of
+    McNemar (``mcnemar_test`` is the k=2 special case): blocks are
+    users, treatment j's binary response "stage j is strictly above
+    the user's own mean funnel count" (k·n_ij > Σ_j n_ij — a
+    self-normalizing indicator: the synthetic corpus gives every
+    active user ALL three stage types, so the plain ever-did-j
+    response would be identically 1 and the statistic degenerate at
+    every SF; dominance-vs-own-mean discriminates at any density and
+    needs no tuned threshold), and Q tests marginal homogeneity of
+    the k dominance rates.
+
+    ENTIRELY IEEE-FREE (the anova/ks playbook at birth): with column
+    sums C_j, N = ΣR_i and ΣR_i² all exact integers from ONE
+    user-grain aggregate + ONE global aggregate,
+
+        Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+
+    (the textbook k(k−1)Σ(C_j − N/k)²/(kΣR−ΣR²) with the mean folded
+    in exactly — Cauchy-Schwarz keeps the numerator ≥ 0, so `_idiv`'s
+    non-negative contract holds) and the emitted statistic is exact
+    integer micro-units via `_idiv` (HUGEINT ``//`` in the oracle).
+    NULL when no user discords (every R_i ∈ {0, k} ⇒ the denominator
+    ΣR_i(k−R_i) = 0 — with this indicator, every user's stage counts
+    exactly balanced).
+
+    Scale shape: blocks are FACT-SCALED (millions of users) — the
+    user-grain aggregate partial-aggregates map-side and shuffles one
+    row per user; the treatments pivot into k=3 fixed columns, so no
+    window, no join, no sort anywhere. Magnitude audit: C_j ≤ 1.5e10
+    users at sf100k ⇒ k·ΣC_j² ≤ 2e21, numerator·10⁶ ≤ 4e27 <
+    DECIMAL(38,0) ✓; quotient ≤ k·10⁶·b ≈ 4.5e16 < 2^63 ✓
+    (emitted BIGINT)."""
+    k = len(_FUNNEL_TYPES)
+    events = _t(spark, sf_dir, "events")
+    counts = (
+        events.filter(F.col("event_type").isin(*_FUNNEL_TYPES))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                ).alias(f"n_{i}")
+                for i, t in enumerate(_FUNNEL_TYPES)
+            ]
+        )
+    )
+    ntot = _fixed_order_sum([F.col(f"n_{i}") for i in range(k)])
+    pu = counts.select(
+        *[
+            F.when(F.lit(k) * F.col(f"n_{i}") > ntot, 1)
+            .otherwise(0)
+            .alias(f"x_{i}")
+            for i in range(k)
+        ]
+    )
+    r = _fixed_order_sum([F.col(f"x_{i}") for i in range(k)])
+    tot = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        *[
+            F.sum(f"x_{i}").cast("bigint").alias(f"c_{i}")
+            for i in range(k)
+        ],
+        F.sum(r).cast("bigint").alias("sr"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+    )
+    csq = _fixed_order_sum(
+        [_dec(F.col(f"c_{i}")) * _dec(F.col(f"c_{i}")) for i in range(k)]
+    ).cast("decimal(38,0)")
+    num = (
+        F.lit(k - 1)
+        * (F.lit(k) * csq - _dec(F.col("sr")) * _dec(F.col("sr")))
+    ).cast("decimal(38,0)")
+    den = (F.lit(k) * _dec(F.col("sr")) - _dec(F.col("sr2"))).cast(
+        "decimal(38,0)"
+    )
+    return tot.select(
+        "n_blocks",
+        F.col("c_0").alias("dom_view"),
+        F.col("c_1").alias("dom_click"),
+        F.col("c_2").alias("dom_purchase"),
+        _idiv(num * F.lit(1000000), den).cast("bigint").alias("q_micro"),
+    )
+
+
+ORACLE_COCHRANS_Q = f"""
+WITH counts AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_0,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_2
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY 1
+), pu AS (
+  SELECT CASE WHEN 3 * n_0 > ((n_0 + n_1) + n_2) THEN 1 ELSE 0 END AS x_0,
+         CASE WHEN 3 * n_1 > ((n_0 + n_1) + n_2) THEN 1 ELSE 0 END AS x_1,
+         CASE WHEN 3 * n_2 > ((n_0 + n_1) + n_2) THEN 1 ELSE 0 END AS x_2
+  FROM counts
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(x_0) AS BIGINT) AS c_0,
+         CAST(SUM(x_1) AS BIGINT) AS c_1,
+         CAST(SUM(x_2) AS BIGINT) AS c_2,
+         CAST(SUM((x_0 + x_1) + x_2) AS BIGINT) AS sr,
+         CAST(SUM(((x_0 + x_1) + x_2) * ((x_0 + x_1) + x_2)) AS BIGINT)
+           AS sr2
+  FROM pu
+)
+SELECT n_blocks,
+       c_0 AS dom_view, c_1 AS dom_click, c_2 AS dom_purchase,
+       CAST(CAST(2 * (3 * ((CAST(c_0 AS HUGEINT) * c_0
+                  + CAST(c_1 AS HUGEINT) * c_1)
+                  + CAST(c_2 AS HUGEINT) * c_2)
+               - CAST(sr AS HUGEINT) * sr) AS HUGEINT) * 1000000
+            // NULLIF(3 * CAST(sr AS HUGEINT) - sr2, 0) AS BIGINT)
+         AS q_micro
+FROM tot
+"""
+
+
 # Round-9 registration payload — NOT imported by registry.py this
 # round (the freeze). Registration is:
 #   from .staged_r9_queries import REGISTRY_STAGED_R9
 #   REGISTRY.update(REGISTRY_STAGED_R9)
-# plus fronting the seven keys in _PRIORITY (new-code-first rule).
+# plus fronting the eight keys in _PRIORITY (new-code-first rule).
 REGISTRY_STAGED_R9: dict = {
     "ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "jonckheere_terpstra": (q_jonckheere_terpstra, ORACLE_JONCKHEERE),
@@ -1198,4 +1336,5 @@ REGISTRY_STAGED_R9: dict = {
         ORACLE_BENCHMARK_DECONTAMINATION,
     ),
     "friedman_test": (q_friedman_test, ORACLE_FRIEDMAN),
+    "cochrans_q": (q_cochrans_q, ORACLE_COCHRANS_Q),
 }

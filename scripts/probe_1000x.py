@@ -50,6 +50,7 @@ from music_streaming_etl_spark.plans.staged_queries import (  # noqa: E402
 )
 from music_streaming_etl_spark.plans.staged_r9_queries import (  # noqa: E402
     q_benchmark_decontamination,
+    q_cochrans_q,
     q_cramers_v,
     q_friedman_test,
     q_jonckheere_terpstra,
@@ -124,6 +125,9 @@ PROBES.update(
         ),
         "friedman_test": (
             q_friedman_test, materialize_orders, "ord", "orders",
+        ),
+        "cochrans_q": (
+            q_cochrans_q, materialize_events, "ev", "events",
         ),
     }
 )

@@ -595,3 +595,156 @@ def test_friedman_empty_corpus(spark, sf_dir, tmp_path):
     got = q_friedman_test(spark, d).collect()[0]
     assert got.n_blocks == 0
     assert got.chi2_stat is None
+
+
+# --------------------------------------------------------------------------
+# cochrans_q
+# --------------------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_cochrans_q_matches_bruteforce(spark, sf_dir, duck):
+    """Independent pandas twin: per-user binary indicators over the
+    funnel trio, the TEXTBOOK k(k−1)Σ(C_j−N̄)²/(kΣR−ΣR²) formula in
+    floats, q_micro must equal its floor at 1e-6 grain (the emitted
+    form is the exact integer identity of the same quantity)."""
+    import math
+
+    df = duck.execute(
+        "WITH c AS (SELECT user_id, "
+        "SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n0, "
+        "SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n1, "
+        "SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n2 "
+        "FROM events WHERE event_type IN ('view','click','purchase') "
+        "GROUP BY 1) "
+        "SELECT CASE WHEN 3*n0 > n0+n1+n2 THEN 1 ELSE 0 END AS x0, "
+        "CASE WHEN 3*n1 > n0+n1+n2 THEN 1 ELSE 0 END AS x1, "
+        "CASE WHEN 3*n2 > n0+n1+n2 THEN 1 ELSE 0 END AS x2 FROM c"
+    ).fetchdf()
+    k = 3
+    b = len(df)
+    c = [int(df.x0.sum()), int(df.x1.sum()), int(df.x2.sum())]
+    r = df.x0 + df.x1 + df.x2
+    n = int(r.sum())
+    sr2 = int((r * r).sum())
+    num = (k - 1) * (k * sum(x * x for x in c) - n * n)
+    den = k * n - sr2
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_cochrans_q,
+    )
+
+    got = q_cochrans_q(spark, sf_dir).collect()[0]
+    assert got.n_blocks == b
+    assert [got.dom_view, got.dom_click, got.dom_purchase] == c
+    if den == 0:
+        # all-or-nothing corpus (sf0.001 is one: every active user
+        # hits the whole funnel) — the NULL branch
+        assert got.q_micro is None
+    else:
+        # exact integer identity vs the float textbook form
+        assert got.q_micro == num * 1000000 // den
+        q_float = (
+            k
+            * (k - 1)
+            * sum((x - n / k) ** 2 for x in c)
+            / (k * n - sr2)
+        )
+        assert got.q_micro == math.floor(q_float * 1e6) or abs(
+            got.q_micro / 1e6 - q_float
+        ) < 1e-6
+
+
+def test_cochrans_q_planted_small_case(spark, sf_dir, tmp_path):
+    """Hand-computed 3-user dominance case: u1 (view only) has view
+    dominant; u2 (view+click) has both above the 2/3 mean; u3
+    (balanced 1/1/1) has none. C=(2,1,0), N=3, ΣR²=5 → den=4,
+    num=2·(3·5−9)=12 → Q = 3 exactly → q_micro = 3,000,000."""
+    import datetime
+
+    t = datetime.datetime(1995, 1, 1)
+    rows = []
+    eid = 0
+    for uid, types in [
+        (1, ["view"]),
+        (2, ["view", "click"]),
+        (3, ["view", "click", "purchase"]),
+    ]:
+        for ty in types:
+            rows.append((eid, t, uid, ty, 1.0, "{}"))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_cochrans_q,
+    )
+
+    got = q_cochrans_q(spark, d).collect()[0]
+    assert got.n_blocks == 3
+    assert [got.dom_view, got.dom_click, got.dom_purchase] == [2, 1, 0]
+    assert got.q_micro == 3_000_000
+
+
+def test_cochrans_q_balanced_corpus_null(spark, sf_dir, tmp_path):
+    """Every user's stage counts exactly balanced → no stage is
+    strictly above any user's own mean → all R_i = 0 → the
+    denominator ΣR(k−R) is 0 → Q NULL (no discordance, no info)."""
+    import datetime
+
+    t = datetime.datetime(1995, 1, 1)
+    rows = [
+        (u * 10 + j, t, u, ty, 1.0, "{}")
+        for u in (1, 2)
+        for j, ty in enumerate(("view", "click", "purchase"))
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_cochrans_q,
+    )
+
+    got = q_cochrans_q(spark, d).collect()[0]
+    assert got.n_blocks == 2
+    assert [got.dom_view, got.dom_click, got.dom_purchase] == [0, 0, 0]
+    assert got.q_micro is None
+
+
+def test_cochrans_q_ignores_non_funnel_types(spark, sf_dir, tmp_path):
+    """signup/error events are not treatments: a user with ONLY such
+    events is not a block at all."""
+    import datetime
+
+    t = datetime.datetime(1995, 1, 1)
+    rows = [
+        (1, t, 1, "view", 1.0, "{}"),
+        (2, t, 1, "click", 1.0, "{}"),
+        (3, t, 2, "signup", 1.0, "{}"),
+        (4, t, 2, "error", 1.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_cochrans_q,
+    )
+
+    got = q_cochrans_q(spark, d).collect()[0]
+    assert got.n_blocks == 1
+    assert [got.dom_view, got.dom_click, got.dom_purchase] == [1, 1, 0]
+
+
+def test_cochrans_q_empty_corpus(spark, sf_dir, tmp_path):
+    """Zero events → the one-row global-agg grain, n_blocks = 0 and
+    NULL statistic in both engines."""
+    d = _write_events(spark, tmp_path, [])
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_cochrans_q,
+    )
+
+    got = q_cochrans_q(spark, d).collect()[0]
+    assert got.n_blocks == 0
+    assert got.q_micro is None
