@@ -56,6 +56,11 @@ each re-expressed as a bounded-grain exact-arithmetic plan:
   saturated synthetic corpus makes plain ever-did-j degenerate).
   ENTIRELY IEEE-free: Q's ratio-of-exact-integers identity emits as
   `_idiv` micro-units — the anova playbook at birth.
+- ``page_trend_test`` — Page's L, the ordered-alternative companion
+  of ``friedman_test`` (as jonckheere is to kruskal), finishing from
+  the SAME shared one-row block frame (`_friedman_tot`): the
+  weighted rank sum commutes through the block sums, so the ordinal
+  trend statistic costs no extra fact work at all.
 
 All group domains are CLOSED (5 priorities / 3 return flags), so the
 k-term reductions pivot into fixed columns with the staged-r8 domain
@@ -998,6 +1003,43 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(28,0) ✓; R2_j ≤ 2·n·k with n ≤ 12·calendar-years — the
     χ² operands never approach 2^53 ✓."""
     k = len(_PRIORITIES)
+    tot = _friedman_tot(spark, sf_dir)
+    nd = F.col("n_blocks").cast("double")
+    sr2 = _fixed_order_sum(
+        [
+            F.col(f"rs2_{j}").cast("double")
+            * F.col(f"rs2_{j}").cast("double")
+            for j in range(k)
+        ]
+    )
+    chi_un = F.try_divide(
+        F.lit(12.0) * (sr2 / F.lit(4.0)),
+        nd * F.lit(float(k * (k + 1))),
+    ) - F.lit(3.0) * (nd * F.lit(float(k + 1)))
+    corr = F.lit(1.0) - F.try_divide(
+        F.col("tie_term").cast("double"), nd * F.lit(float(k**3 - k))
+    )
+    ok = (F.col("n_bad") == 0) & (F.col("n_blocks") > 0)
+    names = ("urgent", "high", "medium", "notspec", "low")
+    return tot.select(
+        "n_blocks",
+        *[
+            F.when(ok, F.col(f"rs2_{j}")).alias(f"r2_{names[j]}")
+            for j in range(k)
+        ],
+        F.when(ok, F.col("tie_term")).alias("tie_term"),
+        F.when(
+            ok, F.try_divide(chi_un, F.nullif(corr, F.lit(0.0)))
+        ).alias("chi2_stat"),
+    )
+
+
+def _friedman_tot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared month×priority block machinery: the one-row frame
+    (n_blocks, rs2_0..rs2_4, tie_term, n_bad) both `friedman_test`
+    and `page_trend_test` finish from — see ``q_friedman_test`` for
+    the plan-shape discussion."""
+    k = len(_PRIORITIES)
     orders = _t(spark, sf_dir, "orders")
     rows = orders.select(
         (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
@@ -1055,7 +1097,7 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tie_b"),
     )
-    tot = ranked.agg(
+    return ranked.agg(
         F.coalesce(
             F.sum(F.when(F.col("is_complete"), 1).otherwise(0)),
             F.lit(0),
@@ -1068,34 +1110,6 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum("tie_b").cast("bigint").alias("tie_term"),
         F.coalesce(F.sum("bad"), F.lit(0)).cast("bigint").alias("n_bad"),
-    )
-    nd = F.col("n_blocks").cast("double")
-    sr2 = _fixed_order_sum(
-        [
-            F.col(f"rs2_{j}").cast("double")
-            * F.col(f"rs2_{j}").cast("double")
-            for j in range(k)
-        ]
-    )
-    chi_un = F.try_divide(
-        F.lit(12.0) * (sr2 / F.lit(4.0)),
-        nd * F.lit(float(k * (k + 1))),
-    ) - F.lit(3.0) * (nd * F.lit(float(k + 1)))
-    corr = F.lit(1.0) - F.try_divide(
-        F.col("tie_term").cast("double"), nd * F.lit(float(k**3 - k))
-    )
-    ok = (F.col("n_bad") == 0) & (F.col("n_blocks") > 0)
-    names = ("urgent", "high", "medium", "notspec", "low")
-    return tot.select(
-        "n_blocks",
-        *[
-            F.when(ok, F.col(f"rs2_{j}")).alias(f"r2_{names[j]}")
-            for j in range(k)
-        ],
-        F.when(ok, F.col("tie_term")).alias("tie_term"),
-        F.when(
-            ok, F.try_divide(chi_un, F.nullif(corr, F.lit(0.0)))
-        ).alias("chi2_stat"),
     )
 
 
@@ -1139,12 +1153,32 @@ def _friedman_ranked_sql(k: int) -> str:
 )"""
 
 
-def _friedman_oracle_sql() -> str:
+def _friedman_tot_sql() -> str:
+    """The shared WITH-chain (cells → ranked → tot → fin) both the
+    friedman and page oracles finish from."""
     k = len(_PRIORITIES)
-    names = ("urgent", "high", "medium", "notspec", "low")
     rs2 = ",\n         ".join(
         f"CAST(SUM(r2_{j}) AS BIGINT) AS rs2_{j}" for j in range(k)
     )
+    return f"""WITH {_friedman_cells_sql(k)},
+{_friedman_ranked_sql(k)},
+tot AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_complete THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_blocks,
+         {rs2},
+         CAST(SUM(tie_b) AS BIGINT) AS tie_term,
+         CAST(COALESCE(SUM(bad), 0) AS BIGINT) AS n_bad
+  FROM ranked
+), fin AS (
+  SELECT *, (n_bad = 0 AND n_blocks > 0) AS ok,
+         CAST(n_blocks AS DOUBLE) AS nd
+  FROM tot
+)"""
+
+
+def _friedman_oracle_sql() -> str:
+    k = len(_PRIORITIES)
+    names = ("urgent", "high", "medium", "notspec", "low")
     sr2_parts = [
         f"(CAST(rs2_{j} AS DOUBLE) * CAST(rs2_{j} AS DOUBLE))"
         for j in range(k)
@@ -1159,20 +1193,7 @@ def _friedman_oracle_sql() -> str:
     kk1 = float(k * (k + 1))
     k3k = float(k**3 - k)
     return f"""
-WITH {_friedman_cells_sql(k)},
-{_friedman_ranked_sql(k)},
-tot AS (
-  SELECT CAST(COALESCE(SUM(CASE WHEN is_complete THEN 1 ELSE 0 END), 0)
-           AS BIGINT) AS n_blocks,
-         {rs2},
-         CAST(SUM(tie_b) AS BIGINT) AS tie_term,
-         CAST(COALESCE(SUM(bad), 0) AS BIGINT) AS n_bad
-  FROM ranked
-), fin AS (
-  SELECT *, (n_bad = 0 AND n_blocks > 0) AS ok,
-         CAST(n_blocks AS DOUBLE) AS nd
-  FROM tot
-)
+{_friedman_tot_sql()}
 SELECT n_blocks,
        {emit_r2},
        CASE WHEN ok THEN tie_term END AS tie_term,
@@ -1186,6 +1207,74 @@ FROM fin
 
 
 ORACLE_FRIEDMAN = _friedman_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Page's trend test (ordered alternative over the friedman blocks)
+# --------------------------------------------------------------------------
+
+
+def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test: do the five priorities rank monthly
+    revenue in their ORDINAL order, month after month?  The
+    ordered-alternative companion of ``friedman_test`` (exactly as
+    ``jonckheere_terpstra`` is to ``kruskal_wallis``), sharing its
+    complete-month-block machinery verbatim: L = Σ_j w_j·R_j with
+    w_j = j the priority's ordinal position — and since the weighted
+    sum commutes through the per-block rank sums, the whole statistic
+    finishes from the SAME one-row tot frame (no extra fact work at
+    all).
+
+    Emitted: the DOUBLED weighted rank sum L2 = Σ_j j·R2_j as an
+    exact bigint, and z as the only IEEE final from the classical
+    no-ties moments (E[L2] = n·k(k+1)²/2, Var[L2] = n·k²(k+1)²(k−1)/36
+    — the standard tabled form; average ranks handle ties in L
+    itself, the variance keeps the no-ties convention, documented).
+    NULL under the friedman domain guard, when no complete block
+    exists, or when n·100 = Var[L2] is 0."""
+    k = len(_PRIORITIES)
+    tot = _friedman_tot(spark, sf_dir)
+    l2 = _fixed_order_sum(
+        [F.lit(j + 1) * F.col(f"rs2_{j}") for j in range(k)]
+    ).cast("bigint")
+    nd = F.col("n_blocks").cast("double")
+    e2 = nd * F.lit(float(k * (k + 1) ** 2) / 2.0)
+    var2 = nd * F.lit(float(k**2 * (k + 1) ** 2 * (k - 1)) / 36.0)
+    ok = (F.col("n_bad") == 0) & (F.col("n_blocks") > 0)
+    return tot.select(
+        "n_blocks",
+        F.when(ok, l2).alias("l2"),
+        F.when(
+            ok,
+            F.try_divide(
+                l2.cast("double") - e2,
+                F.sqrt(F.nullif(var2, F.lit(0.0))),
+            ),
+        ).alias("z_stat"),
+    )
+
+
+def _page_oracle_sql() -> str:
+    k = len(_PRIORITIES)
+    l2_parts = [f"({j + 1} * rs2_{j})" for j in range(k)]
+    l2 = l2_parts[0]
+    for p in l2_parts[1:]:
+        l2 = f"({l2} + {p})"
+    e2c = float(k * (k + 1) ** 2) / 2.0
+    v2c = float(k**2 * (k + 1) ** 2 * (k - 1)) / 36.0
+    return f"""
+{_friedman_tot_sql()}
+SELECT n_blocks,
+       CASE WHEN ok THEN CAST({l2} AS BIGINT) END AS l2,
+       CASE WHEN ok THEN
+         (CAST({l2} AS DOUBLE) - nd * {e2c})
+         / sqrt(NULLIF(nd * {v2c}, 0.0))
+       END AS z_stat
+FROM fin
+"""
+
+
+ORACLE_PAGE_TREND = _page_oracle_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1324,7 +1413,7 @@ FROM tot
 # round (the freeze). Registration is:
 #   from .staged_r9_queries import REGISTRY_STAGED_R9
 #   REGISTRY.update(REGISTRY_STAGED_R9)
-# plus fronting the eight keys in _PRIORITY (new-code-first rule).
+# plus fronting the nine keys in _PRIORITY (new-code-first rule).
 REGISTRY_STAGED_R9: dict = {
     "ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "jonckheere_terpstra": (q_jonckheere_terpstra, ORACLE_JONCKHEERE),
@@ -1337,4 +1426,5 @@ REGISTRY_STAGED_R9: dict = {
     ),
     "friedman_test": (q_friedman_test, ORACLE_FRIEDMAN),
     "cochrans_q": (q_cochrans_q, ORACLE_COCHRANS_Q),
+    "page_trend_test": (q_page_trend_test, ORACLE_PAGE_TREND),
 }

@@ -56,6 +56,7 @@ from music_streaming_etl_spark.plans.staged_r9_queries import (  # noqa: E402
     q_jonckheere_terpstra,
     q_ks_two_sample,
     q_mood_median_test,
+    q_page_trend_test,
     q_wilcoxon_signed_rank,
 )
 from music_streaming_etl_spark.plans.stats_queries import (  # noqa: E402
@@ -128,6 +129,9 @@ PROBES.update(
         ),
         "cochrans_q": (
             q_cochrans_q, materialize_events, "ev", "events",
+        ),
+        "page_trend_test": (
+            q_page_trend_test, materialize_orders, "ord", "orders",
         ),
     }
 )

@@ -748,3 +748,93 @@ def test_cochrans_q_empty_corpus(spark, sf_dir, tmp_path):
     got = q_cochrans_q(spark, d).collect()[0]
     assert got.n_blocks == 0
     assert got.q_micro is None
+
+
+# --------------------------------------------------------------------------
+# page_trend_test
+# --------------------------------------------------------------------------
+
+
+def test_page_trend_matches_bruteforce(spark, sf_dir, duck):
+    """Independent pandas twin over the shared friedman blocks:
+    L = Σ j·R_j with average ranks, z from the classical no-ties
+    moments — L2 exact integer, z to 1e-9 rel."""
+    df = duck.execute(
+        "SELECT (EXTRACT(year FROM o_orderdate) * 100 "
+        "        + EXTRACT(month FROM o_orderdate)) AS ym, "
+        "o_orderpriority AS g, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c "
+        "FROM orders"
+    ).fetchdf()
+    cells = df.pivot_table(
+        index="ym", columns="g", values="c", aggfunc="sum"
+    )
+    pris = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    cells = cells.reindex(columns=pris).dropna()
+    n, k = cells.shape
+    ranks = cells.rank(axis=1, method="average")
+    rsum = ranks.sum(axis=0)
+    L = sum((j + 1) * rsum[p] for j, p in enumerate(pris))
+    e = n * k * (k + 1) ** 2 / 4.0
+    var = n * k**2 * (k + 1) ** 2 * (k - 1) / 144.0
+    z = (L - e) / var**0.5
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_page_trend_test,
+    )
+
+    got = q_page_trend_test(spark, sf_dir).collect()[0]
+    assert got.n_blocks == n
+    assert int(got.l2) == int(round(2 * L))
+    assert got.z_stat == pytest.approx(z, rel=1e-9)
+
+
+def test_page_trend_perfect_increasing_block(spark, sf_dir, tmp_path):
+    """One strictly increasing block: doubled ranks (2,4,6,8,10) →
+    L2 = 110, E2 = 90, Var2 = 100 → z = 2 exactly."""
+    import datetime
+
+    pris = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    rows = [
+        (i, 1, 100.0 + 10 * i, "O", p, datetime.date(1995, 1, 1))
+        for i, p in enumerate(pris)
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_page_trend_test,
+    )
+
+    got = q_page_trend_test(spark, d).collect()[0]
+    assert got.n_blocks == 1
+    assert got.l2 == 110
+    assert got.z_stat == pytest.approx(2.0)
+
+
+def test_page_trend_guard_and_empty(spark, sf_dir, tmp_path):
+    """The shared domain guard NULLs l2/z on a rogue priority; the
+    empty corpus emits the one n_blocks=0 row with NULL stats."""
+    import datetime
+
+    pris = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    rows = [
+        (i, 1, 100.0 + 10 * i, "O", p, datetime.date(1995, 1, 1))
+        for i, p in enumerate(pris)
+    ] + [(99, 1, 10.0, "O", "6-ROGUE", datetime.date(1995, 2, 1))]
+    d = _write_orders(spark, tmp_path, rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_page_trend_test,
+    )
+
+    got = q_page_trend_test(spark, d).collect()[0]
+    assert got.n_blocks == 1
+    assert got.l2 is None and got.z_stat is None
+
+    d2 = _write_orders(spark, tmp_path / "empty", [])
+    got2 = q_page_trend_test(spark, d2).collect()[0]
+    assert got2.n_blocks == 0
+    assert got2.l2 is None and got2.z_stat is None
