@@ -61,6 +61,12 @@ each re-expressed as a bounded-grain exact-arithmetic plan:
   the SAME shared one-row block frame (`_friedman_tot`): the
   weighted rank sum commutes through the block sums, so the ordinal
   trend statistic costs no extra fact work at all.
+- ``runs_test`` — the Wald–Wolfowitz randomness test on the daily-
+  revenue sign sequence about its doubled-grid true median: ONE
+  fact-scaled day aggregate, then median ranks / sign lag / run
+  count all on the bounded ~2.4k-row day frame (the documented
+  day-grain window class). n₁/n₂/R exact bigints, z the only IEEE
+  final; days at the median are dropped (standard convention).
 
 All group domains are CLOSED (5 priorities / 3 return flags), so the
 k-term reductions pivot into fixed columns with the staged-r8 domain
@@ -1278,6 +1284,168 @@ ORACLE_PAGE_TREND = _page_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (randomness of the daily-revenue sequence)
+# --------------------------------------------------------------------------
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the daily-revenue sequence RANDOM about its median, or does
+    it trend/oscillate?  The Wald–Wolfowitz runs test: dichotomize
+    each day's total against the grand TRUE median of daily totals
+    (midpoint-interpolated on the doubled-cents grid — the
+    brown_forsythe r8 convention; days exactly AT the median are
+    dropped, the standard convention), count runs of consecutive
+    same-sign days, and compare with the exact conditional moments
+
+        E[R] = 1 + 2·n₁·n₂/n        (n = n₁+n₂)
+        Var[R] = 2n₁n₂(2n₁n₂ − n) / (n²(n−1))
+
+    Too FEW runs = trending/clustered days; too MANY = oscillation.
+
+    Scale shape: the fact scan collapses to day grain first (ONE
+    map-side partial aggregate); the median ranks, the sign lag and
+    the run count all live on the bounded ~2.4k-row day frame (the
+    documented day-grain window class — two unpartitioned windows
+    over a calendar-bounded input, never over fact rows). n₁/n₂/R
+    are exact bigints; z is the only IEEE final, one fixed operation
+    order over those integers. NULL when fewer than two signed days
+    or when every day sits at the median (Var → 0)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents()).cast("decimal(28,0)").alias("v")
+    )
+    wrk = Window.orderBy("v", "day")
+    rk = d.select("v", F.row_number().over(wrk).alias("rk"))
+    nf = rk.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    # doubled-grid midpoint median: v[⌊(n+1)/2⌋] + v[⌊n/2⌋+1]
+    # (lo == hi for odd n, so the two CASE sums double the value)
+    med = rk.crossJoin(F.broadcast(nf)).agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("rk")
+                    == F.floor((F.col("n_days") + 1) / 2).cast("int"),
+                    F.col("v"),
+                ).otherwise(F.lit(0))
+            )
+            + F.sum(
+                F.when(
+                    F.col("rk")
+                    == (F.floor(F.col("n_days") / 2) + 1).cast("int"),
+                    F.col("v"),
+                ).otherwise(F.lit(0))
+            )
+        )
+        .cast("decimal(29,0)")
+        .alias("m2")
+    )
+    signed = (
+        d.crossJoin(F.broadcast(med))
+        .select(
+            "day",
+            F.when(F.lit(2) * F.col("v") > F.col("m2"), 1)
+            .when(F.lit(2) * F.col("v") < F.col("m2"), 0)
+            .alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    wlag = Window.orderBy("day")
+    runs = signed.select(
+        "s", F.lag("s").over(wlag).alias("prev")
+    )
+    tot = runs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_above"),
+        F.coalesce(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("s") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    two12 = F.lit(2.0) * (n1 * n2)
+    e_r = F.lit(1.0) + F.try_divide(two12, nn)
+    var_r = F.try_divide(
+        two12 * (two12 - nn), (nn * nn) * (nn - F.lit(1.0))
+    )
+    return tot.select(
+        "n_above",
+        "n_below",
+        "r_runs",
+        F.try_divide(
+            F.col("r_runs").cast("double") - e_r,
+            F.sqrt(
+                F.when(var_r > F.lit(0.0), var_r)
+            ),
+        ).alias("z_stat"),
+    )
+
+
+ORACLE_RUNS_TEST = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           AS BIGINT)) AS DECIMAL(28,0)) AS v
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, day) AS rk FROM d
+), nf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM rk
+), med AS (
+  SELECT CAST(SUM(CASE WHEN rk = CAST(floor((n_days + 1) / 2) AS INT)
+                       THEN v ELSE 0 END)
+            + SUM(CASE WHEN rk = CAST(floor(n_days / 2) + 1 AS INT)
+                       THEN v ELSE 0 END) AS DECIMAL(29,0)) AS m2
+  FROM rk, nf
+), signed AS (
+  SELECT day,
+         CASE WHEN 2 * v > m2 THEN 1
+              WHEN 2 * v < m2 THEN 0 END AS s
+  FROM d, med
+  WHERE 2 * v <> m2
+), runs AS (
+  SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM signed
+), tot AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_above,
+         CAST(COALESCE(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_below,
+         CAST(SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+           AS BIGINT) AS r_runs
+  FROM runs
+), fin AS (
+  SELECT *,
+         CAST(n_above AS DOUBLE) AS n1,
+         CAST(n_below AS DOUBLE) AS n2
+  FROM tot
+)
+SELECT n_above, n_below, r_runs,
+       (CAST(r_runs AS DOUBLE)
+        - (1.0 + (2.0 * (n1 * n2)) / (n1 + n2)))
+       / sqrt(CASE WHEN (2.0 * (n1 * n2)) * (2.0 * (n1 * n2) - (n1 + n2))
+                        / (((n1 + n2) * (n1 + n2)) * ((n1 + n2) - 1.0))
+                   > 0.0
+                   THEN (2.0 * (n1 * n2)) * (2.0 * (n1 * n2) - (n1 + n2))
+                        / (((n1 + n2) * (n1 + n2)) * ((n1 + n2) - 1.0))
+              END) AS z_stat
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
 # Cochran's Q (binary repeated-measures over users × the funnel trio)
 # --------------------------------------------------------------------------
 
@@ -1413,7 +1581,7 @@ FROM tot
 # round (the freeze). Registration is:
 #   from .staged_r9_queries import REGISTRY_STAGED_R9
 #   REGISTRY.update(REGISTRY_STAGED_R9)
-# plus fronting the nine keys in _PRIORITY (new-code-first rule).
+# plus fronting the ten keys in _PRIORITY (new-code-first rule).
 REGISTRY_STAGED_R9: dict = {
     "ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "jonckheere_terpstra": (q_jonckheere_terpstra, ORACLE_JONCKHEERE),
@@ -1427,4 +1595,5 @@ REGISTRY_STAGED_R9: dict = {
     "friedman_test": (q_friedman_test, ORACLE_FRIEDMAN),
     "cochrans_q": (q_cochrans_q, ORACLE_COCHRANS_Q),
     "page_trend_test": (q_page_trend_test, ORACLE_PAGE_TREND),
+    "runs_test": (q_runs_test, ORACLE_RUNS_TEST),
 }

@@ -57,6 +57,7 @@ from music_streaming_etl_spark.plans.staged_r9_queries import (  # noqa: E402
     q_ks_two_sample,
     q_mood_median_test,
     q_page_trend_test,
+    q_runs_test,
     q_wilcoxon_signed_rank,
 )
 from music_streaming_etl_spark.plans.stats_queries import (  # noqa: E402
@@ -132,6 +133,9 @@ PROBES.update(
         ),
         "page_trend_test": (
             q_page_trend_test, materialize_orders, "ord", "orders",
+        ),
+        "runs_test": (
+            q_runs_test, materialize_orders, "ord", "orders",
         ),
     }
 )

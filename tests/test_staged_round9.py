@@ -838,3 +838,104 @@ def test_page_trend_guard_and_empty(spark, sf_dir, tmp_path):
     got2 = q_page_trend_test(spark, d2).collect()[0]
     assert got2.n_blocks == 0
     assert got2.l2 is None and got2.z_stat is None
+
+
+# --------------------------------------------------------------------------
+# runs_test
+# --------------------------------------------------------------------------
+
+
+def test_runs_test_matches_bruteforce(spark, sf_dir, duck):
+    """Independent pandas twin: daily cents totals, doubled-grid
+    midpoint median, sign sequence by day, run count by scanning —
+    exact integers for n1/n2/R, 1e-9 rel for z."""
+    df = duck.execute(
+        "SELECT CAST(o_orderdate AS DATE) AS day, "
+        "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        " AS v FROM orders GROUP BY 1 ORDER BY day"
+    ).fetchdf()
+    vals = sorted(int(x) for x in df.v)
+    n = len(vals)
+    m2 = vals[(n + 1) // 2 - 1] + vals[n // 2]
+    signs = [
+        1 if 2 * int(v) > m2 else 0 for v in df.v if 2 * int(v) != m2
+    ]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    r = 1 + sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    ) if signs else None
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_runs_test,
+    )
+
+    got = q_runs_test(spark, sf_dir).collect()[0]
+    assert (got.n_above, got.n_below) == (n1, n2)
+    assert got.r_runs == r
+    nn = n1 + n2
+    e = 1.0 + 2.0 * n1 * n2 / nn
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) / (nn * nn * (nn - 1.0))
+    )
+    z = (r - e) / var**0.5
+    assert got.z_stat == pytest.approx(z, rel=1e-9)
+
+
+def test_runs_test_alternating_and_blocked(spark, sf_dir, tmp_path):
+    """Two crafted sequences: perfectly alternating daily values →
+    maximum runs (R = n); two solid blocks → minimum runs (R = 2)."""
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    # alternating low/high over 10 days
+    rows = [
+        (i, 1, 100.0 if i % 2 == 0 else 200.0, "O", "1-URGENT",
+         base + datetime.timedelta(days=i))
+        for i in range(10)
+    ]
+    d = _write_orders(spark, tmp_path / "alt", rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_runs_test,
+    )
+
+    got = q_runs_test(spark, d).collect()[0]
+    assert (got.n_above, got.n_below) == (5, 5)
+    assert got.r_runs == 10  # every step is a sign change
+    # blocked: 5 low days then 5 high days -> 2 runs
+    rows2 = [
+        (i, 1, 100.0 if i < 5 else 200.0, "O", "1-URGENT",
+         base + datetime.timedelta(days=i))
+        for i in range(10)
+    ]
+    d2 = _write_orders(spark, tmp_path / "blk", rows2)
+    got2 = q_runs_test(spark, d2).collect()[0]
+    assert (got2.n_above, got2.n_below) == (5, 5)
+    assert got2.r_runs == 2
+    # symmetric counts: z is negative for too-few runs
+    assert got2.z_stat < 0 < got.z_stat
+
+
+def test_runs_test_constant_and_empty(spark, sf_dir, tmp_path):
+    """Constant daily totals → every day AT the median → all dropped
+    → zero signed days and NULL z; empty corpus → the same NULL
+    shape with a NULL run count."""
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    rows = [
+        (i, 1, 100.0, "O", "1-URGENT", base + datetime.timedelta(days=i))
+        for i in range(6)
+    ]
+    d = _write_orders(spark, tmp_path / "const", rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_runs_test,
+    )
+
+    got = q_runs_test(spark, d).collect()[0]
+    assert (got.n_above, got.n_below) == (0, 0)
+    assert got.z_stat is None
+
+    d2 = _write_orders(spark, tmp_path / "empty", [])
+    got2 = q_runs_test(spark, d2).collect()[0]
+    assert (got2.n_above, got2.n_below) == (0, 0)
+    assert got2.r_runs is None and got2.z_stat is None
