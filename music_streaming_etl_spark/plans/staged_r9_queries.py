@@ -6,9 +6,10 @@ new surface is pre-staged one round ahead with its evidence banked —
 cell-exact oracle parity (normal + hostile), degenerate trio,
 independent brute-force twins, 1×→1000× scale curves — so the next
 round's registration is a two-line ``registry.py`` change instead of
-fresh unproven code in the driver window. This module completes the
-X42/X49 statistical-inference family with three more classical tests,
-each re-expressed as a bounded-grain exact-arithmetic plan:
+fresh unproven code in the driver window. This module extends the
+X42/X49 statistical-inference family with nine more classical tests
+plus one LLM-pipeline gate (``benchmark_decontamination``), each
+re-expressed as a bounded-grain exact-arithmetic plan:
 
 - ``ks_two_sample`` — two-sample Kolmogorov-Smirnov D between the
   URGENT and LOW order-value distributions. ENTIRELY IEEE-FREE (the

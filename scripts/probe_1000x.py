@@ -381,6 +381,21 @@ _R10_WINDOW_1000X = {
 # from the r2 flagship sweep; every other position-151-200 key
 # (welch_t_test, max_drawdown, item_jaccard, survival_rmst, the
 # P1-P7/J/V primitives, …) carries 1000× rows from earlier sweeps.
+# Ninth (tail) mini-sweep (r8 second session): the LAST registry keys
+# without 1000x rows — after this, every registry key carries either a
+# 1000x curve or a documented skip rationale (serializer-bound:
+# scan_csv_multi / sink_csv / scan_python_datasource; dim-sized:
+# collation_group / rename_column / ddl_recreate; shingle-pair disk
+# cap: dedup_containment's class; driver-bounded-by-design loop caps
+# recorded at their own grain: recursive_cte_reach).
+_R12_TAIL_1000X = {
+    "stickiness_ratios": "events",
+    "agg_count_distinct_approx": "events",
+    "hopping_windows_approx": "events",
+    "hll_rollup_customers": "orders",
+    "bpe_tokenize": "llm",
+}
+
 _R11_WINDOW_1000X = {
     # events-backed
     "mcnemar_test": "events",
@@ -431,6 +446,7 @@ def _extend_with_registry() -> None:
         **_R9_WINDOW_1000X,
         **_R10_WINDOW_1000X,
         **_R11_WINDOW_1000X,
+        **_R12_TAIL_1000X,
     }.items():
         m, p, b = _CORPUS[c]
         PROBES.setdefault(k, (_REG[k][0], m, p, b))
