@@ -7,7 +7,7 @@ cell-exact oracle parity (normal + hostile), degenerate trio,
 independent brute-force twins, 1×→1000× scale curves — so the next
 round's registration is a two-line ``registry.py`` change instead of
 fresh unproven code in the driver window. This module extends the
-X42/X49 statistical-inference family with nine more classical tests
+X42/X49 statistical-inference family with ten more classical tests
 plus one LLM-pipeline gate (``benchmark_decontamination``), each
 re-expressed as a bounded-grain exact-arithmetic plan:
 
@@ -68,6 +68,12 @@ re-expressed as a bounded-grain exact-arithmetic plan:
   count all on the bounded ~2.4k-row day frame (the documented
   day-grain window class). n₁/n₂/R exact bigints, z the only IEEE
   final; days at the median are dropped (standard convention).
+- ``durbin_watson`` — serial correlation of the daily-revenue OLS
+  residuals, ENTIRELY IEEE-free in the hashed row: bit-identical
+  fixed-order residuals floor-quantized to cents, exact DECIMAL
+  quadratic sums (they exceed 2^53 at sf0.01 and NEVER convert to
+  double — the anova-r8 lesson applied at birth), `_idiv`
+  micro-unit statistic.
 
 All group domains are CLOSED (5 priorities / 3 return flags), so the
 k-term reductions pivot into fixed columns with the staged-r8 domain
@@ -1578,11 +1584,158 @@ FROM tot
 """
 
 
+# --------------------------------------------------------------------------
+# Durbin-Watson (serial correlation of the daily-revenue trend fit)
+# --------------------------------------------------------------------------
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are the residuals of the daily-revenue-vs-time OLS fit
+    serially correlated?  The Durbin-Watson statistic
+    DW = Σ(e_t − e_{t−1})² / Σe_t² — the regression companion of
+    ``daily_autocorrelation`` (DW ≈ 2(1−ρ₁)): DW ≪ 2 means the
+    linear trend under-fits a persistent signal, DW ≫ 2 oscillation.
+
+    Determinism (the anova-r8 lesson applied at birth — DECIMAL
+    carriers past 2^53 must never convert to DOUBLE in a hashed
+    row): the OLS slope/intercept are fixed-order doubles over exact
+    integer sums (bit-identical across engines), each day's residual
+    is the same fixed-order expression and is floor-quantized to
+    CENTS integers (`_floor_sat_safe`; residuals ≤ ~1e13 cents keep
+    every square < 1e26 and the ~2.4k-day sums < 1e30, inside
+    DECIMAL(38,0)); both quadratic sums are then EXACT integers and
+    the emitted statistic is exact micro-units via `_idiv` (HUGEINT
+    ``//`` in the oracle) — no double anywhere in the row. The cents
+    grid IS the documented definition of this key's DW (the residue
+    vs the unquantized statistic is O(1/|e|), immaterial at cents
+    scale — pinned loosely by the brute-force twin).
+
+    Scale shape: ONE map-side day aggregate is the only fact-scaled
+    work; the index/residual/lag machinery lives on the bounded
+    ~2.4k-row day frame (the documented day-grain window class).
+    NULL when the fit is exact (Σe² = 0) or under two days."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents()).cast("decimal(28,0)").alias("y")
+    )
+    wday = Window.orderBy("day")
+    idx = d.select(
+        "day",
+        "y",
+        (F.row_number().over(wday) - 1).cast("bigint").alias("t"),
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("t").cast("decimal(19,0)").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("decimal(28,0)").alias("st2"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(_dec(F.col("t")) * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sty"),
+    )
+    nd = F.col("n_days").cast("double")
+    std = F.col("st").cast("double")
+    st2d = F.col("st2").cast("double")
+    syd = F.col("sy").cast("double")
+    styd = F.col("sty").cast("double")
+    slope = F.try_divide(
+        nd * styd - std * syd, F.nullif(nd * st2d - std * std, F.lit(0.0))
+    )
+    res = idx.crossJoin(F.broadcast(s)).select(
+        "day",
+        _floor_sat_safe(
+            F.col("y").cast("double")
+            - (
+                F.try_divide(syd - slope * std, nd)
+                + slope * F.col("t").cast("double")
+            ),
+            "decimal(19,0)",
+        ).alias("e"),
+    )
+    lagged = res.select(
+        "e", F.lag("e").over(Window.orderBy("day")).alias("prev")
+    )
+    tot = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(_dec(F.col("e")) * F.col("e"))
+        .cast("decimal(38,0)")
+        .alias("ss_resid_c2"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull(),
+                (_dec(F.col("e")) - F.col("prev"))
+                * (_dec(F.col("e")) - F.col("prev")),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ss_diff_c2"),
+    )
+    return tot.select(
+        "n_days",
+        "ss_diff_c2",
+        "ss_resid_c2",
+        _idiv(
+            F.col("ss_diff_c2") * F.lit(1000000), F.col("ss_resid_c2")
+        )
+        .cast("bigint")
+        .alias("dw_micro"),
+    )
+
+
+ORACLE_DURBIN_WATSON = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           AS BIGINT)) AS DECIMAL(28,0)) AS y
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT day, y,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+  FROM d
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(t) AS DECIMAL(19,0)) AS st,
+         CAST(SUM(t * t) AS DECIMAL(28,0)) AS st2,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(t AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sty
+  FROM idx
+), sl AS (
+  SELECT *,
+         (CAST(n_days AS DOUBLE) * CAST(sty AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+         / NULLIF(CAST(n_days AS DOUBLE) * CAST(st2 AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0.0) AS slope
+  FROM s
+), res AS (
+  SELECT day,
+         CAST(floor(CAST(y AS DOUBLE)
+           - ((CAST(sy AS DOUBLE) - slope * CAST(st AS DOUBLE))
+              / CAST(n_days AS DOUBLE)
+              + slope * CAST(t AS DOUBLE))) AS DECIMAL(19,0)) AS e
+  FROM idx, sl
+), lagged AS (
+  SELECT e, LAG(e) OVER (ORDER BY day) AS prev FROM res
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(e * e) AS DECIMAL(38,0)) AS ss_resid_c2,
+         CAST(SUM(CASE WHEN prev IS NOT NULL
+                       THEN (e - prev) * (e - prev) END)
+           AS DECIMAL(38,0)) AS ss_diff_c2
+  FROM lagged
+)
+SELECT n_days, ss_diff_c2, ss_resid_c2,
+       CAST(CAST(ss_diff_c2 AS HUGEINT) * 1000000
+            // NULLIF(CAST(ss_resid_c2 AS HUGEINT), 0) AS BIGINT)
+         AS dw_micro
+FROM tot
+"""
+
+
 # Round-9 registration payload — NOT imported by registry.py this
 # round (the freeze). Registration is:
 #   from .staged_r9_queries import REGISTRY_STAGED_R9
 #   REGISTRY.update(REGISTRY_STAGED_R9)
-# plus fronting the ten keys in _PRIORITY (new-code-first rule).
+# plus fronting the eleven keys in _PRIORITY (new-code-first rule).
 REGISTRY_STAGED_R9: dict = {
     "ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "jonckheere_terpstra": (q_jonckheere_terpstra, ORACLE_JONCKHEERE),
@@ -1597,4 +1750,5 @@ REGISTRY_STAGED_R9: dict = {
     "cochrans_q": (q_cochrans_q, ORACLE_COCHRANS_Q),
     "page_trend_test": (q_page_trend_test, ORACLE_PAGE_TREND),
     "runs_test": (q_runs_test, ORACLE_RUNS_TEST),
+    "durbin_watson": (q_durbin_watson, ORACLE_DURBIN_WATSON),
 }

@@ -52,6 +52,7 @@ from music_streaming_etl_spark.plans.staged_r9_queries import (  # noqa: E402
     q_benchmark_decontamination,
     q_cochrans_q,
     q_cramers_v,
+    q_durbin_watson,
     q_friedman_test,
     q_jonckheere_terpstra,
     q_ks_two_sample,
@@ -136,6 +137,9 @@ PROBES.update(
         ),
         "runs_test": (
             q_runs_test, materialize_orders, "ord", "orders",
+        ),
+        "durbin_watson": (
+            q_durbin_watson, materialize_orders, "ord", "orders",
         ),
     }
 )

@@ -939,3 +939,103 @@ def test_runs_test_constant_and_empty(spark, sf_dir, tmp_path):
     got2 = q_runs_test(spark, d2).collect()[0]
     assert (got2.n_above, got2.n_below) == (0, 0)
     assert got2.r_runs is None and got2.z_stat is None
+
+
+# --------------------------------------------------------------------------
+# durbin_watson
+# --------------------------------------------------------------------------
+
+
+def test_durbin_watson_matches_bruteforce(spark, sf_dir, duck):
+    """Independent pandas twin: same OLS-on-exact-sums fit, same
+    cents-floor residual grid (exact integer comparison), plus a
+    loose pin against the UNQUANTIZED textbook DW (the grid residue
+    must be immaterial at cents scale)."""
+    import math
+
+    df = duck.execute(
+        "SELECT CAST(o_orderdate AS DATE) AS day, "
+        "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        " AS y FROM orders GROUP BY 1 ORDER BY day"
+    ).fetchdf()
+    n = len(df)
+    ys = [int(v) for v in df.y]
+    ts = list(range(n))
+    st, st2 = sum(ts), sum(t * t for t in ts)
+    sy, sty = sum(ys), sum(t * y for t, y in zip(ts, ys))
+    slope = (n * sty - st * sy) / (n * st2 - st * st)
+    a = (sy - slope * st) / n
+    e = [math.floor(y - (a + slope * t)) for t, y in zip(ts, ys)]
+    num = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n))
+    den = sum(x * x for x in e)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_durbin_watson,
+    )
+
+    got = q_durbin_watson(spark, sf_dir).collect()[0]
+    assert got.n_days == n
+    assert int(got.ss_diff_c2) == num
+    assert int(got.ss_resid_c2) == den
+    assert got.dw_micro == num * 1000000 // den
+    # unquantized textbook DW within the cents-grid residue
+    ef = [y - (a + slope * t) for t, y in zip(ts, ys)]
+    dw_f = sum(
+        (ef[i] - ef[i - 1]) ** 2 for i in range(1, n)
+    ) / sum(x * x for x in ef)
+    assert abs(got.dw_micro / 1e6 - dw_f) < 1e-3
+
+
+def test_durbin_watson_alternating_low_dw_pattern(spark, sf_dir, tmp_path):
+    """A strongly trending-in-blocks series (5 low then 5 high days,
+    detrended by OLS) leaves positively autocorrelated residuals →
+    DW well below 2; an alternating series → DW above 2."""
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_durbin_watson,
+    )
+
+    blocked = [
+        (i, 1, 100.0 if i < 5 else 200.0, "O", "1-URGENT",
+         base + datetime.timedelta(days=i))
+        for i in range(10)
+    ]
+    d1 = _write_orders(spark, tmp_path / "blk", blocked)
+    dw_blocked = q_durbin_watson(spark, d1).collect()[0]
+    alt = [
+        (i, 1, 100.0 if i % 2 == 0 else 200.0, "O", "1-URGENT",
+         base + datetime.timedelta(days=i))
+        for i in range(10)
+    ]
+    d2 = _write_orders(spark, tmp_path / "alt", alt)
+    dw_alt = q_durbin_watson(spark, d2).collect()[0]
+    assert dw_blocked.dw_micro < 2_000_000 < dw_alt.dw_micro
+
+
+def test_durbin_watson_perfect_fit_and_empty(spark, sf_dir, tmp_path):
+    """A perfectly linear daily series (integer-exact fit) leaves
+    zero residuals → Σe² = 0 → NULL statistic; empty corpus → the
+    one n_days=0 row with NULLs."""
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    rows = [
+        (i, 1, 100.0 + 10.0 * i, "O", "1-URGENT",
+         base + datetime.timedelta(days=i))
+        for i in range(5)
+    ]
+    d = _write_orders(spark, tmp_path / "lin", rows)
+    from music_streaming_etl_spark.plans.staged_r9_queries import (
+        q_durbin_watson,
+    )
+
+    got = q_durbin_watson(spark, d).collect()[0]
+    assert got.n_days == 5
+    assert int(got.ss_resid_c2) == 0
+    assert got.dw_micro is None
+
+    d2 = _write_orders(spark, tmp_path / "empty", [])
+    got2 = q_durbin_watson(spark, d2).collect()[0]
+    assert got2.n_days == 0
+    assert got2.dw_micro is None
