@@ -949,6 +949,18 @@ GROUP BY sh.doc_id
 # --------------------------------------------------------------------------
 
 
+def _fold_sql(parts: list[str]) -> str:
+    """The SQL mirror of :func:`_fixed_order_sum` — one textual
+    left-fold ``((t0 + t1) + t2)`` shared by every oracle that must
+    match a Spark fixed-order reduction (review finding, r8 second
+    session: five hand-rolled copies of the determinism-critical
+    idiom collapsed to one)."""
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = f"({acc} + {p})"
+    return acc
+
+
 def _cnt_cmp(op: str, j: int, k: int) -> F.Column:
     """Within-block comparison count for pivot column ``j``:
     Σ_i [v_i ≤ v_j] (``op='le'``) or Σ_i [v_i = v_j] (``op='eq'``)
@@ -962,22 +974,17 @@ def _cnt_cmp(op: str, j: int, k: int) -> F.Column:
             else F.col(f"v_{i}") == F.col(f"v_{j}")
         )
         terms.append(F.when(cmp, 1).otherwise(0))
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = acc + t
-    return acc
+    return _fixed_order_sum(terms)
 
 
 def _cnt_cmp_sql(op: str, j: int, k: int) -> str:
     sym = "<=" if op == "le" else "="
-    parts = [
-        f"(CASE WHEN v_{i} {sym} v_{j} THEN 1 ELSE 0 END)"
-        for i in range(k)
-    ]
-    acc = parts[0]
-    for p in parts[1:]:
-        acc = f"({acc} + {p})"
-    return acc
+    return _fold_sql(
+        [
+            f"(CASE WHEN v_{i} {sym} v_{j} THEN 1 ELSE 0 END)"
+            for i in range(k)
+        ]
+    )
 
 
 def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1012,9 +1019,12 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged-r8 domain guard, counted here as ``n_bad`` over ALL
     months, incomplete ones included.
 
-    Magnitude audit: cell sums ≤ ~1.5e15 cents·1e4 at sf100k <
-    DECIMAL(28,0) ✓; R2_j ≤ 2·n·k with n ≤ 12·calendar-years — the
-    χ² operands never approach 2^53 ✓."""
+    Magnitude audit: per-cell cents sums ≈ 5e15 at sf100k (3.6e8
+    orders/cell × ~1.5e7 cents) — accumulated in DECIMAL (not LONG,
+    whose 9.2e18 ceiling would leave only ~1800× headroom and wrap
+    silently with ANSI off), well inside DECIMAL(28,0) ✓; R2_j ≤
+    2·n·k with n ≤ 12·calendar-years — the χ² operands never
+    approach 2^53 ✓."""
     k = len(_PRIORITIES)
     tot = _friedman_tot(spark, sf_dir)
     nd = F.col("n_blocks").cast("double")
@@ -1063,7 +1073,12 @@ def _friedman_tot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = rows.groupBy("ym").agg(
         *[
-            F.sum(F.when(F.col("g") == p, F.col("c")))
+            # sum over _dec(c), not the raw bigint: a LONG
+            # accumulator overflows at 9.2e18 while the audited
+            # sf100k cell bound is ~1.5e19 — the decimal carrier
+            # matches DuckDB's HUGEINT accumulation at every scale
+            # (review finding, r8 second session)
+            F.sum(F.when(F.col("g") == p, _dec(F.col("c"))))
             .cast("decimal(28,0)")
             .alias(f"v_{i}")
             for i, p in enumerate(_PRIORITIES)
@@ -1150,13 +1165,12 @@ def _friedman_ranked_sql(k: int) -> str:
         f" - {_cnt_cmp_sql('eq', j, k)} + 1 END AS BIGINT) AS r2_{j}"
         for j in range(k)
     )
-    tie_parts = [
-        f"({_cnt_cmp_sql('eq', j, k)} * {_cnt_cmp_sql('eq', j, k)} - 1)"
-        for j in range(k)
-    ]
-    tie = tie_parts[0]
-    for p in tie_parts[1:]:
-        tie = f"({tie} + {p})"
+    tie = _fold_sql(
+        [
+            f"({_cnt_cmp_sql('eq', j, k)} * {_cnt_cmp_sql('eq', j, k)} - 1)"
+            for j in range(k)
+        ]
+    )
     return f"""ranked AS (
   SELECT bad,
          ({comp}) AS is_complete,
@@ -1192,13 +1206,12 @@ tot AS (
 def _friedman_oracle_sql() -> str:
     k = len(_PRIORITIES)
     names = ("urgent", "high", "medium", "notspec", "low")
-    sr2_parts = [
-        f"(CAST(rs2_{j} AS DOUBLE) * CAST(rs2_{j} AS DOUBLE))"
-        for j in range(k)
-    ]
-    sr2 = sr2_parts[0]
-    for p in sr2_parts[1:]:
-        sr2 = f"({sr2} + {p})"
+    sr2 = _fold_sql(
+        [
+            f"(CAST(rs2_{j} AS DOUBLE) * CAST(rs2_{j} AS DOUBLE))"
+            for j in range(k)
+        ]
+    )
     emit_r2 = ",\n       ".join(
         f"CASE WHEN ok THEN rs2_{j} END AS r2_{names[j]}"
         for j in range(k)
@@ -1269,10 +1282,7 @@ def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _page_oracle_sql() -> str:
     k = len(_PRIORITIES)
-    l2_parts = [f"({j + 1} * rs2_{j})" for j in range(k)]
-    l2 = l2_parts[0]
-    for p in l2_parts[1:]:
-        l2 = f"({l2} + {p})"
+    l2 = _fold_sql([f"({j + 1} * rs2_{j})" for j in range(k)])
     e2c = float(k * (k + 1) ** 2) / 2.0
     v2c = float(k**2 * (k + 1) ** 2 * (k - 1)) / 36.0
     return f"""

@@ -39,6 +39,12 @@ def main() -> int:
         args.remove("--hostile")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    unknown = only - set(REGISTRY_STAGED_R9)
+    if unknown:
+        # a typoed filter must fail loudly, not report "0 pass,
+        # 0 fail" with exit 0 (review finding, r8 second session)
+        print(f"unknown staged key(s): {sorted(unknown)}")
+        return 2
     if hostile:
         spark = get_spark(
             "staged-check-hostile",
@@ -68,11 +74,17 @@ def main() -> int:
             continue
         finally:
             spark.catalog.clearCache()
-        odf = con.execute(osql).fetchdf()
+        try:
+            odf = con.execute(osql).fetchdf()
+        except Exception as e:  # noqa: BLE001 — selfcheck's error path
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if compare(name, sdf, odf):
             print(f"PASS {name}  ({time.time() - t0:.1f}s)")
             n_pass += 1
         else:
+            print(f"FAIL {name}  ({time.time() - t0:.1f}s)")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
