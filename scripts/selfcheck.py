@@ -57,8 +57,64 @@ def frame_for_compare(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
+def _mat_kind(s: pd.Series) -> str:
+    """Canonical materialized-dtype kind of a pandas column.
+
+    The r6–r8 ``anova_oneway`` driver reds were a TYPE-layer artifact
+    this script's value-normalizing compare could never see: Spark
+    DECIMAL(38,0) arrives in pandas as ``decimal.Decimal`` objects
+    while DuckDB's integers arrive as int64/float64 — numerically
+    equal, hash-different. This folds each column to the kind a typed
+    value-hash would see. Date-like kinds collapse to one class
+    (``datetime.date``-objects vs datetime64 is driver-green across
+    many keys); ``Decimal`` gets its own kind so any engine asymmetry
+    — or any Decimal at all — fails loudly.
+    """
+    import datetime
+    import decimal
+
+    dt = str(s.dtype)
+    if dt.startswith("datetime64"):
+        return "datetime"
+    if dt != "object":
+        return dt
+    for v in s:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, decimal.Decimal):
+            return "decimal-object"
+        if isinstance(v, datetime.date):
+            return "datetime"
+        return type(v).__name__
+    return "all-null"
+
+
+def dtype_parity(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
+    """Materialized-dtype parity gate (VERDICT r8 item 2): per column,
+    the kind Spark's ``toPandas()`` materializes must equal the kind
+    DuckDB's ``fetchdf()`` materializes — equal VALUES with different
+    carrier types (the anova class) hash differently at the driver."""
     ok = True
+    for c in sorted(set(spark_df.columns) & set(oracle_df.columns)):
+        sk, okind = _mat_kind(spark_df[c]), _mat_kind(oracle_df[c])
+        if "decimal-object" in (sk, okind):
+            print(
+                f"  [{name}] col {c}: materialized Decimal objects "
+                f"(spark={sk} oracle={okind}) — cast to STRING/BIGINT/"
+                f"DOUBLE on both engines; typed hashes differ on Decimal"
+            )
+            ok = False
+        elif sk != okind and "all-null" not in (sk, okind):
+            print(
+                f"  [{name}] col {c}: materialized dtype mismatch "
+                f"spark={sk} oracle={okind}"
+            )
+            ok = False
+    return ok
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
+    ok = dtype_parity(name, spark_df, oracle_df)
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         print(f"  [{name}] COLUMN MISMATCH spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
         return False
