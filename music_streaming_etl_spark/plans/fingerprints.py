@@ -29,24 +29,14 @@ pyspark / stdlib churn must not invalidate evidence.
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import importlib
 import inspect
-import re
+import textwrap
 import types
 
 _PKG_ROOT = __name__.split(".")[0]  # "music_streaming_etl_spark"
-
-#: `from X import a, b` / `import X` statements INSIDE a function body
-#: bind LOCAL names, so they never appear in fn.__globals__ — and
-#: function-local `from ..operators.x import f` is the DOMINANT import
-#: style in the plan modules (review r8 finding: the winnow operator
-#: was absent from its plan's closure). Source-level parsing is the
-#: version-stable way to see them (bytecode IMPORT_NAME carries the
-#: relative level on the const stack, which varies across CPython).
-_IMPORT_RE = re.compile(
-    r"^\s*from\s+(\.*[\w\.]*)\s+import\s+([\w\.,\s\(\)]+)", re.M
-)
 
 
 def _resolve_relative(module: str, anchor_module: str) -> str | None:
@@ -66,7 +56,22 @@ def _resolve_relative(module: str, anchor_module: str) -> str | None:
 def _local_imports(fn, sources: dict[str, str], seen: set[int]) -> None:
     """Fold every in-package object a function imports LOCALLY into
     the closure: imported functions recurse, imported modules/classes
-    contribute their full source."""
+    contribute their full source, imported module-level constants
+    contribute their value (ADVICE r8 low: the `__globals__` path
+    already recorded consts; this path silently skipped them).
+
+    `from X import a, b` / `import X` statements INSIDE a function body
+    bind LOCAL names, so they never appear in fn.__globals__ — and
+    function-local `from ..operators.x import f` is the DOMINANT import
+    style in the plan modules (review r8 finding: the winnow operator
+    was absent from its plan's closure). The imports are found by
+    PARSING the source with ``ast`` (ADVICE r8 medium: the previous
+    regex matched greedily across lines, so consecutive or
+    parenthesized local imports collapsed into one match and only the
+    first module resolved — genre_kpis' closure dropped compute_kpis /
+    extract_streams / scan_csv_multi entirely). ``ast.walk`` sees each
+    ImportFrom/Import node individually, parenthesized or not, and is
+    version-stable where bytecode IMPORT_NAME is not."""
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
@@ -74,8 +79,33 @@ def _local_imports(fn, sources: dict[str, str], seen: set[int]) -> None:
     anchor = getattr(fn, "__module__", None)
     if not anchor:
         return
-    for mod_str, names in _IMPORT_RE.findall(src):
-        resolved = _resolve_relative(mod_str, anchor)
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:  # pragma: no cover — getsource of valid fn
+        return
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            # `import pkg.sub` in-package: the module source is closure
+            for alias in node.names:
+                if alias.name == _PKG_ROOT or alias.name.startswith(
+                    _PKG_ROOT + "."
+                ):
+                    try:
+                        mod = importlib.import_module(alias.name)
+                    except Exception:  # noqa: BLE001 — skip unresolvable
+                        continue
+                    mod_id = f"module:{mod.__name__}"
+                    if mod_id not in sources:
+                        try:
+                            sources[mod_id] = inspect.getsource(mod)
+                        except (OSError, TypeError):
+                            sources[mod_id] = mod.__name__
+            continue
+        if not isinstance(node, ast.ImportFrom):
+            continue
+        resolved = _resolve_relative(
+            "." * node.level + (node.module or ""), anchor
+        )
         if not resolved or not (
             resolved == _PKG_ROOT or resolved.startswith(_PKG_ROOT + ".")
         ):
@@ -84,10 +114,8 @@ def _local_imports(fn, sources: dict[str, str], seen: set[int]) -> None:
             mod = importlib.import_module(resolved)
         except Exception:  # noqa: BLE001 — unresolvable: skip
             continue
-        for name in re.split(r"[,\s\(\)]+", names):
-            if not name or name == "as":
-                continue
-            obj = getattr(mod, name, None)
+        for alias in node.names:
+            obj = getattr(mod, alias.name, None)
             if obj is None:
                 continue
             if isinstance(obj, types.FunctionType) and _is_in_package(obj):
@@ -106,6 +134,12 @@ def _local_imports(fn, sources: dict[str, str], seen: set[int]) -> None:
                         sources[cls_id] = inspect.getsource(obj)
                     except (OSError, TypeError):
                         sources[cls_id] = repr(obj)
+            elif isinstance(obj, (str, int, float, tuple, frozenset)):
+                # locally-imported module-level constants (oracle
+                # templates, domain tuples): value is closure, keyed
+                # by the module that DEFINES it — same convention the
+                # __globals__ path uses for the reading module.
+                sources.setdefault(f"const:{resolved}.{alias.name}", repr(obj))
 
 
 def _is_in_package(obj) -> bool:

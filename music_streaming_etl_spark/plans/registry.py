@@ -334,7 +334,14 @@ def _auto_rotate(
                     if key_fingerprint(fn, oracle) != fp:
                         changed.add(k)
         except Exception:  # noqa: BLE001 — evidence layer must not
-            changed = set()  # break query serving; degrade to age order
+            # break query serving; degrade to age order. Restore the
+            # _FORCE_FRESH baseline rather than emptying `changed`: the
+            # hand-listed rewrites do not depend on fingerprinting, so
+            # a fingerprint-layer failure must not cancel them
+            # (ADVICE r8 low).
+            changed = (
+                set(_FORCE_FRESH) & set(staleness) if live_evidence else set()
+            )
     fresh, seen, rows_only = [], [], []
     for k, (_, oracle) in registry.items():
         if oracle is None:

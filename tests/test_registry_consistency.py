@@ -257,3 +257,32 @@ def test_fingerprint_closure_sees_operator_rewrites():
     # and a change to that operator must change the fingerprint
     base2 = key_fingerprint(fn, oracle)
     assert base2 == base
+
+
+def test_fingerprint_closure_sees_all_consecutive_local_imports():
+    """ADVICE r8 medium: the regex-era import scanner matched greedily
+    across lines, so a function with CONSECUTIVE local `from .. import`
+    statements folded only the FIRST module's names into its closure —
+    ref_pipeline_genre_kpis (three consecutive local imports) silently
+    dropped compute_kpis / extract_streams / scan_csv_multi, leaving
+    the change-aware rotation blind to rewrites of any of them. The
+    ast-based scanner must see every import statement individually."""
+    import inspect
+
+    from music_streaming_etl_spark.plans.fingerprints import (
+        _closure_sources,
+    )
+
+    fn, _ = REGISTRY["ref_pipeline_genre_kpis"]
+    sources: dict = {}
+    _closure_sources(fn, sources, set())
+    from music_streaming_etl_spark.plans.kpis import compute_kpis
+    from music_streaming_etl_spark.plans.pipeline import extract_streams
+    from music_streaming_etl_spark.sources.io import scan_csv_multi
+
+    for helper in (compute_kpis, extract_streams, scan_csv_multi):
+        src = inspect.getsource(helper)
+        assert any(src == s for s in sources.values()), (
+            f"closure must contain {helper.__name__} "
+            "(later consecutive local imports must not be dropped)"
+        )
