@@ -1,0 +1,112 @@
+"""Scale-adaptive scan fan-out (optimization round 9, guide §2.5/§6).
+
+The driver's testdata writes each table as ONE parquet file with ONE
+row group. A parquet split can never be narrower than a row group, so
+every scan of such a file is a single task no matter what
+``spark.sql.files.maxPartitionBytes`` says — and everything fused into
+the scan stage (expression evaluation, decimal casts, explodes,
+map-side partial aggregation, shuffle write) runs on one core while
+the other N-1 idle. Measured at sf0.1/local[32]: tpch_q1_pricing
+spends ~0.25 s scanning and ~0.9 s in single-threaded decimal
+aggregation; hash-repartitioning right after the scan halves the
+query (1.20 s → 0.53 s) because only the decode stays serial.
+
+This is the optimization guide's own prescription for unsplittable
+inputs ("one huge unsplittable file (gzip) … otherwise repartition
+immediately after the read", §2.5) made SCALE-ADAPTIVE:
+
+- the fan-out only fires when the scan's effective split count
+  (parquet row groups — the true upper bound on scan parallelism) is
+  below the session's ``defaultParallelism``. On a real cluster where
+  the same table arrives as hundreds of well-sized files, the
+  condition is false and the plan is untouched — no constant tuned
+  for either local mode or the cluster;
+- the repartition is HASH partitioning on caller-chosen high-
+  cardinality columns, never round-robin: round-robin pays a local
+  sort of the whole input inside the single scan task
+  (``spark.sql.execution.sortBeforeRepartition``, on by default so
+  retries stay deterministic) — the exact serial stage this operator
+  exists to shrink — while hash partitioning is deterministic per row
+  by value, so task retries reproduce the same placement for free;
+- the partition count is ``defaultParallelism`` (explicit, so AQE
+  does not re-coalesce the fan-out away), which also tracks the
+  driver's lower-core bench runs without any code change;
+- Catalyst pushes deterministic filters and column pruning THROUGH
+  RepartitionByExpression, so scans keep their PushedFilters /
+  pruned ReadSchema (verified in the r09 plan dumps: the q1 date
+  filter still lands in the scan below the fan-out exchange).
+
+Choosing the hash columns: pick the table's high-cardinality key
+(``l_orderkey``, ``event_id``, ``doc_id``) — 20-100x more distinct
+values than partitions, per guide §2.5, so the hash spreads evenly.
+When the first downstream shuffle is keyed the same way (the
+lineitem⋈orders join key, say), the fan-out exchange IS that shuffle
+and Catalyst reuses it outright (guide §2.4).
+
+``_effective_splits`` reads only parquet FOOTERS (driver-side
+metadata, microseconds per file, memoized per path like Spark's own
+file-listing cache — ``spark.sql.hive.filesourcePartitionFileCacheSize``).
+No data is read, nothing is persisted, and every bench/oracle run
+still computes from the parquet inputs alone. When a directory
+already holds >= parallelism files the check short-circuits on the
+file count without opening a single footer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: path -> effective split count. Metadata memo (file layout, never
+#: query results); process-local, exactly the lifetime Spark gives its
+#: own file-status cache.
+_SPLITS_CACHE: dict[str, int] = {}
+
+
+def _effective_splits(path: str, parallelism: int) -> int:
+    """Upper bound on scan parallelism for a parquet file/directory:
+    total row groups (a split never cuts inside a row group). Bounded
+    work: short-circuits at ``parallelism`` without reading further
+    footers, and a >=``parallelism``-file directory never opens any."""
+    key = f"{path}::{parallelism}"
+    cached = _SPLITS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        if len(files) >= parallelism:
+            splits = len(files)
+        else:
+            splits = 0
+            for f in files:
+                splits += pq.ParquetFile(f).metadata.num_row_groups
+                if splits >= parallelism:
+                    break
+    except Exception:  # noqa: BLE001 — metadata unreadable: assume
+        splits = parallelism  # well-split and leave the plan alone
+    _SPLITS_CACHE[key] = splits
+    return splits
+
+
+def fan_out_scan(
+    df: DataFrame, spark: SparkSession, path: str, *cols: str
+) -> DataFrame:
+    """Hash-repartition ``df`` (a fresh scan of ``path``) across the
+    session's cores when the underlying file layout cannot give the
+    scan that parallelism by itself; identity otherwise. ``cols`` are
+    the high-cardinality hash columns (see module docstring)."""
+    par = spark.sparkContext.defaultParallelism
+    if par <= 1 or _effective_splits(path, par) >= par:
+        return df
+    return df.repartition(par, *[F.col(c) for c in cols])

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.ranking import global_ntile, global_rank, global_topk
 from .stats_queries import _floor_sat_safe
-from .testdata_queries import _t, dec_sum
+from .testdata_queries import _t, _tf, dec_sum
 
 
 def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,6 +30,9 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.to_date("o_orderdate") < F.lit("1995-03-15")
     )
+    # fan-out REJECTED by measurement (r9): the selective shipdate/
+    # orderdate/segment filters shrink the join inputs enough that the
+    # added exchange loses (0.65 s vs 0.52 s; OPTIMIZATION_r09.md).
     li = _t(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") > F.lit("1995-03-15")
     )
@@ -72,7 +75,9 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the fact (they are NOT dims), so they shuffle-join on their
     keys — AQE picks the physical strategy; only the true dims
     nation (25 rows) and region (5 rows) carry broadcast hints."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # fan-out on the join key (r9, guide §2.5/§2.4): reuses the
+    # lineitem-side exchange of the orders join when it shuffles.
+    li = _tf(spark, sf_dir, "lineitem", "l_orderkey").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -186,7 +191,10 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity boundary) via
     lag + cumulative sum — the batch twin of a streaming session
     window. Total order inside each user: (ts, event_id)."""
-    ev = _t(spark, sf_dir, "events")
+    # fan-out on the WINDOW key (r9, guide §2.5/§2.4): the window's
+    # required hash distribution is satisfied by the fan-out exchange,
+    # so parallelism comes free — one exchange either way.
+    ev = _tf(spark, sf_dir, "events", "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_gap = ev.withColumn(
         "new_session",
@@ -528,6 +536,9 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual non-equi condition, region filter, and date range.
     orders/customer/supplier are fact-scaled (they grow with SF), so
     they shuffle-join; only nation/region broadcast."""
+    # fan-out REJECTED by measurement (r9): the orderdate filter and
+    # semi-joins shrink the work below what the added exchange costs
+    # (1.28 s vs 0.82 s; OPTIMIZATION_r09.md).
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -830,7 +841,9 @@ def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``unix_micros`` ↔ DuckDB ``epoch_us``) so both engines subtract
     the same exact integers; the mean divides two exact integers as
     doubles. Window is partitioned by user — no global sort."""
-    ev = _t(spark, sf_dir, "events")
+    # fan-out on the WINDOW key (r9, guide §2.5/§2.4): exchange reuse,
+    # same as sessionize_events.
+    ev = _tf(spark, sf_dir, "events", "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gaps = ev.withColumn("gap_us", us - F.lag(us, 1).over(w)).filter(

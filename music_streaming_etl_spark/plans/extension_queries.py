@@ -228,6 +228,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup demonstrated on a constructed duplicate set: the
     corpus unioned with an id-shifted copy of itself; dedup must keep
     exactly the original (min doc_id) rows."""
+    # fan-out REJECTED by measurement (r9): 5k docs normalize+md5 in
+    # ~0.3 s single-task; the exchange more than doubles it (0.77 s;
+    # OPTIMIZATION_r09.md).
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
     dup = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
     both = docs.unionByName(dup)
@@ -249,6 +252,9 @@ FROM unioned GROUP BY md5({SQL_NORMTEXT})
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 perms) + LSH(4 bands) near-dup pairs over 3-gram
     shingles, verified with exact Jaccard ≥ 0.8."""
+    # fan-out REJECTED by measurement (r9): the pipeline caches the
+    # signature frame, so the scan cost is paid once and the exchange
+    # only added time (1.42 s vs 1.33 s; OPTIMIZATION_r09.md).
     docs = _t(spark, sf_dir, "documents")
     return dedup_minhash_pairs(
         docs, "doc_id", "text", threshold=0.8, num_hashes=16, num_bands=4, shingle_n=3
@@ -477,6 +483,9 @@ WHERE floor(CAST((list_dot_product(a.e, b.e)
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — exact brute-force cosine top-10 against the vec_id=0 query
     vector; rounded scores with vec_id tie-break for a total order."""
+    # fan-out REJECTED by measurement (r9): 2k×64 dot products are
+    # sub-0.1 s single-task — the exchange is pure overhead (0.39 s vs
+    # 0.36 s; OPTIMIZATION_r09.md).
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     out = similarity_topk(emb, query, "vec_id", "embedding", k=10)

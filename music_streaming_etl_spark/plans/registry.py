@@ -43,6 +43,13 @@ REGISTRY.update(REGISTRY_STAGED_R8)
 # window slot. Every key stays covered by scripts/selfcheck.py
 # (cell-exact, all keys) regardless of position.
 _PRIORITY: list[str] = [
+    # ROUND-9: anova_oneway moves to POSITION 1 (VERDICT r8 item 1 —
+    # "keep it at the front of _PRIORITY"). It is the only oracle-
+    # backed key without a green driver row (r6-r8 red, root-caused to
+    # materialized-dtype divergence and fixed this round by emitting
+    # STRING on both engines); the fix must earn its driver row ahead
+    # of every optimization-rewritten key that joins the fresh tier.
+    "anova_oneway",
     # ROUND-8 REGISTRATION (VERDICT r7 item 2): the three keys staged
     # in round 7 (`plans/staged_r8_queries.py`, evidence banked there
     # and in tests/test_staged_round8.py) enter at the FRONT — new
@@ -129,7 +136,7 @@ _PRIORITY: list[str] = [
     "cohens_kappa",
     "eb_shrunk_rates",
     "suggest_constraints",
-    "anova_oneway",
+    # ("anova_oneway" moved to position 1 this round — see top)
     "keyness_llr",
     "ivm_refresh",
     "tpch_q1_piped",

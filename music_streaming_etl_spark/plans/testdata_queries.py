@@ -58,6 +58,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tf(
+    spark: SparkSession, sf_dir: str, name: str, *cols: str
+) -> DataFrame:
+    """``_t`` plus scale-adaptive scan fan-out (round-9 optimization,
+    guide §2.5): when the table's file layout cannot feed the session's
+    cores (the driver testdata is ONE row group per table, so every
+    scan is a single task), hash-repartition on ``cols`` right after
+    the read so joins/aggregations/window sorts downstream of the scan
+    parallelize; a no-op whenever the layout already provides enough
+    splits (the 100 TB case). See ``operators/fanout.py`` for the full
+    rationale and measurements. Pick ``cols`` = the table's high-
+    cardinality key, ideally the first downstream shuffle key so the
+    fan-out exchange is REUSED instead of added (guide §2.4)."""
+    from ..operators.fanout import fan_out_scan
+
+    return fan_out_scan(
+        _t(spark, sf_dir, name), spark, f"{sf_dir}/{name}.parquet", *cols
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet's ``ts`` physical type varies by generator
     vintage: TIMESTAMP(NANOS) (which Spark's vectorized reader
@@ -103,7 +123,10 @@ def q_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compute_kpis genre branch (ref dags/music_streaming_etl_dags.py:
     172-195) on testdata: lineitem ⟕ orders ⟕ customer; genre :=
     o_orderpriority, date := date(l_shipdate), mode over c_mktsegment."""
-    lineitem = _t(spark, sf_dir, "lineitem")
+    # fan-out on the join key (r9, guide §2.5): the single-row-group
+    # scan otherwise runs the two joins + the wide partial aggregation
+    # on one core; a no-op when the layout already splits.
+    lineitem = _tf(spark, sf_dir, "lineitem", "l_orderkey")
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority"
     )
@@ -192,6 +215,10 @@ LEFT JOIN (SELECT * FROM md WHERE rn = 1) m
 def q_hourly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compute_kpis hourly branch minus the array column (ref :199-207):
     hour-of-day grain, exact distinct users, diversity ratio."""
+    # fan-out REJECTED by measurement (r9): events is small enough that
+    # shuffling it (0.68 s) loses to the one-task Expand+partial agg
+    # (0.39 s) — the per-row work here is too light to amortize an
+    # extra exchange (A/B in OPTIMIZATION_r09.md).
     events = _t(spark, sf_dir, "events")
     base = events.withColumn("hour", F.hour("ts").cast("bigint"))
     # fused: both distincts + the count in ONE aggregation (single scan,
@@ -217,6 +244,9 @@ FROM events GROUP BY 1
 def q_agg_topk_by_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 exploded: top-5 event_type by frequency per hour with rank;
     tie-break count DESC, value ASC (the engine-defined total order)."""
+    # fan-out REJECTED by measurement (r9): 0.68 s with vs 0.31 s
+    # without — the (hour, event_type) partial counts are cheaper than
+    # the exchange they would ride (A/B in OPTIMIZATION_r09.md).
     events = _t(spark, sf_dir, "events")
     base = events.withColumn("hour", F.hour("ts").cast("bigint"))
     ranked = topk_by_freq_ranked(base, ["hour"], "event_type", 5)
@@ -302,7 +332,9 @@ def q_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_left_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+J2 — two-hop left equi-join, unmatched rows keep NULLs.
     Dims broadcast: the fact side never shuffles."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # fan-out (r9, guide §2.5): both joins broadcast, so the probe side
+    # otherwise evaluates entirely inside the one-task scan stage.
+    li = _tf(spark, sf_dir, "lineitem", "l_orderkey").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
     )
     orders = _t(spark, sf_dir, "orders").select(
@@ -902,7 +934,12 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary — the engine's heaviest pure-agg
     benchline. Decimal-exact sums; partial agg map-side; single shuffle
     on a 6-value key."""
-    li = _t(spark, sf_dir, "lineitem")
+    # fan-out (r9, guide §2.5): measured 1.20 s → 0.53 s at
+    # sf0.1/local[32] — the decimal partial aggregation is ~4x the
+    # scan cost and otherwise runs single-threaded (one row group =
+    # one task). The date filter still pushes below the exchange into
+    # the scan (plans/r09/tpch_q1_pricing_after.txt).
+    li = _tf(spark, sf_dir, "lineitem", "l_orderkey")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
     return (
@@ -943,7 +980,12 @@ GROUP BY 1, 2
 def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + deterministic top-10 (revenue DESC, custkey ASC) —
     the classic fact→dim rollup with a bounded final sort."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    # fan-out on the join key (r9, guide §2.5/§2.4): when the orders
+    # join shuffles, the fan-out exchange IS its lineitem-side
+    # exchange — reused, not added.
+    li = _tf(spark, sf_dir, "lineitem", "l_orderkey").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ranking import global_topk
-from .testdata_queries import _t, dec_sum
+from .testdata_queries import _t, _tf, dec_sum
 
 
 def q_tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,6 +124,9 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact→fact join shuffled on orderkey, customer shuffle-joined on
     custkey (customer grows with SF — not broadcastable at 100 TB),
     then a bounded global top-k."""
+    # fan-out REJECTED by measurement (r9): returnflag + quarter
+    # filters leave too few rows for the exchange to pay for itself
+    # (0.89 s vs 0.57 s; OPTIMIZATION_r09.md).
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
@@ -234,7 +237,12 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order grain FIRST (HAVING sum(qty) > 200), then join the shrunken
     key set back to orders/customer. The pre-join aggregation is the
     shuffle-shrink that makes this viable at 100 TB."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # fan-out on the GROUP key (r9, guide §2.5/§2.4): the pre-join
+    # aggregation shuffles on l_orderkey anyway, so the fan-out
+    # exchange replaces it — parallel partial aggregation for free.
+    li = _tf(spark, sf_dir, "lineitem", "l_orderkey").select(
+        "l_orderkey", "l_quantity"
+    )
     big = (
         li.groupBy("l_orderkey")
         .agg(dec_sum(F.col("l_quantity"), "total_qty"))

@@ -122,7 +122,12 @@ def test_flagship_shuffle_budget(spark, sf_dir):
     # AQE's toString appends the pre-execution "Initial Plan" — count
     # only the final plan section
     plan = _plan(df).split("== Initial Plan ==")[0]
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2, plan
+    # Budget 3 since r9: the wide level-1 agg + the tiny re-combine +
+    # the scale-adaptive scan fan-out (operators/fanout.py — fires only
+    # when the file layout cannot feed the session's cores, which the
+    # one-row-group testdata never can; on a well-split layout the
+    # plan is the original 2-exchange form).
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3, plan
     assert "SortMergeJoin" not in plan
 
 
@@ -148,9 +153,12 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     df.collect()  # AQE finalizes the plan only on execution
     plan = _plan(df)
     # '*(N)' prefixes mark whole-stage-codegen'd operators; both agg
-    # phases must be inside codegen stages
-    assert "*(1) HashAggregate" in plan
-    assert "*(2) HashAggregate" in plan
+    # phases must be inside codegen stages. Stage NUMBERS are not
+    # pinned since r9: the scan fan-out (operators/fanout.py) adds a
+    # stage ahead of the partial agg, shifting the indices.
+    import re
+
+    assert len(re.findall(r"\*\(\d+\) HashAggregate", plan)) >= 2, plan
     assert "isFinalPlan=true" in plan
 
 
