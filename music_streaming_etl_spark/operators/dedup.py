@@ -361,7 +361,39 @@ def _exact_cached_bytes(df: DataFrame) -> int:
         return _sys.maxsize
 
 
-def _verify_pins(hsd: DataFrame, regime: str | None = None):
+#: Conservative hashed-shingle expansion bound over the SOURCE
+#: corpus's on-disk parquet bytes: measured 7.1x at sf0.1 (584 KB
+#: documents.parquet -> 4.17 MB cached hsd — compressed columnar text
+#: explodes into 16-byte (id, h) rows); 16x doubles the observed
+#: worst case. Used by the metadata regime decision below; erring
+#: high only ever demotes broadcast to merge (the safe direction).
+_HSD_EXPANSION_BOUND = 16
+
+
+def _source_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the files backing ``df`` — pure
+    metadata (file listing Spark has already done + stat calls), no
+    job. ``None`` for non-file-backed frames (tests, unions of
+    constructed data) or any listing failure."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            total += _os.path.getsize(f.removeprefix("file:"))
+        return total
+    except Exception:  # noqa: BLE001 — fall back to the measured path
+        return None
+
+
+def _verify_pins(
+    hsd: DataFrame,
+    regime: str | None = None,
+    source_df: DataFrame | None = None,
+):
     """Join-strategy pins for the banded-LSH verify topology, shared
     by every pipeline that joins candidate pairs back to the cached
     hashed-shingle frame (``dedup_minhash_pairs``,
@@ -383,16 +415,29 @@ def _verify_pins(hsd: DataFrame, regime: str | None = None):
       may still pick a genuinely-fitting broadcast, MERGE-pinned in
       the large regime where its estimate cannot be trusted.
 
-    ``regime`` (ADVICE r5): ``None`` MEASURES the cached bytes — one
-    count() + the cache fill the first action would pay anyway, but
-    it makes construction eager, so plan-only consumers (EXPLAIN,
-    dump_plans) materialize the corpus. Callers that only inspect
-    plans, or that already know their corpus size, pass
-    ``'broadcast'`` or ``'merge'`` to skip the measurement and stay
-    fully lazy (``'merge'`` is the safe-at-any-scale choice).
+    ``regime`` (ADVICE r5): ``None`` decides the regime
+    automatically. Round-9 optimization: when the corpus is FILE-
+    BACKED (``source_df`` given and listable), the decision now reads
+    on-disk metadata — source parquet bytes x the conservative
+    ``_HSD_EXPANSION_BOUND`` (2x the measured worst case) against the
+    cap — which is exact-input-derived (not a Catalyst stat estimate,
+    the thing the r4 probe caught undershooting 12x), keeps
+    construction fully LAZY, and drops the per-invocation count() +
+    fresh-plan stats jobs that cost ~0.5 s/run at sf0.1.
+    Overestimating only demotes broadcast to merge — the safe
+    direction at every scale. Non-file-backed frames keep the r5
+    measured-cache-bytes path (one count() + the cache fill the first
+    action would pay anyway, making construction eager). Callers that
+    only inspect plans, or that already know their corpus size, pass
+    ``'broadcast'`` or ``'merge'`` to skip any decision work
+    (``'merge'`` is the safe-at-any-scale choice).
     """
     if regime is None:
-        small = _exact_cached_bytes(hsd) <= _VERIFY_BROADCAST_CAP
+        src = _source_bytes(source_df) if source_df is not None else None
+        if src is not None:
+            small = src * _HSD_EXPANSION_BOUND <= _VERIFY_BROADCAST_CAP
+        else:
+            small = _exact_cached_bytes(hsd) <= _VERIFY_BROADCAST_CAP
     elif regime in ("broadcast", "merge"):
         small = regime == "broadcast"
     else:
@@ -474,21 +519,19 @@ def dedup_minhash_pairs(
     # inside this pipeline (the copurchase_pairs/frequent_triples
     # lesson). But the unconditional r4 MERGE pin taxed small corpora
     # +72% at sf0.1 paying sort-merge for megabyte sides. The regime
-    # switch keys on the EXACT materialized cache size of hsd (not a
-    # Catalyst estimate — those undershot 12× here): hsd is cached and
-    # every branch of this pipeline consumes it, so materializing it
-    # now costs nothing extra, and a fresh plan over the materialized
-    # InMemoryRelation reports accumulator-backed true bytes. Small
-    # regime → force-broadcast the hsd/cnts projections (their bytes
-    # are bounded by the measured cache size, within the budget the
-    # cap comment documents, and cand — whose estimate is the
-    # untrustworthy one — can never be picked as a build side). Large
-    # regime → the r4 MERGE pin, unchanged 100×-safe behavior. NOTE:
-    # the regime decision makes CONSTRUCTION eager (one count() job +
-    # the cache fill that the first action would have paid anyway) —
-    # plan-only inspection of this query materializes the corpus
-    # unless the caller passes an explicit verify_regime.
-    pin, _ = _verify_pins(hsd, verify_regime)
+    # switch keys on exact-input-derived bytes, never a Catalyst
+    # estimate (those undershot 12× here): file-backed corpora use
+    # on-disk source bytes × a conservative expansion bound (r9 —
+    # LAZY, no job, see _verify_pins); other frames use the EXACT
+    # materialized cache size of hsd (cached, every branch consumes
+    # it, so materializing costs nothing extra; that path makes
+    # construction eager). Small regime → force-broadcast the
+    # hsd/cnts projections (their bytes are bounded by the decision
+    # input, within the budget the cap comment documents, and cand —
+    # whose estimate is the untrustworthy one — can never be picked
+    # as a build side). Large regime → the r4 MERGE pin, unchanged
+    # 100×-safe behavior.
+    pin, _ = _verify_pins(hsd, verify_regime, source_df=df)
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(
@@ -1307,7 +1350,7 @@ def lsh_candidate_quality(
     # conditional pins (the r4 force-broadcast hazard is the
     # topology's, not one caller's); the pair-grain inter frame gets
     # pair_pin — never a forced broadcast
-    side_pin, pair_pin = _verify_pins(hsd, verify_regime)
+    side_pin, pair_pin = _verify_pins(hsd, verify_regime, source_df=df)
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(side_pin(hsd.select(F.col("id").alias("id_a"), "h")), "id_a")
@@ -1400,7 +1443,7 @@ def containment_neardup_pairs(
     )
     # same verify topology as dedup_minhash_pairs → same size-
     # conditional pins (see _verify_pins)
-    side_pin, _ = _verify_pins(hsd, verify_regime)
+    side_pin, _ = _verify_pins(hsd, verify_regime, source_df=df)
     cnts = hsd.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(side_pin(hsd.select(F.col("id").alias("id_a"), "h")), "id_a")
