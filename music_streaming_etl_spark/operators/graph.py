@@ -48,9 +48,16 @@ def pagerank(
     dn = int(round(damping * 1_000_000))
     dd = 1_000_000
 
+    # r9: cache the deduped edge list — every iteration's contribs
+    # join and the degree frame consume it, and the caller's edge
+    # frame may itself be an expensive pipeline (pagerank_copurchase
+    # feeds a full order-grain self-join): uncached, each eager
+    # checkpoint epoch recomputed that upstream once per reference.
+    # Same cache-not-checkpoint and caller-owned-lifetime policy as
+    # `nodes` below and the minhash index.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct()
+    ).distinct().cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -66,7 +73,8 @@ def pagerank(
         return nodes.select(
             "node", F.lit(None).cast("double").alias("rank")
         )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # r9: cached — joined against ranks once per iteration
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
 
     base = _ONE // n                      # teleport mass per node (units)
     teleport = ((dd - dn) * base) // dd   # (1-d)/n, exact python int
