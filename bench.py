@@ -171,6 +171,13 @@ def main() -> None:
         "quiet_wait_s": quiet_wait_s,
         "load_warn": load_warn,
         "steal_pct": steal_pct,
+        # VERDICT r8 item 4: loadavg cannot see hypervisor steal (the
+        # r8 +13% "regression" ran at steal 0.61% vs the r6/r7 0.03%),
+        # and steal cannot be WAITED out pre-run (an idle guest accrues
+        # none) — so self-FLAG the snapshot instead: any reader of a
+        # steal_warn run should discount medians before calling a
+        # regression. Additive key; every pre-existing field unchanged.
+        "steal_warn": steal_pct > 0.1,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

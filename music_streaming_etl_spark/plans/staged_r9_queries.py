@@ -176,7 +176,13 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return at.select(
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
-        F.col("d_num").alias("d_num"),
+        # STRING on both engines (r9 materialized-dtype parity — the
+        # anova class caught by selfcheck's new gate pre-registration:
+        # DECIMAL(38,0) arrives in pandas as Decimal objects, the
+        # oracle's HUGEINT as float64; equal values, different hash
+        # bytes. Non-negative exact integer → plain-digit rendering
+        # is identical in both engines.)
+        F.col("d_num").cast("string").alias("d_num"),
         "at_value",
         _idiv(F.col("d_num") * F.lit(1000000), F.col("n_a") * F.col("n_b"))
         .cast("bigint")
@@ -211,7 +217,7 @@ WITH s AS (
 )
 SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
-       CAST(d_num AS DECIMAL(38,0)) AS d_num,
+       CAST(d_num AS VARCHAR) AS d_num,
        (SELECT MIN(v) FROM gap WHERE gap = (SELECT d_num FROM m))
          AS at_value,
        CAST((d_num * 1000000) // NULLIF(n_a * n_b, 0) AS BIGINT)
@@ -380,8 +386,12 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard = F.col("bad_v") == 0
     return wide.select(
         "n_rows",
-        F.when(guard, F.col("j2")).alias("j2"),
-        F.when(guard, F.col("e2")).alias("e2"),
+        # STRING on both engines (r9 materialized-dtype parity — the
+        # anova class, caught by selfcheck's new gate before
+        # registration); exact non-negative integers render as plain
+        # digits identically on both sides, NULL stays NULL.
+        F.when(guard, F.col("j2")).cast("string").alias("j2"),
+        F.when(guard, F.col("e2")).cast("string").alias("e2"),
         F.when(guard, z).alias("z_stat"),
     )
 
@@ -461,8 +471,8 @@ WITH s AS (
   FROM wide
 )
 SELECT n_rows,
-       CASE WHEN bad_v = 0 THEN j2 END AS j2,
-       CASE WHEN bad_v = 0 THEN e2 END AS e2,
+       CAST(CASE WHEN bad_v = 0 THEN j2 END AS VARCHAR) AS j2,
+       CAST(CASE WHEN bad_v = 0 THEN e2 END AS VARCHAR) AS e2,
        CASE WHEN bad_v = 0 THEN
          (CAST(j2 AS DOUBLE) - CAST(e2 AS DOUBLE))
          / (2.0 * sqrt(NULLIF(
@@ -846,8 +856,11 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tot.select(
         "n_pairs",
-        F.col("w2_pos"),
-        e2.cast("decimal(38,0)").alias("e2"),
+        # STRING on both engines (r9 materialized-dtype parity — the
+        # anova class, caught by selfcheck's new gate before
+        # registration); exact non-negative integers, plain digits.
+        F.col("w2_pos").cast("string").alias("w2_pos"),
+        e2.cast("decimal(38,0)").cast("string").alias("e2"),
         z.alias("z_stat"),
     )
 
@@ -892,7 +905,9 @@ WITH yr AS (
            AS DECIMAL(38,0)) AS e2
   FROM tot
 )
-SELECT n_pairs, w2_pos, e2,
+SELECT n_pairs,
+       CAST(w2_pos AS VARCHAR) AS w2_pos,
+       CAST(e2 AS VARCHAR) AS e2,
        (CAST(w2_pos AS DOUBLE) - CAST(e2 AS DOUBLE))
        / (2.0 * sqrt(NULLIF(
            (CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
@@ -1682,8 +1697,11 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tot.select(
         "n_days",
-        "ss_diff_c2",
-        "ss_resid_c2",
+        # STRING on both engines (r9 materialized-dtype parity — the
+        # anova class, caught by selfcheck's new gate before
+        # registration); exact non-negative integers, plain digits.
+        F.col("ss_diff_c2").cast("string").alias("ss_diff_c2"),
+        F.col("ss_resid_c2").cast("string").alias("ss_resid_c2"),
         _idiv(
             F.col("ss_diff_c2") * F.lit(1000000), F.col("ss_resid_c2")
         )
@@ -1733,7 +1751,9 @@ WITH d AS (
            AS DECIMAL(38,0)) AS ss_diff_c2
   FROM lagged
 )
-SELECT n_days, ss_diff_c2, ss_resid_c2,
+SELECT n_days,
+       CAST(ss_diff_c2 AS VARCHAR) AS ss_diff_c2,
+       CAST(ss_resid_c2 AS VARCHAR) AS ss_resid_c2,
        CAST(CAST(ss_diff_c2 AS HUGEINT) * 1000000
             // NULLIF(CAST(ss_resid_c2 AS HUGEINT), 0) AS BIGINT)
          AS dw_micro

@@ -19,16 +19,23 @@ SF = "/root/testdata/sf0.01"
 
 COMMENT = {
     "genre_kpis": (
-        "Flagship. Both dims broadcast (no fact shuffle); the genre filter "
-        "converts the first left join to inner and pushes IsNotNull into the "
-        "scan; fused partial-agg + min-struct mode = ONE wide shuffle."
+        "Flagship. Both dims broadcast; the genre filter converts the first "
+        "left join to inner and pushes IsNotNull into the scan; fused "
+        "partial-agg + min-struct mode = ONE wide shuffle. r9: a conditional "
+        "scan fan-out exchange (operators/fanout.py) parallelizes the joins+"
+        "agg when the file layout is single-split; no-op on well-split input."
     ),
     "tpch_q1_pricing": (
         "Pure aggregation: pruned 7-column scan with pushed date filter, "
         "partial+final hash agg on a 6-value key, decimal-exact sums inside "
-        "whole-stage codegen."
+        "whole-stage codegen. r9: conditional scan fan-out ahead of the "
+        "partial agg (filter still pushes below it into the scan)."
     ),
-    "left_join_equi": "Two-hop broadcast join; fact side never exchanges.",
+    "left_join_equi": (
+        "Two-hop broadcast join; fact side never shuffle-joins. r9: "
+        "conditional scan fan-out parallelizes the probe side on "
+        "single-split layouts."
+    ),
     "revenue_by_region": (
         "5-way star join: orders/customer are fact-scaled so they "
         "shuffle-join on their keys (no forced broadcast — at 100 TB a "
@@ -84,6 +91,12 @@ COMMENT = {
     "tpch_q17_small_quantity": (
         "Decorrelated scalar subquery: per-part decimal-exact averages "
         "join back to the fact; both sides shuffle on l_partkey once."
+    ),
+    "sessionize_events": (
+        "Gap sessionization via lag+cumsum windows. r9: the conditional "
+        "scan fan-out hashes on the WINDOW key, so it REPLACES the window's "
+        "own exchange (same exchange count as before) while parallelizing "
+        "the scan-side work."
     ),
     "sessionize_native": (
         "Engine-native sessions: one exchange on user_id, then "

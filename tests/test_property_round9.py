@@ -389,9 +389,12 @@ def test_anova_oneway_matches_brute_force(spark):
     f_micro = (ssb * 10**6 // (k - 1)) // (ssw // (n_all - k))
     r = q_anova_oneway(spark, SF).collect()[0]
     assert (r["n_groups"], r["n_rows"]) == (k, n_all)
+    # r9: the three wide columns are emitted as STRING on both engines
+    # (materialized-dtype parity fix — see q_anova_oneway); the values
+    # remain the exact integers, rendered as plain digits.
     assert int(r["ss_between_d2"]) == ssb
     assert int(r["ss_within_d2"]) == ssw
-    assert r["f_stat_micro"] == f_micro
+    assert int(r["f_stat_micro"]) == f_micro
 
 
 def test_keyness_llr_matches_brute_force(spark):
