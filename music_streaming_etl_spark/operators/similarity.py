@@ -356,6 +356,7 @@ def pq_codebooks(
     m_subspaces: int,
     k_codes: int = 16,
     iterations: int = 3,
+    train_sample: int | None = 65536,
 ) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks (Jégou et al. 2011): split the
     dim-D space into ``m_subspaces`` contiguous subvectors and train an
@@ -373,12 +374,37 @@ def pq_codebooks(
     v = vectors.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
     )
-    books = []
-    for m in range(m_subspaces):
-        sliced = v.select("id", F.slice("v", m * sub_dim + 1, sub_dim).alias("v"))
-        books.append(
-            kmeans_codebook(sliced, "id", "v", sub_dim, k_codes, iterations)
+    # r9: draw the deterministic training sample ONCE, shared by all M
+    # subspace trainings, instead of letting each per-subspace
+    # kmeans_codebook re-sort and re-sample the corpus. The sample is
+    # keyed on md5(id) only — identical id set per subspace before and
+    # after — so every codebook is bit-identical; what changes is M
+    # global sorts of the corpus becoming one, cached across the M
+    # Lloyd loops (which then run with train_sample=None: "train on
+    # everything given", where everything IS the shared sample).
+    sampled = v
+    if train_sample is not None:
+        sampled = (
+            v.orderBy(F.md5(F.col("id").cast("string")), "id")
+            .limit(train_sample)
+            .repartition(F.col("id"))
+            .cache()
         )
+    try:
+        books = []
+        for m in range(m_subspaces):
+            sliced = sampled.select(
+                "id", F.slice("v", m * sub_dim + 1, sub_dim).alias("v")
+            )
+            books.append(
+                kmeans_codebook(
+                    sliced, "id", "v", sub_dim, k_codes, iterations,
+                    train_sample=None,
+                )
+            )
+    finally:
+        if train_sample is not None:
+            sampled.unpersist()
     return books
 
 
