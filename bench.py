@@ -176,8 +176,11 @@ def main() -> None:
         # and steal cannot be WAITED out pre-run (an idle guest accrues
         # none) — so self-FLAG the snapshot instead: any reader of a
         # steal_warn run should discount medians before calling a
-        # regression. Additive key; every pre-existing field unchanged.
-        "steal_warn": steal_pct > 0.1,
+        # regression. Threshold 0.25%: r9 measured runs at 0.07-0.18%
+        # agree within normal variance (11.27-11.64s on identical
+        # code) while 0.6%+ episodes inflated the same code to
+        # 11.8-15.3s. Additive key; every pre-existing field unchanged.
+        "steal_warn": steal_pct > 0.25,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
