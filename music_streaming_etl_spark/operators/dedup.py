@@ -109,23 +109,29 @@ def dedup_clusters(
             ).hint("merge"),
             "dst",
         ).select(F.col("src").alias("id"), "label")
+        # r9: carry each node's OLD label through the min-aggregation
+        # (labels contributes exactly one row per id, tagged via
+        # __old; neighbor rows carry NULL) instead of re-joining
+        # new-vs-old labels merge-pinned just to count changes — one
+        # sort-merge join + shuffle per round removed, same changed
+        # semantics: an id absent from `labels` (no old row) yields a
+        # NULL comparison and is excluded, exactly as the old INNER
+        # join excluded it.
+        label_t = dict(labels.dtypes)["label"]
         new_labels = (
-            prop.unionByName(labels)
+            prop.withColumn("__old", F.lit(None).cast(label_t))
+            .unionByName(labels.withColumn("__old", F.col("label")))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max("__old").alias("__old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select(
-                    F.col("id").alias("id"), F.col("label").alias("old_label")
-                ).hint("merge"),
-                "id",
-            )
-            .filter(F.col("label") != F.col("old_label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("__old")
+        ).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     edges.unpersist()
