@@ -221,18 +221,28 @@ def _collect_evidence(root: str) -> dict[str, int]:
 #: can no longer fingerprint), so the change-aware rotation cannot see
 #: the rewrite. Listing them here forces them into the fresh tier for
 #: one round; clear the set once their new driver rows land.
-#: r8: median_by_group / percentile_cont_by_group /
-#: revenue_percentiles (row-grain windows → value-grain rewrites);
-#: winnow_fingerprints (VERDICT r7's poster child — operator replaced
-#: wholesale in r7 AFTER its r6 green row, i.e. the one key KNOWN to
-#: carry evidence for code that no longer exists; the sidecar cannot
-#: see it because its certified tree predates the sidecar's scope).
+#: r9 (optimization round): the r8 four are CLEARED — their rewritten
+#: forms own r8 driver rows and r9-start sidecar stamps. The new set
+#: is the r9 SEMANTIC rewrites whose evidence is r1-r7-era (no sidecar
+#: entry, so the fp comparison cannot front them): the six fan-out
+#: queries below plus the four consumers of the rewritten
+#: connected-components loop. Queries whose r9 diff is comment-only
+#: (the measured fan-out REJECTIONS) are deliberately NOT listed —
+#: their green evidence still describes semantically identical plans.
 _FORCE_FRESH: frozenset[str] = frozenset(
     {
-        "median_by_group",
-        "percentile_cont_by_group",
-        "revenue_percentiles",
-        "winnow_fingerprints",
+        # scan fan-out applied (operators/fanout.py)
+        "genre_kpis",
+        "tpch_q1_pricing",
+        "tpch_q18_large_orders",
+        "left_join_equi",
+        "sessionize_events",
+        "event_interarrival",
+        # dedup_clusters changed-count rewrite consumers
+        "dedup_clusters",
+        "dedup_canonical",
+        "training_corpus",
+        "entity_resolution",
     }
 )
 
