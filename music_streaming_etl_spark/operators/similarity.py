@@ -26,6 +26,46 @@ from ..functions.quantize import q6
 from .ranking import global_topk
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal with exact bit round-trip: ``repr(float)``
+    is the shortest decimal string that uniquely identifies the
+    double, and the JVM's ``Double.parseDouble`` (round-to-nearest,
+    like every IEEE-754 parser) maps it back to the identical bits.
+    Codebook values are finite by construction (decimal means of
+    finite inputs), so inf/nan never reach this."""
+    return repr(float(x)) + "D"
+
+
+def _const_matrix(mat: list[list[float]]) -> F.Column:
+    """array<array<double>> literal in ONE py4j call (r10).
+
+    ``F.lit(nested_list)`` unrolls into per-element ``lit()``/
+    ``array()`` calls — profiled at ~22k py4j round trips (~5 s of
+    driver time) for one 64x16 codebook at the PQ identity
+    configuration, the residue of the r9 literal rewrite. A single
+    ``F.expr`` ships the whole matrix as one SQL string the JVM
+    parses in microseconds, producing the same CreateArray-of-
+    Literals tree (identical after constant folding), so results are
+    bit-equal (value parity test-pinned in tests/test_similarity_multimodal.py)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(x) for x in row) + ")" for row in mat
+        )
+        + ")"
+    )
+
+
+def _const_dvec(vals: list[float]) -> F.Column:
+    """array<double> literal in one py4j call (see _const_matrix)."""
+    return F.expr("array(" + ",".join(_dlit(x) for x in vals) + ")")
+
+
+def _const_ivec(vals: list[int]) -> F.Column:
+    """array<int> literal in one py4j call (see _const_matrix)."""
+    return F.expr("array(" + ",".join(str(int(x)) for x in vals) + ")")
+
+
 def dot(a, b) -> F.Column:
     """Sequential-fold dot product of two array<double> columns."""
     return F.aggregate(
@@ -101,11 +141,14 @@ def centroids(
     )
 
 
-def _nearest_bucket_expr(codebook: list[tuple[int, list[float]]], vec="v") -> F.Column:
+def _nearest_bucket_expr(
+    codebook: list[tuple[int, list[float]]], vec="v"
+) -> F.Column:
     """argmin over squared-L2 distances to literal centroids —
     embedded as constant arrays so assignment is pure per-row
     computation: no join, no shuffle. Ties break on bucket id ASC via
-    the struct order.
+    the struct order. ``vec`` is a column name or a Column (r10: the
+    fused PQ trainer and ``pq_encode`` pass slice expressions).
 
     r9 optimization (construction cost, not plan shape): the k
     centroids ride in as ONE nested array literal consumed by a
@@ -117,15 +160,16 @@ def _nearest_bucket_expr(codebook: list[tuple[int, list[float]]], vec="v") -> F.
     codebooks + 12 s encode at sf0.01 vs 0.2 s executing them). The
     per-element arithmetic, fold order, rounding, and struct
     tie-break are identical, so results are bit-equal."""
+    vcol = F.col(vec) if isinstance(vec, str) else vec
     mat = [[float(x) for x in c] for _, c in codebook]
     cids = [int(cid) for cid, _ in codebook]
     pairs = F.zip_with(
-        F.lit(mat),
-        F.lit(cids),
+        _const_matrix(mat),
+        _const_ivec(cids),
         lambda c, cid: F.struct(
             F.round(
                 F.aggregate(
-                    F.zip_with(F.col(vec), c, lambda x, y: (x - y) * (x - y)),
+                    F.zip_with(vcol, c, lambda x, y: (x - y) * (x - y)),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ),
@@ -364,47 +408,104 @@ def pq_codebooks(
     cross product spans K^M cells, the trick that gives PQ its
     capacity at 8 bits/subspace of storage.
 
-    Reuses the deterministic Lloyd loop (``kmeans_codebook``) per
-    subspace slice; at 100 TB you train on a deterministic sample
-    (``deterministic_sample``) — codebook quality needs thousands of
-    rows per code, not the full corpus — while ENCODING always stays
-    full-corpus, zero-shuffle codegen."""
+    Runs the same deterministic Lloyd recurrence as
+    ``kmeans_codebook`` in every subspace, FUSED across subspaces
+    (r10, VERDICT r9 item 1): at 100 TB you train on a deterministic
+    sample (codebook quality needs thousands of rows per code, not
+    the full corpus) while ENCODING always stays full-corpus,
+    zero-shuffle codegen.
+
+    r9 drew the deterministic training sample ONCE (keyed on md5(id)
+    alone, so the id set is identical per subspace) and shared it
+    across M sequential ``kmeans_codebook`` calls. r10 fuses the M
+    trainings themselves into one job sequence (guide §2 — fewer
+    jobs/shuffles): the M seed collects collapse to ONE (slicing
+    preserves ids, so every subspace seeds from the same k_codes
+    smallest-id rows — their full-dim vectors are collected once and
+    sliced driver-side), and each Lloyd round runs ONE job — a single
+    select computes all M argmin assignments against the literal
+    codebooks, explodes to (m, bucket, subvector) rows, and one
+    grouped aggregation updates every codebook. The per-(m, bucket)
+    groups contain exactly the rows the per-subspace update saw, and
+    the per-position means accumulate in DECIMAL (order-free), so
+    every codebook is bit-identical to the sequential form
+    (assert-pinned in tests/test_similarity_multimodal.py); what changes is
+    M×(1 seed collect + iterations update jobs) becoming
+    1 + iterations."""
     sub_dim = dim // m_subspaces
     assert sub_dim * m_subspaces == dim, "dim must divide evenly"
     v = vectors.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
     )
-    # r9: draw the deterministic training sample ONCE, shared by all M
-    # subspace trainings, instead of letting each per-subspace
-    # kmeans_codebook re-sort and re-sample the corpus. The sample is
-    # keyed on md5(id) only — identical id set per subspace before and
-    # after — so every codebook is bit-identical; what changes is M
-    # global sorts of the corpus becoming one, cached across the M
-    # Lloyd loops (which then run with train_sample=None: "train on
-    # everything given", where everything IS the shared sample).
     sampled = v
     if train_sample is not None:
         sampled = (
             v.orderBy(F.md5(F.col("id").cast("string")), "id")
             .limit(train_sample)
             .repartition(F.col("id"))
-            .cache()
         )
+    sampled = sampled.cache()
     try:
-        books = []
-        for m in range(m_subspaces):
-            sliced = sampled.select(
-                "id", F.slice("v", m * sub_dim + 1, sub_dim).alias("v")
+        seeds = sampled.orderBy("id").limit(k_codes).collect()
+        if not seeds:
+            # empty training corpus: one zero-vector sentinel per
+            # subspace (same rationale as kmeans_codebook — keeps the
+            # literal argmin expressions typed; never labels a row
+            # because the assignment frame is empty too).
+            return [[(0, [0.0] * sub_dim)] for _ in range(m_subspaces)]
+        full = [[float(x) for x in r["v"]] for r in seeds]
+        books = [
+            [
+                (i, sv[m * sub_dim : (m + 1) * sub_dim])
+                for i, sv in enumerate(full)
+            ]
+            for m in range(m_subspaces)
+        ]
+        for _ in range(iterations):
+            # one job per round: M assignments + M updates fused.
+            # Each array entry is (m, argmin bucket for subspace m,
+            # subvector m); explode + groupBy(m, bucket) computes all
+            # M codebook updates in a single aggregation.
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _nearest_bucket_expr(
+                            books[m],
+                            vec=F.slice("v", m * sub_dim + 1, sub_dim),
+                        ).alias("bucket"),
+                        F.slice("v", m * sub_dim + 1, sub_dim).alias("sv"),
+                    )
+                    for m in range(m_subspaces)
+                ]
             )
-            books.append(
-                kmeans_codebook(
-                    sliced, "id", "v", sub_dim, k_codes, iterations,
-                    train_sample=None,
-                )
+            ex = sampled.select(F.explode(entries).alias("e")).select(
+                "e.m", "e.bucket", "e.sv"
             )
+            # identical per-position decimal-mean arithmetic to
+            # `centroids` (exact, order-free accumulation)
+            aggs = [
+                (
+                    F.sum(
+                        F.element_at("sv", i + 1).cast("decimal(28,9)")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias(f"c{i}")
+                for i in range(sub_dim)
+            ]
+            new = ex.groupBy("m", "bucket").agg(*aggs).collect()
+            newmap = {
+                (r["m"], r["bucket"]): [r[f"c{i}"] for i in range(sub_dim)]
+                for r in new
+            }
+            # empty clusters keep their previous centroid, exactly as
+            # kmeans_codebook does
+            books = [
+                [(cid, newmap.get((m, cid), c)) for cid, c in bm]
+                for m, bm in enumerate(books)
+            ]
     finally:
-        if train_sample is not None:
-            sampled.unpersist()
+        sampled.unpersist()
     return books
 
 
@@ -430,28 +531,14 @@ def pq_encode(
     )
     # r9: one nested-literal + zip_with argmin per subspace instead of
     # K unrolled per-centroid trees (same rationale and bit-equal
-    # semantics as _nearest_bucket_expr — see its docstring).
-    code_cols = []
-    for m, book in enumerate(books):
-        sub = F.slice("v", m * sub_dim + 1, sub_dim)
-        mat = [[float(x) for x in c] for _, c in book]
-        cids = [int(cid) for cid, _ in book]
-        pairs = F.zip_with(
-            F.lit(mat),
-            F.lit(cids),
-            lambda c, cid: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    9,
-                ).alias("d"),
-                cid.alias("cid"),
-            ),
+    # semantics as _nearest_bucket_expr — r10 dedupes the inline copy
+    # into that helper, which now accepts a slice expression).
+    code_cols = [
+        _nearest_bucket_expr(
+            book, vec=F.slice("v", m * sub_dim + 1, sub_dim)
         )
-        code_cols.append(F.array_min(pairs).getField("cid"))
+        for m, book in enumerate(books)
+    ]
     return v.select("id", F.array(*code_cols).alias("codes"), *keep_cols)
 
 
@@ -520,8 +607,9 @@ def similarity_topk_pq(
         for cid, c in book:
             row[cid] = sum(a * b for a, b in zip(qsub, c))
         tables.append(row)
-    # r9: one nested-array literal (M·K scalars, 1 py4j call)
-    lut = F.lit([[float(x) for x in row] for row in tables])
+    # r10: one SQL-string nested literal (truly 1 py4j call — F.lit
+    # on a nested list still unrolled per element, see _const_matrix)
+    lut = _const_matrix([[float(x) for x in row] for row in tables])
     score = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -582,8 +670,8 @@ def similarity_topk_ivfpq(
     cmap = {cid: c for cid, c in coarse}
     tagged = v.withColumn("bucket", _nearest_bucket_expr(coarse, vec="v"))
     # residual = v − centroid[bucket], via a literal array-of-centroids
-    # (r9: one nested literal instead of n_coarse·dim F.lit calls)
-    cent_lut = F.lit([[float(x) for x in cmap[cid]] for cid in sorted(cmap)])
+    # (r10: one SQL-string nested literal, see _const_matrix)
+    cent_lut = _const_matrix([[float(x) for x in cmap[cid]] for cid in sorted(cmap)])
     resid = tagged.withColumn(
         "r",
         F.zip_with(
@@ -620,8 +708,8 @@ def similarity_topk_ivfpq(
     # bucket constant ⟨q, c_b⟩ per probed bucket + shared residual table
     bconst = F.element_at(
         F.map_from_arrays(
-            F.lit([int(b) for b in probed]),
-            F.lit([float(s) for s in probed.values()]),
+            _const_ivec([int(b) for b in probed]),
+            _const_dvec([float(s) for s in probed.values()]),
         ),
         F.col("bucket"),
     )
@@ -632,8 +720,8 @@ def similarity_topk_ivfpq(
         for cid, c in book:
             row[cid] = sum(a * b for a, b in zip(qsub, c))
         tables.append(row)
-    # r9: one nested-array literal (M·K scalars, 1 py4j call)
-    lut = F.lit([[float(x) for x in row] for row in tables])
+    # r10: one SQL-string nested literal (see _const_matrix)
+    lut = _const_matrix([[float(x) for x in row] for row in tables])
     tsum = F.aggregate(
         F.zip_with(
             F.col("codes"),

@@ -333,3 +333,98 @@ def test_pq_identity_codebook_is_exact_fixed_point(spark, sf_dir):
     assert min(gaps) > 1e-6, (
         f"top-k gap too tight (or tied) for the ADC gate: {min(gaps)}"
     )
+
+
+def test_pq_codebooks_fused_matches_sequential(spark, sf_dir):
+    """r10 (VERDICT r9 item 1): pq_codebooks fuses the M per-subspace
+    Lloyd trainings into one job sequence (one shared seed collect +
+    one grouped update per iteration). Pin bit-identity against the
+    sequential reference — per-subspace kmeans_codebook over slices of
+    a shared sample, the r9 shape — on an identity AND a lossy
+    configuration, plus the empty-corpus sentinel."""
+    from music_streaming_etl_spark.operators.similarity import (
+        as_double_vec,
+        kmeans_codebook,
+        pq_codebooks,
+    )
+    from music_streaming_etl_spark.plans.testdata_queries import _t
+
+    def sequential_reference(vectors, id_col, vec_col, dim, m_subspaces,
+                             k_codes, iterations, train_sample=65536):
+        sub_dim = dim // m_subspaces
+        v = vectors.select(
+            F.col(id_col).alias("id"),
+            as_double_vec(F.col(vec_col)).alias("v"),
+        )
+        sampled = v
+        if train_sample is not None:
+            sampled = (
+                v.orderBy(F.md5(F.col("id").cast("string")), "id")
+                .limit(train_sample)
+                .repartition(F.col("id"))
+                .cache()
+            )
+        try:
+            return [
+                kmeans_codebook(
+                    sampled.select(
+                        "id",
+                        F.slice("v", m * sub_dim + 1, sub_dim).alias("v"),
+                    ),
+                    "id", "v", sub_dim, k_codes, iterations,
+                    train_sample=None,
+                )
+                for m in range(m_subspaces)
+            ]
+        finally:
+            if train_sample is not None:
+                sampled.unpersist()
+
+    emb = _t(spark, sf_dir, "embeddings")
+    configs = [
+        (emb.filter(F.col("vec_id") < 64),
+         dict(dim=64, m_subspaces=4, k_codes=64, iterations=1)),
+        (emb.limit(300), dict(dim=64, m_subspaces=8, k_codes=8, iterations=2)),
+        (emb.filter(F.col("vec_id") < 0),  # empty corpus -> sentinel
+         dict(dim=64, m_subspaces=4, k_codes=8, iterations=1)),
+    ]
+    for src, kw in configs:
+        ref = sequential_reference(src, "vec_id", "embedding", **kw)
+        got = pq_codebooks(src, "vec_id", "embedding", **kw)
+        assert got == ref, kw
+    spark.catalog.clearCache()
+
+
+def test_const_matrix_literal_bit_parity(spark):
+    """r10: _const_matrix/_const_dvec/_const_ivec build array literals
+    as ONE parsed SQL expression instead of F.lit's per-element py4j
+    unrolling. Pin bit-exact value and dtype parity against F.lit on
+    round-trip-hostile doubles (repr is shortest-round-trip; the JVM
+    parser must restore identical bits)."""
+    import math
+    import struct
+
+    from music_streaming_etl_spark.operators.similarity import (
+        _const_dvec,
+        _const_ivec,
+        _const_matrix,
+    )
+
+    tricky = [0.1, -0.0, 1 / 3, 1e-300, 1e300, 123456789.123456789,
+              2 ** -1074, -1e-7, math.pi, 1.0000000000000002]
+    mat = [tricky[:5], tricky[5:]]
+    df = spark.range(1).select(
+        F.lit(mat).alias("a"), _const_matrix(mat).alias("b"),
+        F.lit(tricky).alias("c"), _const_dvec(tricky).alias("d"),
+        F.lit([-5, 0, 63]).alias("e"), _const_ivec([-5, 0, 63]).alias("f"),
+    )
+    dt = dict(df.dtypes)
+    assert dt["a"] == dt["b"] and dt["c"] == dt["d"] and dt["e"] == dt["f"]
+    r = df.collect()[0]
+
+    def bits(xs):
+        return [struct.pack("<d", x) for x in xs]
+
+    assert all(bits(x) == bits(y) for x, y in zip(r["a"], r["b"]))
+    assert bits(r["c"]) == bits(r["d"])
+    assert list(r["e"]) == list(r["f"])
