@@ -618,13 +618,16 @@ def minhash_index(
         .distinct()
         .cache()
     )
-    hp = F.col("h") % F.lit(MINHASH_P)
+    # r10 (§4 driver boundary): each permutation as ONE parsed SQL
+    # string instead of ~8 chained Column ops (py4j round trips) — the
+    # integer literals fold identically (INT beside LONG h, exactly
+    # the types F.lit produced), so the aggregation is unchanged.
     mins = hsd.groupBy("id").agg(
         *[
-            F.min(
-                ((2 * i + 1) * hp + (1_000_003 * i + 12_345))
-                % F.lit(MINHASH_P)
-            ).alias(f"m{i}")
+            F.expr(
+                f"min(({2 * i + 1} * (h % {MINHASH_P})"
+                f" + {1_000_003 * i + 12_345}) % {MINHASH_P}) AS m{i}"
+            )
             for i in range(num_hashes)
         ]
     )
@@ -632,20 +635,21 @@ def minhash_index(
 
 
 def _band_frame(mins: DataFrame, num_hashes: int, num_bands: int) -> DataFrame:
+    # r10 (§4 driver boundary): ONE parsed inline() expression instead
+    # of num_bands struct/concat_ws Column trees + explode + a second
+    # projection — inline is explode-and-expand in a single Generate,
+    # same (id, band, key) rows.
     rows_per_band = num_hashes // num_bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "#",
-                *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)],
-            ).alias("key"),
+    structs = ",".join(
+        "struct({b} AS band, concat_ws('#', {cols}) AS key)".format(
+            b=b,
+            cols=",".join(
+                f"m{b * rows_per_band + j}" for j in range(rows_per_band)
+            ),
         )
         for b in range(num_bands)
-    ]
-    return mins.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    return mins.selectExpr("id", f"inline(array({structs}))")
 
 
 def dedup_incremental(
