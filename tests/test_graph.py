@@ -64,3 +64,19 @@ def test_pagerank_partitioning_independent(spark, edge_df):
         for r in pagerank(edge_df.repartition(7, "dst"), iterations=6).collect()
     }
     assert a == b  # exact decimal equality, not approximate
+
+
+def test_pagerank_unpersists_internal_caches(spark, edge_df):
+    """r10 (VERDICT r9 item 6): the deduped edge list, node set and
+    out-degree frame are per-call caches; the returned ranks frame is
+    checkpoint-backed, so pagerank() must release them on exit — in
+    long-lived sessions each call previously accrued three
+    CacheManager entries. Covers the empty-graph early return too."""
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    pagerank(edge_df, iterations=3).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    empty = pagerank(edge_df.filter(F.lit(False)), iterations=3)
+    assert empty.count() == 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
