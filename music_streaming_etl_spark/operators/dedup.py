@@ -386,24 +386,72 @@ def _exact_cached_bytes(df: DataFrame) -> int:
 #: explodes into 16-byte (id, h) rows); 16x doubles the observed
 #: worst case. Used by the metadata regime decision below; erring
 #: high only ever demotes broadcast to merge (the safe direction).
+#:
+#: Calibration assumption (ADVICE r9): the bound presumes parquet
+#: compression ratios comparable to this corpus (~7x on natural-ish
+#: text). A pathologically compressible corpus (long runs, templated
+#: boilerplate) can expand past 16x, in which case a broadcast whose
+#: REAL size exceeds _VERIFY_BROADCAST_CAP could be promoted — a
+#: memory-pressure hazard, never a wrong answer, and one the cap's
+#: own 2-orders-of-magnitude headroom note already budgets for.
+#: Deployments feeding highly repetitive corpora should raise this
+#: bound (or pass verify_regime='merge'); deriving it per-corpus from
+#: footer uncompressed-size metadata was considered and skipped —
+#: it re-introduces a per-invocation footer pass on exactly the hot
+#: path this constant exists to keep lazy.
 _HSD_EXPANSION_BOUND = 16
+
+
+def _hadoop_fs_bytes(spark, files: list[str]) -> int:
+    """Exact total length of ``files`` via the Hadoop FileSystem API —
+    works on any scheme Spark can read (hdfs://, s3a://, file:, ...).
+    Driver-side metadata only (one getFileStatus per file)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        fs = path.getFileSystem(hconf)
+        total += fs.getFileStatus(path).getLen()
+    return int(total)
 
 
 def _source_bytes(df: DataFrame) -> int | None:
     """Total on-disk bytes of the files backing ``df`` — pure
     metadata (file listing Spark has already done + stat calls), no
     job. ``None`` for non-file-backed frames (tests, unions of
-    constructed data) or any listing failure."""
+    constructed data) or any listing failure.
+
+    r10 (VERDICT r9 item 5): non-``file:`` schemes no longer throw
+    into the eager measured-cache fallback — remote URIs go through
+    the Hadoop FileSystem API, so the lazy regime decision survives
+    hdfs/s3a. Per-file stats are exact; past 1024 files the cost of
+    per-file driver metadata calls stops being worth it, so the total
+    is taken from one getContentSummary per distinct parent directory
+    instead — that counts EVERY file under the parent, i.e. it can
+    only OVERestimate, which only ever demotes broadcast to merge
+    (the safe direction at every scale)."""
     import os as _os
 
     try:
         files = df.inputFiles()
         if not files:
             return None
+        if all(f.startswith("file:") or "://" not in f for f in files):
+            return sum(
+                _os.path.getsize(f.removeprefix("file:")) for f in files
+            )
+        spark = df.sparkSession
+        if len(files) <= 1024:
+            return _hadoop_fs_bytes(spark, files)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
         total = 0
-        for f in files:
-            total += _os.path.getsize(f.removeprefix("file:"))
-        return total
+        for parent in {f.rsplit("/", 1)[0] for f in files}:
+            path = jvm.org.apache.hadoop.fs.Path(parent)
+            fs = path.getFileSystem(hconf)
+            total += fs.getContentSummary(path).getLength()
+        return int(total)
     except Exception:  # noqa: BLE001 — fall back to the measured path
         return None
 

@@ -59,10 +59,37 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: path -> effective split count. Metadata memo (file layout, never
-#: query results); process-local, exactly the lifetime Spark gives its
-#: own file-status cache.
-_SPLITS_CACHE: dict[str, int] = {}
+#: (path, parallelism, layout stamp) -> effective split count.
+#: Metadata memo (file layout, never query results); process-local,
+#: exactly the lifetime Spark gives its own file-status cache. The
+#: layout stamp (file count + total size + max mtime, r10 per ADVICE
+#: r9) invalidates the memo when a table is rewritten in-process —
+#: e.g. testdata regenerated at a different layout mid-session —
+#: instead of serving a stale split count.
+_SPLITS_CACHE: dict[tuple, int] = {}
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    """Parquet data files under ``path``. Top-level ``*.parquet``
+    entries when present; otherwise recurse (r10 per ADVICE r9) so a
+    Hive-partitioned/nested layout reports its true file count rather
+    than 0 — which would have added a full-table exchange to layouts
+    that may already be well-split."""
+    if not os.path.isdir(path):
+        return [path]
+    top = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    if top:
+        return top
+    nested = []
+    for root, _dirs, names in os.walk(path):
+        nested.extend(
+            os.path.join(root, f) for f in names if f.endswith(".parquet")
+        )
+    return sorted(nested)
 
 
 def _effective_splits(path: str, parallelism: int) -> int:
@@ -70,33 +97,38 @@ def _effective_splits(path: str, parallelism: int) -> int:
     total row groups (a split never cuts inside a row group). Bounded
     work: short-circuits at ``parallelism`` without reading further
     footers, and a >=``parallelism``-file directory never opens any."""
-    key = f"{path}::{parallelism}"
-    cached = _SPLITS_CACHE.get(key)
-    if cached is not None:
-        return cached
     try:
-        import pyarrow.parquet as pq
-
-        if os.path.isdir(path):
-            files = [
-                os.path.join(path, f)
-                for f in sorted(os.listdir(path))
-                if f.endswith(".parquet")
-            ]
-        else:
-            files = [path]
+        files = _list_parquet_files(path)
+        if not files:
+            # no parquet data found where the caller said a table
+            # lives: treat like the unreadable-metadata path — assume
+            # well-split and leave the plan alone (ADVICE r9: the
+            # operator's no-op guarantee outranks a speculative
+            # exchange)
+            return parallelism
+        stamp = (
+            len(files),
+            sum(os.path.getsize(f) for f in files),
+            max(os.path.getmtime(f) for f in files),
+        )
+        key = (path, parallelism, stamp)
+        cached = _SPLITS_CACHE.get(key)
+        if cached is not None:
+            return cached
         if len(files) >= parallelism:
             splits = len(files)
         else:
+            import pyarrow.parquet as pq
+
             splits = 0
             for f in files:
                 splits += pq.ParquetFile(f).metadata.num_row_groups
                 if splits >= parallelism:
                     break
+        _SPLITS_CACHE[key] = splits
+        return splits
     except Exception:  # noqa: BLE001 — metadata unreadable: assume
-        splits = parallelism  # well-split and leave the plan alone
-    _SPLITS_CACHE[key] = splits
-    return splits
+        return parallelism  # well-split and leave the plan alone
 
 
 def fan_out_scan(

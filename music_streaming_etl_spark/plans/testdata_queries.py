@@ -218,7 +218,12 @@ def q_hourly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out REJECTED by measurement (r9): events is small enough that
     # shuffling it (0.68 s) loses to the one-task Expand+partial agg
     # (0.39 s) — the per-row work here is too light to amortize an
-    # extra exchange (A/B in OPTIMIZATION_r09.md).
+    # extra exchange (A/B in OPTIMIZATION_r09.md). Re-probed r10 with a
+    # NARROW payload (select ts/user_id/event_id before the
+    # repartition, VERDICT r9 item 4): still loses, 0.58 s none vs
+    # 0.72 s narrow vs 0.74 s wide — the cost is the extra stage
+    # itself at this volume, not the exchanged bytes (column pruning
+    # already reached the wide fan-out's exchange).
     events = _t(spark, sf_dir, "events")
     base = events.withColumn("hour", F.hour("ts").cast("bigint"))
     # fused: both distincts + the count in ONE aggregation (single scan,
@@ -247,6 +252,10 @@ def q_agg_topk_by_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out REJECTED by measurement (r9): 0.68 s with vs 0.31 s
     # without — the (hour, event_type) partial counts are cheaper than
     # the exchange they would ride (A/B in OPTIMIZATION_r09.md).
+    # Re-probed r10 with a NARROW payload (select ts/event_type before
+    # the repartition, VERDICT r9 item 4): 0.39 s none vs 0.78 s
+    # narrow — rejection stands; the extra stage dominates at this
+    # volume regardless of payload width.
     events = _t(spark, sf_dir, "events")
     base = events.withColumn("hour", F.hour("ts").cast("bigint"))
     ranked = topk_by_freq_ranked(base, ["hour"], "event_type", 5)

@@ -92,7 +92,58 @@ def test_splits_cache_is_metadata_only(sf_dir, name):
     _SPLITS_CACHE.clear()
     path = f"{sf_dir}/{name}.parquet"
     a = _effective_splits(path, 16)
-    assert f"{path}::16" in _SPLITS_CACHE
+    # r10 key: (path, parallelism, layout stamp) — values are split
+    # counts (ints), never rows/results
+    keys = [k for k in _SPLITS_CACHE if k[0] == path and k[1] == 16]
+    assert len(keys) == 1 and isinstance(_SPLITS_CACHE[keys[0]], int)
     assert _effective_splits(path, 16) == a
     assert isinstance(a, int)
     assert os.path.exists(path)
+
+
+def test_effective_splits_recurses_nested_layout(spark, tmp_path):
+    """ADVICE r9: a Hive-partitioned/nested directory (no top-level
+    *.parquet) must report its true file count, not 0 — a 0 would
+    have added a full-table exchange to an already-well-split layout."""
+    root = str(tmp_path / "part_table")
+    spark.range(100).withColumn("p", F.col("id") % 4).write.partitionBy(
+        "p"
+    ).parquet(root)
+    _SPLITS_CACHE.clear()
+    n_files = sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(root) for f in fs
+    )
+    assert _effective_splits(root, 2) >= min(n_files, 2)
+    # well-split for a small parallelism -> no-op
+    df = spark.read.parquet(root)
+    if n_files >= 2:
+        assert fan_out_scan(df, spark, root, "id") is df
+
+
+def test_effective_splits_empty_dir_is_well_split(spark, tmp_path):
+    """ADVICE r9: a directory with no parquet entries behaves like the
+    unreadable-metadata path — assume well-split, leave the plan
+    alone."""
+    empty = str(tmp_path / "empty_dir")
+    os.makedirs(empty)
+    _SPLITS_CACHE.clear()
+    df = spark.range(10)
+    assert fan_out_scan(df, spark, empty, "id") is df
+
+
+def test_splits_cache_invalidates_on_rewrite(spark, tmp_path):
+    """ADVICE r9: rewriting a table in-process (different layout) must
+    not serve the stale split count — the memo key carries a file
+    count + size + mtime stamp."""
+    import pyspark.sql.functions as SF
+
+    path = str(tmp_path / "rw")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(path)
+    _SPLITS_CACHE.clear()
+    first = _effective_splits(path, 8)
+    assert first < 8  # one file, one row group
+    spark.range(1000).repartition(8, SF.col("id")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    second = _effective_splits(path, 8)
+    assert second >= 8  # fresh stamp -> fresh count, not the memo
