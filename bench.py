@@ -119,13 +119,24 @@ def main() -> None:
     ambient_load, quiet_wait_s, load_warn = _wait_for_quiet()
     spark = get_spark("bench")
 
-    # JVM/codegen warm-up (not timed): a trivial scan plus one
-    # representative join+agg plan at the smallest sf, so the first
-    # timed query doesn't absorb the JIT cost of the common operators
+    # JVM/codegen warm-up (not timed): a trivial scan, then every
+    # headline query once at the smallest sf. r1-r9 warmed only one
+    # representative join+agg plan, which left each query's first
+    # sf-dir pass paying its own Catalyst + whole-stage-codegen JIT —
+    # that cost is session fixed overhead, not per-dataset work (the
+    # generated stage classes are plan-shaped, so the sf0.001 pass
+    # compiles the same classes the timed passes reuse). The timed
+    # methodology is UNTOUCHED: same query list, same noop sink, same
+    # cold-then-n_runs loop per query at sf_dir, same JSON fields —
+    # cold_queries still reports each query's first sf_dir pass, it
+    # just no longer conflates dataset cost with one-time JIT
+    # (VERDICT r9 item 7; the r9-and-earlier cold numbers carry that
+    # conflation, recorded in OPTIMIZATION_r10.md).
     force(spark.read.parquet(f"{sf_dir}/region.parquet"))
-    warm_fn, _ = REGISTRY["genre_kpis"]
-    force(warm_fn(spark, "/root/testdata/sf0.001"))
-    spark.catalog.clearCache()
+    for name in HEADLINE:
+        warm_fn, _ = REGISTRY[name]
+        force(warm_fn(spark, "/root/testdata/sf0.001"))
+        spark.catalog.clearCache()
 
     load_before = _load1()
     steal0, total0 = _cpu_ticks()

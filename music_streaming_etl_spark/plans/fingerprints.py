@@ -134,11 +134,14 @@ def _local_imports(fn, sources: dict[str, str], seen: set[int]) -> None:
                         sources[cls_id] = inspect.getsource(obj)
                     except (OSError, TypeError):
                         sources[cls_id] = repr(obj)
-            elif isinstance(obj, (str, int, float, tuple, frozenset)):
+            elif isinstance(obj, (str, int, float, tuple, frozenset, list, dict)):
                 # locally-imported module-level constants (oracle
-                # templates, domain tuples): value is closure, keyed
-                # by the module that DEFINES it — same convention the
-                # __globals__ path uses for the reading module.
+                # templates, domain tuples; r10 adds list/dict per
+                # ADVICE r9 — repr is deterministic for both: list
+                # order is literal order, dict preserves insertion):
+                # value is closure, keyed by the module that DEFINES
+                # it — same convention the __globals__ path uses for
+                # the reading module.
                 sources.setdefault(f"const:{resolved}.{alias.name}", repr(obj))
 
 
@@ -201,11 +204,12 @@ def _closure_sources(fn, sources: dict[str, str], seen: set[int]) -> None:
                         sources[cls_id] = inspect.getsource(obj)
                     except (OSError, TypeError):
                         sources[cls_id] = repr(obj)
-        elif isinstance(obj, (str, int, float, tuple, frozenset)):
+        elif isinstance(obj, (str, int, float, tuple, frozenset, list, dict)):
             # module-level constants a plan reads (oracle templates,
-            # domain tuples): their VALUE is part of the closure.
-            # Module-qualified — same-named constants in different
-            # plan modules must not collide.
+            # domain tuples; r10 adds list/dict per ADVICE r9 — repr
+            # is deterministic for both): their VALUE is part of the
+            # closure. Module-qualified — same-named constants in
+            # different plan modules must not collide.
             mod = getattr(fn, "__module__", "?")
             sources.setdefault(f"const:{mod}.{name}", repr(obj))
 

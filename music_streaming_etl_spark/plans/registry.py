@@ -221,28 +221,19 @@ def _collect_evidence(root: str) -> dict[str, int]:
 #: can no longer fingerprint), so the change-aware rotation cannot see
 #: the rewrite. Listing them here forces them into the fresh tier for
 #: one round; clear the set once their new driver rows land.
-#: r9 (optimization round): the r8 four are CLEARED — their rewritten
-#: forms own r8 driver rows and r9-start sidecar stamps. The new set
-#: is the r9 SEMANTIC rewrites whose evidence is r1-r7-era (no sidecar
-#: entry, so the fp comparison cannot front them): the six fan-out
-#: queries below plus the four consumers of the rewritten
-#: connected-components loop. Queries whose r9 diff is comment-only
-#: (the measured fan-out REJECTIONS) are deliberately NOT listed —
-#: their green evidence still describes semantically identical plans.
+#: r10 (optimization round 2): the r9 ten are CLEARED — their
+#: rewritten forms own r9 driver rows and r10-start sidecar stamps.
+#: This round's rewrites (PQ trainer fusion + SQL literals, minhash
+#: expr aggregates, pagerank cadence, CC count cadence, fan-out layout
+#: detection) are fronted by the SIDECAR fingerprint mismatch itself —
+#: the r10-start stamping covered all 19 rewritten green keys (see
+#: OPTIMIZATION_r10.md), so they need no hand-listing. The one
+#: exception is below: its green row is r4-era, older than the
+#: sidecar's certification scope, so the fp comparison cannot see its
+#: closure changed (it rides on the rewritten dedup module).
 _FORCE_FRESH: frozenset[str] = frozenset(
     {
-        # scan fan-out applied (operators/fanout.py)
-        "genre_kpis",
-        "tpch_q1_pricing",
-        "tpch_q18_large_orders",
-        "left_join_equi",
-        "sessionize_events",
-        "event_interarrival",
-        # dedup_clusters changed-count rewrite consumers
-        "dedup_clusters",
-        "dedup_canonical",
-        "training_corpus",
-        "entity_resolution",
+        "dedup_clusters_twophase",
     }
 )
 
