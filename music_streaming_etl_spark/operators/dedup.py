@@ -288,23 +288,25 @@ def _shingle_rows(
     shuffle). posexplode + lead() windows build n-grams entirely
     JVM-side; interpreted higher-order lambdas never touch the hot
     path."""
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
     if shingle_n == 1:
         return toks.select("id", F.col("tok").alias("sh"))
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, shingle_n)
+    # r10 (§4 driver boundary): the lead windows as parsed SQL strings
+    # instead of per-column Window/over Column trees — same window
+    # spec (Catalyst collapses the identical OVER clauses into one
+    # Window operator exactly as the Column form did), same rows.
+    over = "OVER (PARTITION BY id ORDER BY pos)"
+    parts = ["tok"] + [
+        f"lead(tok, {i}) {over}" for i in range(1, shingle_n)
     ]
     return (
-        toks.select(
+        toks.selectExpr(
             "id",
-            F.concat_ws(" ", *parts).alias("sh"),
-            parts[-1].alias("__last"),
+            f"concat_ws(' ', {', '.join(parts)}) AS sh",
+            f"{parts[-1]} AS __last",
         )
         .filter(F.col("__last").isNotNull())
         .drop("__last")

@@ -47,6 +47,39 @@ from ..operators.ranking import global_topk
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
 
+#: (applicationId, path, mtime, size) -> inferred StructType. Schema
+#: metadata memo (r10, guide §4 driver boundary): plain
+#: ``read.parquet()`` re-infers the schema from footers on EVERY call
+#: — measured ~115 ms/table at sf0.1, paid per table per query
+#: construction INSIDE the bench's timed region (tpch_q5 touches 6
+#: tables = ~0.6 s/invocation of pure re-inference). Supplying the
+#: previously-inferred schema skips inference (~23 ms) and produces
+#: the IDENTICAL DataFrame — the memoized schema IS the inferred one.
+#: The layout stamp invalidates on rewrite, same discipline as
+#: operators/fanout.py::_SPLITS_CACHE; only schema + stamp are stored,
+#: never rows, so every action still computes from the parquet inputs.
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            path,
+            st.st_mtime,
+            st.st_size,
+        )
+    except OSError:  # non-local / unstatable: plain inference read
+        return spark.read.parquet(path)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None:
+        return spark.read.schema(hit).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive: the caller may hand us a session it built itself (the
     # driver does). to_date()/hour() on TIMESTAMP_LTZ are evaluated in
@@ -55,7 +88,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _tf(
@@ -88,7 +121,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay fully distributed — no driver materialization — so they
     scale like any parquet scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # schema-memoized like every _t table (the memo key is stamped
+    # AFTER the conf above is set, so the cached schema always
+    # reflects the nanosAsLong read path)
+    raw = _read_parquet(spark, f"{sf_dir}/events.parquet")
     ts_type = raw.schema["ts"].dataType.simpleString()
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw int64 nanos
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
